@@ -1,13 +1,35 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators.Kpi
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one implemented operator/capability from
+  * SURVEY.md §2 (or a training-data extension), instantiated over the
+  * driver's testdata tables; [[oracleSql]] carries the DuckDB-equivalent
+  * statement for every SQL-expressible query.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Kpi.byDept(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kpi_summary" -> ((s, d) => Kpi.summary(s, d)),
+    "kpi_by_dept" -> ((s, d) => Kpi.byDept(s, d)),
+    "kpi_delta_company" -> ((s, d) => Kpi.deltaCompany(s, d)),
+    "kpi_delta_by_dept" -> ((s, d) => Kpi.deltaByDept(s, d)),
+    "kpi_anomalies" -> ((s, d) => Kpi.anomalies(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "kpi_summary" -> Kpi.summarySql(),
+    "kpi_by_dept" -> Kpi.byDeptSql(),
+    "kpi_delta_company" -> Kpi.deltaCompanySql(),
+    "kpi_delta_by_dept" -> Kpi.deltaByDeptSql(),
+    "kpi_anomalies" -> Kpi.anomaliesSql(),
+  )
 }

@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Num._
+import graft.sources.Tables
+import graft.sources.Tables.{factSql, inMonthSql}
+
+/** The reference's five analytic endpoints (`src/api.py:13-275`) rebuilt as
+  * native Spark DataFrame programs over the testdata star schema. Each query
+  * has a colocated DuckDB oracle string computing the same result.
+  *
+  * Default parameters (month literals etc.) are fixed so the driver contract
+  * `(SparkSession, sfDir) => DataFrame` stays parameterless; the builders are
+  * parameterized for library use.
+  */
+object Kpi {
+  val M1 = "1997-03"
+  val M2 = "1997-04"
+  val AnomThreshold = 1.0
+  val AnomLimit = 20
+
+  // -------------------------------------------------------------------
+  // /kpi/summary (reference src/api.py:21-43): company-wide one-month KPIs.
+  // Ungrouped multi-SUM (A1) + COUNT(DISTINCT) headcount (A2) + null-guarded
+  // derived ratios (P15).
+  // -------------------------------------------------------------------
+  def summary(s: SparkSession, dir: String, m: String = M1): DataFrame = {
+    val f = Tables.fact(s, dir, Seq(m))
+    f.agg(
+        dbl(sum(col("gross") + col("bonus") + col("overtime"))).as("fot"),
+        dbl(sum("taxes")).as("taxes"),
+        dbl(sum("gross")).as("gross"),
+        dbl(sum("net")).as("net"),
+        dbl(sum("fte")).as("fte"),
+        countDistinct("emp_id").as("headcount"))
+      .withColumn("tax_share", ratio(col("taxes"), col("gross")))
+      .withColumn("avg_net_per_fte", ratio(col("net"), col("fte")))
+  }
+
+  def summarySql(m: String = M1): String =
+    s"""WITH ${factSql(inMonthSql("o.o_orderdate", m))},
+       |agg AS (
+       |  SELECT CAST(SUM(gross + bonus + overtime) AS DOUBLE) AS fot,
+       |         CAST(SUM(taxes) AS DOUBLE) AS taxes,
+       |         CAST(SUM(gross) AS DOUBLE) AS gross,
+       |         CAST(SUM(net) AS DOUBLE) AS net,
+       |         CAST(SUM(fte) AS DOUBLE) AS fte,
+       |         COUNT(DISTINCT emp_id) AS headcount
+       |  FROM fact
+       |)
+       |SELECT fot, taxes, gross, net, fte, headcount,
+       |       CASE WHEN gross <> 0 THEN taxes / gross END AS tax_share,
+       |       CASE WHEN fte <> 0 THEN net / fte END AS avg_net_per_fte
+       |FROM agg""".stripMargin
+
+  // -------------------------------------------------------------------
+  // /kpi/by-dept (src/api.py:46-72): per-department grouped agg (A3) over
+  // the star join (J1), presentation order (O1).
+  // -------------------------------------------------------------------
+  def byDept(s: SparkSession, dir: String, m: String = M1): DataFrame = {
+    val f = Tables.fact(s, dir, Seq(m))
+    f.groupBy("dept")
+      .agg(
+        dbl(sum("gross")).as("gross"),
+        dbl(sum("bonus")).as("bonus"),
+        dbl(sum("overtime")).as("overtime"),
+        dbl(sum(col("gross") + col("bonus") + col("overtime"))).as("fot"),
+        dbl(sum("net")).as("net"),
+        dbl(sum("taxes")).as("taxes"),
+        dbl(sum("fte")).as("fte"),
+        countDistinct("emp_id").as("headcount"))
+      .orderBy("dept")
+  }
+
+  def byDeptSql(m: String = M1): String =
+    s"""WITH ${factSql(inMonthSql("o.o_orderdate", m))}
+       |SELECT dept,
+       |       CAST(SUM(gross) AS DOUBLE) AS gross,
+       |       CAST(SUM(bonus) AS DOUBLE) AS bonus,
+       |       CAST(SUM(overtime) AS DOUBLE) AS overtime,
+       |       CAST(SUM(gross + bonus + overtime) AS DOUBLE) AS fot,
+       |       CAST(SUM(net) AS DOUBLE) AS net,
+       |       CAST(SUM(taxes) AS DOUBLE) AS taxes,
+       |       CAST(SUM(fte) AS DOUBLE) AS fte,
+       |       COUNT(DISTINCT emp_id) AS headcount
+       |FROM fact GROUP BY dept ORDER BY dept""".stripMargin
+
+  // -------------------------------------------------------------------
+  // /kpi/delta company-wide (src/api.py:109-130): single-pass conditional
+  // aggregation (A4). The reference scans the WHOLE fact table with
+  // CASE WHEN month = m; months other than m1/m2 contribute zeros, so the
+  // result is identical when we pre-filter to the two months — which lets
+  // the predicate push into the scan (at 100 TB: two partitions read
+  // instead of all).
+  // -------------------------------------------------------------------
+  def deltaCompany(s: SparkSession, dir: String, m1: String = M1, m2: String = M2): DataFrame = {
+    val f = Tables.fact(s, dir, Seq(m1, m2))
+    def arm(m: String, c: Column) = sum(when(col("month") === m, c).otherwise(dec(lit(0))))
+    f.agg(
+        dbl(arm(m1, col("gross"))).as("gross_m1"),
+        dbl(arm(m2, col("gross"))).as("gross_m2"),
+        dbl(arm(m1, col("net"))).as("net_m1"),
+        dbl(arm(m2, col("net"))).as("net_m2"),
+        dbl(arm(m1, col("gross") + col("bonus") + col("overtime"))).as("fot_m1"),
+        dbl(arm(m2, col("gross") + col("bonus") + col("overtime"))).as("fot_m2"))
+      .withColumn("d_gross", col("gross_m2") - col("gross_m1"))
+      .withColumn("d_net", col("net_m2") - col("net_m1"))
+      .withColumn("d_fot", col("fot_m2") - col("fot_m1"))
+  }
+
+  def deltaCompanySql(m1: String = M1, m2: String = M2): String =
+    s"""WITH ${factSql(s"${inMonthSql("o.o_orderdate", m1)} OR ${inMonthSql("o.o_orderdate", m2)}")},
+       |agg AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN month = '$m1' THEN gross ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS gross_m1,
+       |    CAST(SUM(CASE WHEN month = '$m2' THEN gross ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS gross_m2,
+       |    CAST(SUM(CASE WHEN month = '$m1' THEN net ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS net_m1,
+       |    CAST(SUM(CASE WHEN month = '$m2' THEN net ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS net_m2,
+       |    CAST(SUM(CASE WHEN month = '$m1' THEN gross + bonus + overtime ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS fot_m1,
+       |    CAST(SUM(CASE WHEN month = '$m2' THEN gross + bonus + overtime ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS fot_m2
+       |  FROM fact
+       |)
+       |SELECT gross_m1, gross_m2, net_m1, net_m2, fot_m1, fot_m2,
+       |       gross_m2 - gross_m1 AS d_gross,
+       |       net_m2 - net_m1 AS d_net,
+       |       fot_m2 - fot_m1 AS d_fot
+       |FROM agg""".stripMargin
+
+  // -------------------------------------------------------------------
+  // /kpi/delta per-dept (src/api.py:77-108): two per-month aggregates
+  // FULL OUTER JOINed on dept (J4) with COALESCE->0 on both sides (P11).
+  // -------------------------------------------------------------------
+  def deltaByDept(s: SparkSession, dir: String, m1: String = M1, m2: String = M2): DataFrame = {
+    def monthAgg(m: String) =
+      Tables
+        .fact(s, dir, Seq(m))
+        .groupBy("dept")
+        .agg(sum("gross").as("g"), sum("net").as("n"),
+          sum(col("gross") + col("bonus") + col("overtime")).as("f"))
+    val a = monthAgg(m1)
+    val b = monthAgg(m2)
+    a.join(b.withColumnRenamed("g", "g2").withColumnRenamed("n", "n2").withColumnRenamed("f", "f2"),
+        Seq("dept"), "full_outer")
+      .select(
+        col("dept"),
+        dbl(coalesce(col("g"), dec(lit(0)))).as("gross_m1"),
+        dbl(coalesce(col("g2"), dec(lit(0)))).as("gross_m2"),
+        dbl(coalesce(col("n"), dec(lit(0)))).as("net_m1"),
+        dbl(coalesce(col("n2"), dec(lit(0)))).as("net_m2"),
+        dbl(coalesce(col("f"), dec(lit(0)))).as("fot_m1"),
+        dbl(coalesce(col("f2"), dec(lit(0)))).as("fot_m2"))
+      .withColumn("d_gross", col("gross_m2") - col("gross_m1"))
+      .withColumn("d_net", col("net_m2") - col("net_m1"))
+      .withColumn("d_fot", col("fot_m2") - col("fot_m1"))
+      .orderBy("dept")
+  }
+
+  def deltaByDeptSql(m1: String = M1, m2: String = M2): String =
+    s"""WITH ${factSql(s"${inMonthSql("o.o_orderdate", m1)} OR ${inMonthSql("o.o_orderdate", m2)}")},
+       |a AS (SELECT dept, SUM(gross) AS g, SUM(net) AS n, SUM(gross + bonus + overtime) AS f
+       |      FROM fact WHERE month = '$m1' GROUP BY dept),
+       |b AS (SELECT dept, SUM(gross) AS g2, SUM(net) AS n2, SUM(gross + bonus + overtime) AS f2
+       |      FROM fact WHERE month = '$m2' GROUP BY dept),
+       |j AS (
+       |  SELECT dept,
+       |         CAST(COALESCE(a.g,  CAST(0 AS DECIMAL(18,4))) AS DOUBLE) AS gross_m1,
+       |         CAST(COALESCE(b.g2, CAST(0 AS DECIMAL(18,4))) AS DOUBLE) AS gross_m2,
+       |         CAST(COALESCE(a.n,  CAST(0 AS DECIMAL(18,4))) AS DOUBLE) AS net_m1,
+       |         CAST(COALESCE(b.n2, CAST(0 AS DECIMAL(18,4))) AS DOUBLE) AS net_m2,
+       |         CAST(COALESCE(a.f,  CAST(0 AS DECIMAL(18,4))) AS DOUBLE) AS fot_m1,
+       |         CAST(COALESCE(b.f2, CAST(0 AS DECIMAL(18,4))) AS DOUBLE) AS fot_m2
+       |  FROM a FULL OUTER JOIN b USING (dept)
+       |)
+       |SELECT j.*,
+       |       gross_m2 - gross_m1 AS d_gross,
+       |       net_m2 - net_m1 AS d_net,
+       |       fot_m2 - fot_m1 AS d_fot
+       |FROM j ORDER BY dept""".stripMargin
+
+  // -------------------------------------------------------------------
+  // /kpi/anomalies (corrected second route, src/api.py:201-275): per-dept
+  // robust z-score over employee monthly net.
+  //   data -> median(net) per dept (A5, EXACT percentile)
+  //        -> |net - med| -> median per dept (MAD)
+  //        -> z = 0.6745 (net - med) / mad, NULL when MAD = 0 (P10/P12)
+  //        -> ORDER BY COALESCE(ABS(z),0) DESC LIMIT k (O2)
+  //        -> post-LIMIT threshold filter where NULL-z rows PASS (O4 +
+  //           SURVEY §2.7 bug note: `z is not None and abs(z) < threshold`
+  //           skips, so z IS NULL rows are kept).
+  // Employee-month net here = sum of o_totalprice per (customer, month).
+  // emp_id is added to the ORDER BY as a deterministic tiebreaker (in the
+  // oracle too) and z is compared via its 6-decimal rounding so ulp-level
+  // interpolation differences between engines cannot reorder ties.
+  // -------------------------------------------------------------------
+  def anomalies(s: SparkSession, dir: String, m: String = M1,
+                threshold: Double = AnomThreshold, limit: Int = AnomLimit,
+                dept: Option[String] = None): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val base = o
+      .filter(Tables.inMonth(o("o_orderdate"), m))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(o("o_custkey").as("emp_id"), n("n_name").as("dept"),
+        dec(o("o_totalprice")).as("p"))
+    val data0 = base.groupBy("emp_id", "dept").agg(dbl(sum("p")).as("net"))
+    val data = dept.fold(data0)(d => data0.filter(col("dept") === d))
+    val med = data.groupBy("dept").agg(median(col("net")).as("med"))
+    val dev = data.join(med, "dept").withColumn("absdev", abs(col("net") - col("med")))
+    val mad = dev.groupBy("dept").agg(median(col("absdev")).as("mad"))
+    val z = dev
+      .join(mad, "dept")
+      .withColumn("z",
+        when(coalesce(col("mad"), lit(0.0)) === 0.0, lit(null).cast("double"))
+          .otherwise(round(lit(0.6745) * (col("net") - col("med")) / col("mad"), 6)))
+    val topk = z
+      .orderBy(coalesce(abs(col("z")), lit(0.0)).desc, col("emp_id").asc)
+      .limit(limit)
+    topk
+      .filter(col("z").isNull || abs(col("z")) >= threshold)
+      .select(col("emp_id"), col("dept"), round(col("net"), 2).as("net"),
+        round(col("med"), 2).as("median_net"), round(col("mad"), 2).as("mad"), col("z"))
+      .orderBy(coalesce(abs(col("z")), lit(0.0)).desc, col("emp_id").asc)
+  }
+
+  def anomaliesSql(m: String = M1, threshold: Double = AnomThreshold,
+                   limit: Int = AnomLimit, dept: Option[String] = None): String = {
+    val deptPred = dept.fold("TRUE")(d => s"dept = '$d'")
+    s"""WITH data AS (
+       |  SELECT o.o_custkey AS emp_id, n.n_name AS dept,
+       |         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS net
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  WHERE ${inMonthSql("o.o_orderdate", m)}
+       |  GROUP BY o.o_custkey, n.n_name
+       |),
+       |fdata AS (SELECT * FROM data WHERE $deptPred),
+       |med AS (SELECT dept, percentile_cont(0.5) WITHIN GROUP (ORDER BY net) AS med
+       |        FROM fdata GROUP BY dept),
+       |dev AS (SELECT fdata.*, med.med, ABS(net - med) AS absdev
+       |        FROM fdata JOIN med USING (dept)),
+       |mad AS (SELECT dept, percentile_cont(0.5) WITHIN GROUP (ORDER BY absdev) AS mad
+       |        FROM dev GROUP BY dept),
+       |z AS (SELECT dev.*, mad.mad,
+       |             CASE WHEN COALESCE(mad.mad, 0) = 0 THEN NULL
+       |                  ELSE ROUND(0.6745 * (net - med) / mad.mad, 6) END AS z
+       |      FROM dev JOIN mad USING (dept)),
+       |topk AS (SELECT * FROM z
+       |         ORDER BY COALESCE(ABS(z), 0) DESC, emp_id ASC LIMIT $limit)
+       |SELECT emp_id, dept, ROUND(net, 2) AS net, ROUND(med, 2) AS median_net,
+       |       ROUND(mad, 2) AS mad, z
+       |FROM topk
+       |WHERE z IS NULL OR ABS(z) >= $threshold
+       |ORDER BY COALESCE(ABS(z), 0) DESC, emp_id ASC""".stripMargin
+  }
+}
