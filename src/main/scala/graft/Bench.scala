@@ -1,21 +1,44 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. Two honesty fixes over round 1 (VERDICT §perf):
+  *
+  *   - Action is a `noop`-format write, not `.count()`: `count()` lets
+  *     Catalyst prune every column and collapse the plan to a row count,
+  *     under-measuring scan/join work. The noop sink materializes every
+  *     output row/column through the full physical plan without disk I/O.
+  *   - A warmup pass at sf0.001 runs each plan shape once first, so JIT +
+  *     whole-stage-codegen compilation is not billed to the first query
+  *     (round 1 charged ~7s of warmup to `kpi_delta_company`).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmDir = "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def run(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    // Warmup: same plan shapes, tiny data — compiles codegen + JITs hot paths.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try run(fn(spark, warmDir)) catch { case _: Throwable => () }
+    }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -21,6 +21,9 @@ object SparkEntry {
     "kpi_delta_company" -> ((s, d) => Kpi.deltaCompany(s, d)),
     "kpi_delta_by_dept" -> ((s, d) => Kpi.deltaByDept(s, d)),
     "kpi_anomalies" -> ((s, d) => Kpi.anomalies(s, d)),
+    "kpi_anomalies_dept" -> ((s, d) => Kpi.anomalies(s, d,
+      threshold = Kpi.AnomDeptThreshold, limit = Kpi.AnomDeptLimit,
+      dept = Some(Kpi.AnomDept))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +34,8 @@ object SparkEntry {
     "kpi_delta_company" -> Kpi.deltaCompanySql(),
     "kpi_delta_by_dept" -> Kpi.deltaByDeptSql(),
     "kpi_anomalies" -> Kpi.anomaliesSql(),
+    "kpi_anomalies_dept" -> Kpi.anomaliesSql(
+      threshold = Kpi.AnomDeptThreshold, limit = Kpi.AnomDeptLimit,
+      dept = Some(Kpi.AnomDept)),
   )
 }

@@ -40,7 +40,22 @@ object Tables {
     * `PushedFilters` and prunes row groups via parquet min/max stats — the
     * 100 TB-scale analog of the reference's month index.
     */
-  def inMonth(c: org.apache.spark.sql.Column, m: String): org.apache.spark.sql.Column = {
+  private val MonthRe = "^\\d{4}-(0[1-9]|1[0-2])$".r
+
+  /** Reject malformed month params up front (the reference gets this for
+    * free from `(:m || '-01')::date` raising in Postgres). Also the guard
+    * that keeps [[inMonthSql]] splices injection-safe: a validated yyyy-MM
+    * cannot contain quotes. */
+  def requireMonth(m: String): String = {
+    require(MonthRe.findFirstIn(m).isDefined, s"month must be yyyy-MM, got: $m")
+    m
+  }
+
+  /** Escape a string literal for splicing into oracle SQL. */
+  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  def inMonth(c: org.apache.spark.sql.Column, m0: String): org.apache.spark.sql.Column = {
+    val m = requireMonth(m0)
     val lo = java.sql.Timestamp.valueOf(s"$m-01 00:00:00")
     val hiYm = {
       val Array(y, mo) = m.split("-").map(_.toInt)
@@ -51,7 +66,8 @@ object Tables {
   }
 
   /** Same predicate in DuckDB SQL for the oracle. */
-  def inMonthSql(col: String, m: String): String = {
+  def inMonthSql(col: String, m0: String): String = {
+    val m = requireMonth(m0)
     val Array(y, mo) = m.split("-").map(_.toInt)
     val hiYm = if (mo == 12) f"${y + 1}%04d-01" else f"$y%04d-${mo + 1}%02d"
     s"($col >= TIMESTAMP '$m-01 00:00:00' AND $col < TIMESTAMP '$hiYm-01 00:00:00')"
