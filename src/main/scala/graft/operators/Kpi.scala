@@ -216,6 +216,15 @@ object Kpi {
         dec(o("o_totalprice")).as("p"))
     val data0 = base.groupBy("emp_id", "dept").agg(dbl(sum("p")).as("net"))
     val data = dept.fold(data0)(d => data0.filter(col("dept") === d))
+    anomaliesFrom(data, threshold, limit)
+  }
+
+  /** Core of the anomalies pipeline over a prepared `(emp_id, dept, net)`
+    * frame — split out so the MAD/z semantics (NULL-z passthrough,
+    * post-LIMIT threshold filter) are unit-testable on hand-built fixtures
+    * independent of the star-join readers. */
+  def anomaliesFrom(data: DataFrame, threshold: Double = AnomThreshold,
+                    limit: Int = AnomLimit): DataFrame = {
     val med = data.groupBy("dept").agg(median(col("net")).as("med"))
     val dev = data.join(med, "dept").withColumn("absdev", abs(col("net") - col("med")))
     val mad = dev.groupBy("dept").agg(median(col("absdev")).as("mad"))

@@ -15,8 +15,11 @@ import graft.functions.Num._
   * Spark plans compose without materialization).
   */
 object Tables {
+  // Explicit schema (Schemas.byName) instead of inference: drift fails at
+  // analysis time, and at scale the footer-sampling inference pass is
+  // skipped entirely (reference analog: DDL in src/models.py:4-33).
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.read.schema(Schemas.byName(name)).parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
@@ -25,7 +28,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS); read as raw nanos and convert
+    * to µs TimestampType (matches DuckDB's µs TIMESTAMP — see Schemas). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integral `div`, not `/`: ns epoch values exceed 2^53, double division
+    // would silently lose precision
+    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

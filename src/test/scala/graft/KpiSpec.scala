@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.Kpi
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** SURVEY §5 item 2: the semantics that are easy to "fix" accidentally
+  * (§2.7 bug note, O4 ordering) pinned on hand-computed fixtures, plus the
+  * §5 item 4 algebraic properties and the round-2 plan-shape guarantee. */
+class KpiSpec extends SparkSpec {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  // dept A: nets 10,20,30,100 -> med=25, absdevs 15,5,5,75 -> mad=10
+  //   z = 0.6745*(net-25)/10 -> -1.011750, -0.337250, 0.337250, 5.058750
+  // dept B: nets 7,7,7 -> med=7, mad=0 -> z NULL for all three
+  private def fixture = Seq(
+    (1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0), (4L, "A", 100.0),
+    (5L, "B", 7.0), (6L, "B", 7.0), (7L, "B", 7.0),
+  ).toDF("emp_id", "dept", "net")
+
+  test("anomalies: hand-computed z on fixture (unrounded except 6-dec tie-stabilizer)") {
+    val out = Kpi.anomaliesFrom(fixture, threshold = 0.0, limit = 10)
+      .orderBy("emp_id").collect()
+    val z = out.map(r => Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue))
+    assert(z.toSeq == Seq(Some(-1.01175), Some(-0.33725), Some(0.33725),
+      Some(5.05875), None, None, None))
+    val r4 = out.find(_.getLong(0) == 4L).get
+    assert(r4.getAs[Double]("median_net") == 25.0 && r4.getAs[Double]("mad") == 10.0)
+  }
+
+  test("anomalies: NULL-z rows PASS the threshold filter (reference api.py:260-264)") {
+    // threshold high enough to drop every real z except 5.05875; NULL-z
+    // rows from dept B must still appear (the reference's `z is not None
+    // and abs(z) < threshold` skip condition keeps NULLs)
+    val out = Kpi.anomaliesFrom(fixture, threshold = 2.0, limit = 10).collect()
+    val byNull = out.partition(_.isNullAt(out.head.fieldIndex("z")))
+    assert(byNull._1.length == 3, "3 NULL-z rows kept")
+    assert(byNull._2.map(_.getLong(0)).toSeq == Seq(4L), "only |z|>=2 survives")
+  }
+
+  test("anomalies: threshold filter applies AFTER the limit (O4) — result can shrink below limit") {
+    // limit=2 takes the top-2 by |z| (emp 4: 5.05875, emp 1: 1.01175);
+    // threshold=2.0 then drops emp 1 -> exactly 1 row, NOT backfilled
+    val out = Kpi.anomaliesFrom(fixture, threshold = 2.0, limit = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("delta antisymmetry: delta(m1,m2) = -delta(m2,m1)") {
+    val ab = Kpi.deltaByDept(spark, sf, Kpi.M1, Kpi.M2).orderBy("dept").collect()
+    val ba = Kpi.deltaByDept(spark, sf, Kpi.M2, Kpi.M1).orderBy("dept").collect()
+    assert(ab.length == ba.length && ab.nonEmpty)
+    ab.zip(ba).foreach { case (x, y) =>
+      assert(x.getString(0) == y.getString(0))
+      Seq("gross_delta", "bonus_delta", "overtime_delta", "fot_delta").foreach { c =>
+        assert(x.getAs[Double](c) == -y.getAs[Double](c), c)
+      }
+    }
+  }
+
+  test("summary additivity: company sums = sum of dept sums") {
+    val company = Kpi.summary(spark, sf).head
+    val depts = Kpi.byDept(spark, sf).collect()
+    // both sides aggregate the same DECIMAL(18,4) values then cast; summing
+    // the per-dept doubles reintroduces float ordering, so compare at 1e-6
+    def approx(a: Double, b: Double) = math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(a))
+    assert(approx(company.getAs[Double]("gross"), depts.map(_.getAs[Double]("gross")).sum))
+    assert(approx(company.getAs[Double]("net"), depts.map(_.getAs[Double]("net")).sum))
+    assert(approx(company.getAs[Double]("fot"), depts.map(_.getAs[Double]("fot")).sum))
+    assert(company.getAs[Long]("headcount") == depts.map(_.getAs[Long]("headcount")).sum)
+  }
+
+  test("deltaByDept is single-pass: exactly one lineitem scan in the physical plan") {
+    val plan = Kpi.deltaByDept(spark, sf).queryExecution.executedPlan
+    val exec = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val lineitemScans = exec.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => s
+    }
+    assert(lineitemScans.length == 1,
+      s"expected 1 lineitem scan, got ${lineitemScans.length}")
+  }
+
+  test("month validation rejects malformed input") {
+    intercept[IllegalArgumentException](Kpi.summary(spark, sf, "1997-3"))
+    intercept[IllegalArgumentException](Kpi.byDeptSql("1997-13"))
+  }
+}
