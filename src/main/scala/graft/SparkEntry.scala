@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.Kpi
+import graft.operators.{Etl, Kpi}
+import graft.sources.Catalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,6 +25,17 @@ object SparkEntry {
     "kpi_anomalies_dept" -> ((s, d) => Kpi.anomalies(s, d,
       threshold = Kpi.AnomDeptThreshold, limit = Kpi.AnomDeptLimit,
       dept = Some(Kpi.AnomDept))),
+    // ETL half (SURVEY §2.1/§2.2: S1, S4, S5, P2-P5, J6, A6, A7, A8, O3)
+    // over the checked-in fixture CSVs.
+    "etl_cleanse" -> ((s, _) => Etl.qCleanse(s)),
+    "etl_dedup_employees" -> ((s, _) => Etl.qDedupEmployees(s)),
+    "etl_surrogate_keys" -> ((s, _) => Etl.qSurrogateKeys(s)),
+    "etl_dim_upsert" -> ((s, _) => Etl.qDimUpsert(s)),
+    "etl_employee_upsert" -> ((s, _) => Etl.qEmployeeUpsert(s)),
+    "etl_fact_upsert" -> ((s, _) => Etl.qFactUpsert(s)),
+    "etl_count" -> ((s, _) => Etl.qCount(s)),
+    // S9 catalog introspection
+    "catalog_columns" -> ((s, _) => Catalog.columns(s)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +49,13 @@ object SparkEntry {
     "kpi_anomalies_dept" -> Kpi.anomaliesSql(
       threshold = Kpi.AnomDeptThreshold, limit = Kpi.AnomDeptLimit,
       dept = Some(Kpi.AnomDept)),
+    "etl_cleanse" -> Etl.qCleanseSql,
+    "etl_dedup_employees" -> Etl.qDedupEmployeesSql,
+    "etl_surrogate_keys" -> Etl.qSurrogateKeysSql,
+    "etl_dim_upsert" -> Etl.qDimUpsertSql,
+    "etl_employee_upsert" -> Etl.qEmployeeUpsertSql,
+    "etl_fact_upsert" -> Etl.qFactUpsertSql,
+    "etl_count" -> Etl.qCountSql,
+    "catalog_columns" -> Catalog.columnsSql,
   )
 }

@@ -1,0 +1,270 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Schemas
+
+/** The reference's ETL half (`/root/reference/src/etl.py:1-77`,
+  * `scripts/load_once.py:1-76`) rebuilt Spark-first: CSV scan with a
+  * declared all-string schema (S1), cleansing (P2-P5), keep-first dedup
+  * (A7), deterministic surrogate keys (O3 + the SERIAL analog), dim
+  * insert-if-absent (S4), keyed employee/fact upserts with dim-lookup
+  * join (S5 + J6), and a row-count check (A8).
+  *
+  * The reference's staging tables (`x_dept`/`x_emp`/`x_fact`,
+  * `src/etl.py:20,35,64`) have no counterpart: Spark plans compose lazily,
+  * so "staging" is just an intermediate DataFrame (S3 collapses into the
+  * plan; the materialized write path lives in [[graft.sources.Sinks]]).
+  *
+  * Cleansing follows `scripts/load_once.py:14-21` (the superset variant
+  * per SURVEY §2.2): trim dept; month -> first 7 chars + "-01" parsed
+  * with coerce-to-NULL; 8 numeric columns coerced with garbage -> 0;
+  * currency defaulted to 'BYN' only when the COLUMN is absent.
+  *
+  * One deliberate divergence, documented: rows whose month fails to parse
+  * are dropped at the FACT build (the reference would abort the whole
+  * transaction on the `month DATE NOT NULL` PK — `src/models.py:21,31`;
+  * a dropped bad row is the composable expression of that load-time
+  * rejection, and the cleansed frame still surfaces the NULL for audit).
+  *
+  * Fixtures: two small checked-in CSVs (batch 1 + an update batch) carry
+  * every mess case; `seq` is an explicit ingest-sequence column making
+  * "keep first" deterministic across engines (see [[Merge.keepFirst]]).
+  */
+object Etl {
+  val FixturesDir = "/root/repo/fixtures"
+  val RawCsv = s"$FixturesDir/payroll_raw.csv"
+  val UpdateCsv = s"$FixturesDir/payroll_update.csv"
+
+  val NumericCols: Seq[String] =
+    Seq("gross", "bonus", "overtime", "taxes", "deductions", "net", "fte", "hours_worked")
+  val FactCols: Seq[String] =
+    Seq("emp_id", "month", "gross", "bonus", "overtime", "taxes", "deductions",
+      "net", "fte", "hours_worked", "currency")
+
+  /** S1: raw CSV scan, all-string declared schema (inference owns nothing;
+    * the cleanse stage owns every coercion, like the reference's pandas
+    * read + explicit per-column coercion). */
+  def readRaw(s: SparkSession, path: String): DataFrame =
+    s.read.option("header", "true").schema(Schemas.payrollRaw).csv(path)
+
+  /** P2-P5: the load_once.py:14-21 cleanse. Pure narrow projection — no
+    * shuffle, fully codegen'd, scales linearly. */
+  def cleanse(df: DataFrame): DataFrame = {
+    val withMonth = df
+      .withColumn("dept", trim(col("dept")))
+      .withColumn("month",
+        try_to_timestamp(concat(substring(col("month"), 1, 7), lit("-01")),
+          lit("yyyy-MM-dd")).cast("date"))
+    val withNums = NumericCols.foldLeft(withMonth) { (d, c) =>
+      d.withColumn(c, coalesce(expr(s"try_cast(`$c` AS DOUBLE)"), lit(0.0)))
+    }
+    val withCurrency =
+      if (df.columns.contains("currency")) withNums
+      else withNums.withColumn("currency", lit("BYN"))
+    withCurrency.withColumn("seq", col("seq").cast("int"))
+  }
+
+  /** A7: employee staging — keep-first by ingest sequence per emp_id
+    * (pandas drop_duplicates("emp_id"), etl.py:33). */
+  def employees(clean: DataFrame): DataFrame =
+    Merge.keepFirst(clean, Seq("emp_id"), col("seq"))
+      .select("emp_id", "dept", "job_grade", "location")
+
+  /** A6 + O3 + SERIAL analog: distinct dept names, sorted, numbered. The
+    * window is single-partition BY DESIGN: surrogate keys must be globally
+    * dense and deterministic, and a dim is tiny by definition (the fact
+    * table is what scales; 25 nations / 6 depts fit one partition at any
+    * fact scale). */
+  def dimDept(clean: DataFrame): DataFrame =
+    clean.filter(col("dept").isNotNull)
+      .select(col("dept").as("dept_name")).distinct()
+      .withColumn("dept_id",
+        row_number().over(Window.orderBy("dept_name")).cast("int"))
+      .select("dept_id", "dept_name")
+
+  /** S4: `INSERT … ON CONFLICT (dept_name) DO NOTHING` with SERIAL id
+    * continuation — existing rows keep their ids, new names get
+    * max(existing id) + dense rank over sorted new names. Expressed as one
+    * lazy plan (the 1-row max id cross-joins in, broadcast). */
+  def dimUpsert(existing: DataFrame, incomingClean: DataFrame): DataFrame = {
+    val incomingNames = incomingClean.filter(col("dept").isNotNull)
+      .select(col("dept").as("dept_name")).distinct()
+    val newNames = incomingNames.join(existing, Seq("dept_name"), "left_anti")
+    val maxId = existing.agg(coalesce(max("dept_id"), lit(0)).as("__maxid"))
+    val newRows = newNames.crossJoin(broadcast(maxId))
+      .withColumn("dept_id",
+        (col("__maxid") + row_number().over(Window.orderBy("dept_name"))).cast("int"))
+      .select("dept_id", "dept_name")
+    existing.unionByName(newRows)
+  }
+
+  /** S5 + J6: employee upsert (last-write-wins by emp_id) then surrogate
+    * resolution via the dim-lookup join (`etl.py:36-46`). Inner join like
+    * the reference: an employee whose dept is not in the dim is dropped. */
+  def employeeUpsert(existingEmp: DataFrame, incomingEmp: DataFrame,
+                     dims: DataFrame): DataFrame =
+    Merge.upsert(existingEmp, incomingEmp, Seq("emp_id"))
+      .join(broadcast(dims), col("dept") === col("dept_name"))
+      .select("emp_id", "dept_id", "job_grade", "location")
+
+  /** Fact staging: project fact columns, drop unparseable months (see
+    * divergence note above), dedup by the (emp_id, month) PK keep-first. */
+  def facts(clean: DataFrame): DataFrame =
+    Merge.keepFirst(clean.filter(col("month").isNotNull),
+        Seq("emp_id", "month"), col("seq"))
+      .select(FactCols.map(col): _*)
+
+  /** S5: fact upsert by composite key (emp_id, month), incoming wins
+    * (`etl.py:65-77`). */
+  def factUpsert(existing: DataFrame, incoming: DataFrame): DataFrame =
+    Merge.upsert(existing, incoming, Seq("emp_id", "month"))
+
+  // -------------------------------------------------------------------
+  // Declared queries (driver contract). `dir` is unused — ETL reads the
+  // checked-in fixtures; the oracle reads the same files via read_csv.
+  // -------------------------------------------------------------------
+  def qCleanse(s: SparkSession): DataFrame =
+    cleanse(readRaw(s, RawCsv)).orderBy("seq")
+
+  def qDedupEmployees(s: SparkSession): DataFrame =
+    employees(cleanse(readRaw(s, RawCsv))).orderBy("emp_id")
+
+  def qSurrogateKeys(s: SparkSession): DataFrame =
+    dimDept(cleanse(readRaw(s, RawCsv))).orderBy("dept_id")
+
+  def qDimUpsert(s: SparkSession): DataFrame = {
+    val c1 = cleanse(readRaw(s, RawCsv))
+    val c2 = cleanse(readRaw(s, UpdateCsv))
+    dimUpsert(dimDept(c1), c2).orderBy("dept_id")
+  }
+
+  def qEmployeeUpsert(s: SparkSession): DataFrame = {
+    val c1 = cleanse(readRaw(s, RawCsv))
+    val c2 = cleanse(readRaw(s, UpdateCsv))
+    employeeUpsert(employees(c1), employees(c2), dimUpsert(dimDept(c1), c2))
+      .orderBy("emp_id")
+  }
+
+  def qFactUpsert(s: SparkSession): DataFrame = {
+    val c1 = cleanse(readRaw(s, RawCsv))
+    val c2 = cleanse(readRaw(s, UpdateCsv))
+    factUpsert(facts(c1), facts(c2)).orderBy("emp_id", "month")
+  }
+
+  def qCount(s: SparkSession): DataFrame =
+    qFactUpsert(s).agg(count(lit(1)).as("cnt"))
+
+  // -------------------------------------------------------------------
+  // DuckDB oracles. Each mirrors the semantics above over read_csv on the
+  // same fixture files (all_varchar=true = "raw text in", like the
+  // all-string Spark scan schema).
+  // -------------------------------------------------------------------
+  private def cleanCte(alias: String, path: String): String = {
+    val nums = NumericCols.map(c =>
+      s"COALESCE(TRY_CAST($c AS DOUBLE), 0.0) AS $c").mkString(",\n         ")
+    s"""${alias}_raw AS (SELECT * FROM read_csv('$path', header=true, all_varchar=true)),
+       |$alias AS (
+       |  SELECT emp_id, TRIM(dept) AS dept, job_grade,
+       |         CAST(try_strptime(substr(month, 1, 7) || '-01', '%Y-%m-%d') AS DATE) AS month,
+       |         $nums,
+       |         location, currency, CAST(seq AS INT) AS seq
+       |  FROM ${alias}_raw
+       |)""".stripMargin
+  }
+
+  private def empCte(alias: String, cleanAlias: String): String =
+    s"""$alias AS (
+       |  SELECT emp_id, dept, job_grade, location FROM (
+       |    SELECT emp_id, dept, job_grade, location,
+       |           row_number() OVER (PARTITION BY emp_id ORDER BY seq) AS rn
+       |    FROM $cleanAlias)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
+  private def dimCte(alias: String, cleanAlias: String): String =
+    s"""$alias AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY dept_name) AS INT) AS dept_id, dept_name
+       |  FROM (SELECT DISTINCT dept AS dept_name FROM $cleanAlias WHERE dept IS NOT NULL)
+       |)""".stripMargin
+
+  private def dimUpsertCte(alias: String, existingAlias: String, cleanAlias: String): String =
+    s"""${alias}_new AS (
+       |  SELECT dept_name
+       |  FROM (SELECT DISTINCT dept AS dept_name FROM $cleanAlias WHERE dept IS NOT NULL) i
+       |  WHERE NOT EXISTS (SELECT 1 FROM $existingAlias e WHERE e.dept_name = i.dept_name)
+       |),
+       |$alias AS (
+       |  SELECT dept_id, dept_name FROM $existingAlias
+       |  UNION ALL
+       |  SELECT CAST((SELECT COALESCE(MAX(dept_id), 0) FROM $existingAlias)
+       |         + row_number() OVER (ORDER BY dept_name) AS INT) AS dept_id, dept_name
+       |  FROM ${alias}_new
+       |)""".stripMargin
+
+  private def factCte(alias: String, cleanAlias: String): String =
+    s"""$alias AS (
+       |  SELECT ${FactCols.mkString(", ")} FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY emp_id, month ORDER BY seq) AS rn
+       |    FROM $cleanAlias WHERE month IS NOT NULL)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
+  def qCleanseSql: String =
+    s"""WITH ${cleanCte("clean", RawCsv)}
+       |SELECT * FROM clean ORDER BY seq""".stripMargin
+
+  def qDedupEmployeesSql: String =
+    s"""WITH ${cleanCte("clean", RawCsv)},
+       |${empCte("emp", "clean")}
+       |SELECT * FROM emp ORDER BY emp_id""".stripMargin
+
+  def qSurrogateKeysSql: String =
+    s"""WITH ${cleanCte("clean", RawCsv)},
+       |${dimCte("dims", "clean")}
+       |SELECT * FROM dims ORDER BY dept_id""".stripMargin
+
+  def qDimUpsertSql: String =
+    s"""WITH ${cleanCte("clean1", RawCsv)},
+       |${cleanCte("clean2", UpdateCsv)},
+       |${dimCte("dims1", "clean1")},
+       |${dimUpsertCte("dims", "dims1", "clean2")}
+       |SELECT * FROM dims ORDER BY dept_id""".stripMargin
+
+  def qEmployeeUpsertSql: String =
+    s"""WITH ${cleanCte("clean1", RawCsv)},
+       |${cleanCte("clean2", UpdateCsv)},
+       |${empCte("emp1", "clean1")},
+       |${empCte("emp2", "clean2")},
+       |${dimCte("dims1", "clean1")},
+       |${dimUpsertCte("dims", "dims1", "clean2")},
+       |merged AS (
+       |  SELECT e1.* FROM emp1 e1
+       |  WHERE NOT EXISTS (SELECT 1 FROM emp2 e2 WHERE e2.emp_id = e1.emp_id)
+       |  UNION ALL SELECT * FROM emp2
+       |)
+       |SELECT m.emp_id, d.dept_id, m.job_grade, m.location
+       |FROM merged m JOIN dims d ON d.dept_name = m.dept
+       |ORDER BY emp_id""".stripMargin
+
+  private def factMergedCtes: String =
+    s"""${cleanCte("clean1", RawCsv)},
+       |${cleanCte("clean2", UpdateCsv)},
+       |${factCte("fact1", "clean1")},
+       |${factCte("fact2", "clean2")},
+       |merged AS (
+       |  SELECT f1.* FROM fact1 f1
+       |  WHERE NOT EXISTS (SELECT 1 FROM fact2 f2
+       |                    WHERE f2.emp_id = f1.emp_id AND f2.month = f1.month)
+       |  UNION ALL SELECT * FROM fact2
+       |)""".stripMargin
+
+  def qFactUpsertSql: String =
+    s"""WITH $factMergedCtes
+       |SELECT * FROM merged ORDER BY emp_id, month""".stripMargin
+
+  def qCountSql: String =
+    s"""WITH $factMergedCtes
+       |SELECT COUNT(*) AS cnt FROM merged""".stripMargin
+}

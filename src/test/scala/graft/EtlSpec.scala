@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.{Etl, Merge}
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** SURVEY §5 suites for the ETL half: cleansing rules, keep-first dedup,
+  * upsert idempotence + last-write-wins, surrogate determinism, and the
+  * month-partitioned sink layout. */
+class EtlSpec extends SparkSpec {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private lazy val clean1 = Etl.cleanse(Etl.readRaw(spark, Etl.RawCsv)).cache()
+  private lazy val clean2 = Etl.cleanse(Etl.readRaw(spark, Etl.UpdateCsv)).cache()
+
+  test("cleanse: trim, month truncate+coerce, numeric garbage->0, empty->0") {
+    val rows = clean1.orderBy("seq").collect()
+    assert(rows.map(_.getAs[String]("dept")).take(5).toSeq ==
+      Seq("IT", "IT", "HR", "HR", "Finance"), "dept trimmed")
+    val months = rows.map(r => Option(r.getAs[java.sql.Date]("month")).map(_.toString))
+    assert(months(3).contains("2025-06-01"), "long month truncated to 7 chars then -01")
+    assert(months(5).isEmpty, "garbage month -> NULL (errors=coerce)")
+    val r5 = rows(4) // E003: empty fte, garbage bonus, empty hours_worked
+    assert(r5.getAs[Double]("fte") == 0.0 && r5.getAs[Double]("bonus") == 0.0
+      && r5.getAs[Double]("hours_worked") == 0.0, "coerce+fillna(0)")
+    assert(rows(6).getAs[String]("currency") == null, "present-but-empty currency stays NULL")
+  }
+
+  test("cleanse: currency column defaulted ONLY when absent (load_once.py:20-21)") {
+    val noCur = clean1.drop("currency", "seq").withColumn("seq", lit(1))
+    val out = Etl.cleanse(noCur.select(noCur.columns.map(c => col(c).cast("string")): _*))
+    assert(out.select("currency").distinct().collect().map(_.getString(0)).toSeq == Seq("BYN"))
+  }
+
+  test("keepFirst: composite-key dedup is by ingest sequence, not partition order") {
+    // E005 has two 2025-05 rows (seq 7 IT/currency NULL, seq 8 Logistics);
+    // keep-first must pick seq 7 regardless of a hostile repartition
+    val shuffled = clean1.repartition(7, col("gross"))
+    val kept = Merge.keepFirst(shuffled.filter(col("month").isNotNull),
+      Seq("emp_id", "month"), col("seq"))
+      .filter(col("emp_id") === "E005").collect()
+    assert(kept.length == 1 && kept.head.getAs[Int]("seq") == 7)
+  }
+
+  test("upsert idempotence: load twice == load once (counts AND content)") {
+    val once = Etl.factUpsert(Etl.facts(clean1), Etl.facts(clean2))
+    val twice = Etl.factUpsert(once, Etl.facts(clean2))
+    assert(once.count() == twice.count())
+    assert(once.unionByName(twice).distinct().count() == once.count(),
+      "re-applying the same batch changes nothing")
+    val dims1 = Etl.dimUpsert(Etl.dimDept(clean1), clean2)
+    val dims2 = Etl.dimUpsert(dims1, clean2)
+    assert(dims1.orderBy("dept_id").collect().toSeq == dims2.orderBy("dept_id").collect().toSeq)
+  }
+
+  test("upsert last-write-wins: changed row replaced, unchanged rows kept") {
+    val merged = Etl.factUpsert(Etl.facts(clean1), Etl.facts(clean2))
+    val e002 = merged.filter(col("emp_id") === "E002" && col("month") === "2025-05-01").collect()
+    assert(e002.length == 1 && e002.head.getAs[Double]("gross") == 550.0, "batch2 wins")
+    val e003 = merged.filter(col("emp_id") === "E003").collect()
+    assert(e003.length == 1 && e003.head.getAs[Double]("gross") == 1200.0, "untouched row survives")
+  }
+
+  test("surrogate keys: deterministic across runs and partitionings; SERIAL continuation") {
+    val a = Etl.dimDept(clean1).collect().toSeq
+    val b = Etl.dimDept(clean1.repartition(11)).collect().toSeq
+    assert(a.sortBy(_.getInt(0)) == b.sortBy(_.getInt(0)), "partitioning-independent")
+    val merged = Etl.dimUpsert(Etl.dimDept(clean1), clean2).orderBy("dept_id").collect()
+    assert(merged.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "Finance"), (2, "HR"), (3, "IT"), (4, "Logistics"), (5, "Sales"), (6, "R&D")),
+      "existing ids stable, new dept appended after max id")
+  }
+
+  test("fact build drops unparseable months (PK NOT NULL analog)") {
+    assert(Etl.facts(clean1).filter(col("emp_id") === "E004").count() == 0)
+    assert(clean1.filter(col("emp_id") === "E004").count() == 1, "but cleanse keeps it for audit")
+  }
+
+  test("partitioned sink: month layout + partition-scoped upsert rewrites only touched months") {
+    val dir = Files.createTempDirectory("graft_fact").toString
+    Sinks.writeFactPartitioned(Etl.facts(clean1), dir)
+    val monthDirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(monthDirs.toSeq == Seq("month=2025-05-01", "month=2025-06-01"), monthDirs.mkString(","))
+
+    // incoming touches 2025-05/06/07; 2025-07 is a brand-new partition
+    Sinks.upsertFactPartitions(spark, dir, Etl.facts(clean2), Seq("emp_id", "month"))
+    val after = spark.read.parquet(dir)
+    assert(after.count() == Etl.factUpsert(Etl.facts(clean1), Etl.facts(clean2)).count())
+    val e002 = after.filter(col("emp_id") === "E002" && col("month") === "2025-05-01").collect()
+    assert(e002.length == 1 && e002.head.getAs[Double]("gross") == 550.0, "merge applied in files")
+    val dirs2 = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs2.contains("month=2025-07-01"), "new month partition created")
+  }
+
+  test("cleanse plan is shuffle-free (narrow, codegen'd)") {
+    val plan = Etl.cleanse(Etl.readRaw(spark, Etl.RawCsv)).queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"), "no shuffle in a pure projection")
+  }
+}
