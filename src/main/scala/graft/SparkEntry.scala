@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Etl, Kpi}
+import graft.operators.{Dedup, Etl, Kpi}
 import graft.sources.Catalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -36,6 +36,11 @@ object SparkEntry {
     "etl_count" -> ((s, _) => Etl.qCount(s)),
     // S9 catalog introspection
     "catalog_columns" -> ((s, _) => Catalog.columns(s)),
+    // Training-data dedup family over `documents`
+    "dedup_exact" -> ((s, d) => Dedup.qExact(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.qMinhash(s, d)),
+    "dedup_jaccard" -> ((s, d) => Dedup.qJaccard(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.qSimhash(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,5 +62,9 @@ object SparkEntry {
     "etl_fact_upsert" -> Etl.qFactUpsertSql,
     "etl_count" -> Etl.qCountSql,
     "catalog_columns" -> Catalog.columnsSql,
+    "dedup_exact" -> Dedup.qExactSql,
+    "dedup_minhash" -> Dedup.qMinhashSql,
+    "dedup_jaccard" -> Dedup.qJaccardSql,
+    "dedup_simhash" -> Dedup.qSimhashSql,
   )
 }

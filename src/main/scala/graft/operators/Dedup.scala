@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Document deduplication for training-data pipelines, over the driver's
+  * `documents` table: exact (content hash), MinHash+LSH (near-dup
+  * candidates without all-pairs), n-gram Jaccard verification of the LSH
+  * candidates, and SimHash with chunk-LSH banding.
+  *
+  * Scale design — the one rule everything here obeys: NEVER compare all
+  * pairs. Every pairing step goes through a bucket join (LSH band hash or
+  * SimHash chunk), so candidate generation is a keyed equi-join whose
+  * cost is bounded by bucket occupancy, and every per-doc step is one
+  * groupBy over exploded tokens (single shuffle, map-side combinable).
+  * At 100 TB: shingling is narrow, signatures are one hash-partitioned
+  * aggregate, the band join shuffles only (band, hash) keys, and a skewed
+  * bucket (e.g. boilerplate-heavy corpora) is handled by AQE skew-join
+  * splitting.
+  *
+  * Determinism across engines: hashes are md5 hex strings (identical in
+  * Spark and DuckDB); MinHash "min" is the lexicographic min over hex
+  * strings — any total order over a uniform hash works for MinHash, and
+  * string order is one both engines share exactly.
+  */
+object Dedup {
+  val ShingleK = 3          // word-3-grams
+  val NumHashes = 8         // MinHash signature length
+  val BandRows = 2          // rows per LSH band -> 4 bands
+  val NumBands: Int = NumHashes / BandRows
+  val JaccardThreshold = 0.5
+  val SimhashBits = 60      // 15 hex chars -> fits a signed 64-bit exactly
+  val SimhashChunks = 4     // 15-bit chunks for the hamming-LSH band join
+  val HammingMax = 6
+
+  /** lower + collapse whitespace: the canonical text both engines hash. */
+  def normText(t: Column): Column = trim(regexp_replace(lower(t), "\\s+", " "))
+
+  // -------------------------------------------------------------------
+  // Exact dedup (hash-groupBy)
+  // -------------------------------------------------------------------
+
+  /** One row per distinct normalized content: fingerprint, canonical
+    * (min) doc_id, duplicate count. The canonical exact-dedup shape: keep
+    * `canonical_id`, drop the rest. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  def qExact(s: SparkSession, dir: String): DataFrame =
+    exact(Tables.documents(s, dir)).orderBy("fingerprint")
+
+  def qExactSql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+      |       MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH
+  // -------------------------------------------------------------------
+
+  /** Exploded word-k-shingles per doc: (doc_id, sh). A doc shorter than k
+    * words contributes its whole text as one shingle. Narrow + explode —
+    * no shuffle until the signature aggregate. */
+  def shingles(docs: DataFrame): DataFrame = {
+    val words = split(normText(col("text")), " ")
+    val shArr = when(size(words) >= ShingleK,
+        transform(sequence(lit(0), size(words) - ShingleK),
+          i => concat_ws(" ", slice(words, i + lit(1), lit(ShingleK)))))
+      .otherwise(array(normText(col("text"))))
+    docs.select(col("doc_id"), explode(shArr).as("sh"))
+  }
+
+  /** MinHash signature: NumHashes seeded md5 mins in ONE groupBy (single
+    * shuffle, partial-aggregatable). */
+  def minhashSignature(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"s$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band, band_hash): signature rows hashed per band. */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until NumBands).map { b =>
+      md5(concat((0 until BandRows).map(r => col(s"s${b * BandRows + r}")): _*))
+    }
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bh")
+  }
+
+  /** Candidate pairs: equi-join on (band, band_hash), doc_a < doc_b,
+    * distinct. This is the step that replaces all-pairs — cost is bounded
+    * by per-bucket occupancy, never |docs|². */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.toDF("doc_a", "band", "bh")
+    val b = bands.toDF("doc_b", "band", "bh")
+    a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  def qMinhash(s: SparkSession, dir: String): DataFrame =
+    lshCandidates(lshBands(minhashSignature(shingles(Tables.documents(s, dir)))))
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared oracle CTEs through LSH candidate pairs. */
+  private def minhashCtes: String = {
+    val sigs = (0 until NumHashes).map(i =>
+      s"MIN(md5('$i:' || sh)) AS s$i").mkString(",\n         ")
+    val bandArms = (0 until NumBands).map { b =>
+      val parts = (0 until BandRows).map(r => s"s${b * BandRows + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |       FROM documents),
+       |w AS (SELECT doc_id, string_split(t, ' ') AS ws, t FROM d),
+       |shx AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(ws) >= $ShingleK
+       |         THEN list_transform(range(1, len(ws) - $ShingleK + 2),
+       |                             i -> array_to_string(ws[i:i+${ShingleK - 1}], ' '))
+       |         ELSE [t] END) AS sh
+       |  FROM w),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $sigs
+       |  FROM shx GROUP BY doc_id),
+       |bands AS (
+       |  $bandArms),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  def qMinhashSql: String =
+    s"""WITH $minhashCtes
+       |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // n-gram Jaccard verification of LSH candidates
+  // -------------------------------------------------------------------
+
+  /** Exact shingle-set Jaccard for each LSH candidate pair, keeping pairs
+    * >= threshold. Fully relational (distinct-token join + counts), so the
+    * verification cost is |candidates| × shingle overlap, not |docs|². */
+  def jaccardOverCandidates(docs: DataFrame): DataFrame = {
+    val tok = shingles(docs).distinct()
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = lshCandidates(lshBands(minhashSignature(shingles(docs))))
+    val inter = pairs
+      .join(tok.toDF("doc_a", "sh"), "doc_a")
+      .join(tok.toDF("doc_b", "sh2"), "doc_b")
+      .filter(col("sh") === col("sh2"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def qJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardOverCandidates(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+
+  def qJaccardSql: String =
+    s"""WITH $minhashCtes,
+       |tok AS (SELECT DISTINCT doc_id, sh FROM shx),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+       |  FROM pairs p
+       |  JOIN tok ta ON ta.doc_id = p.doc_a
+       |  JOIN tok tb ON tb.doc_id = p.doc_b AND tb.sh = ta.sh
+       |  GROUP BY p.doc_a, p.doc_b)
+       |SELECT i.doc_a, i.doc_b,
+       |       CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // SimHash (60-bit) + chunk-LSH hamming candidates
+  // -------------------------------------------------------------------
+
+  /** Per-token 60-bit hash: top 15 hex chars of md5, as a long. Identical
+    * in DuckDB via CAST('0x' || substr(md5(tok),1,15) AS BIGINT). */
+  private def tokenHash: Column =
+    conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+
+  /** SimHash fingerprints: one groupBy with 60 conditional-sum arms (one
+    * shuffle; the arms are codegen'd bit tests, not UDFs). Bit b of the
+    * fingerprint is set iff more distinct tokens have bit b set than not.
+    *
+    * Tokens are word-k-SHINGLES, not single words: word-level simhash is
+    * order-insensitive, so corpora with a shared vocabulary (any narrow
+    * domain) collapse to near-identical fingerprints — measured on the
+    * testdata corpus, word-level gave 487 hamming-0 pairs of UNRELATED
+    * docs. Shingles make the fingerprint order-sensitive. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = shingles(docs).withColumnRenamed("sh", "tok")
+      .distinct()
+      .withColumn("h", tokenHash)
+    val arms = (0 until SimhashBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b"))
+    val counts = tok.groupBy("doc_id").agg(arms.head, arms.tail: _*)
+    val fp = (0 until SimhashBits).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    counts.select(col("doc_id"), fp.as("fp"))
+  }
+
+  /** Hamming-near pairs: band on 15-bit fingerprint chunks (two docs within
+    * hamming distance < chunks must share >= 1 chunk — pigeonhole), then
+    * exact popcount filter on the xor. */
+  def simhashCandidates(fps: DataFrame): DataFrame = {
+    val chunkSize = SimhashBits / SimhashChunks
+    val chunks = fps.select(col("doc_id"), col("fp"), posexplode(array(
+      (0 until SimhashChunks).map(c =>
+        shiftright(col("fp"), c * chunkSize).bitwiseAND(lit((1L << chunkSize) - 1))): _*)))
+      .toDF("doc_id", "fp", "chunk", "cv")
+    val a = chunks.toDF("doc_a", "fp_a", "chunk", "cv")
+    val b = chunks.toDF("doc_b", "fp_b", "chunk", "cv")
+    a.join(b, Seq("chunk", "cv")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+  }
+
+  def qSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashCandidates(simhash(Tables.documents(s, dir))).orderBy("doc_a", "doc_b")
+
+  def qSimhashSql: String = {
+    val chunkSize = SimhashBits / SimhashChunks
+    val arms = (0 until SimhashBits).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n         ")
+    val fpExpr = (0 until SimhashBits).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    val chunkArms = (0 until SimhashChunks).map(c =>
+      s"SELECT doc_id, fp, $c AS chunk, (fp >> ${c * chunkSize}) & ${(1L << chunkSize) - 1} AS cv FROM fps")
+      .mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |       FROM documents),
+       |w AS (SELECT doc_id, string_split(t, ' ') AS ws, t FROM d),
+       |shx AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(ws) >= $ShingleK
+       |         THEN list_transform(range(1, len(ws) - $ShingleK + 2),
+       |                             i -> array_to_string(ws[i:i+${ShingleK - 1}], ' '))
+       |         ELSE [t] END) AS sh
+       |  FROM w),
+       |tok AS (SELECT DISTINCT doc_id, sh AS tok FROM shx),
+       |th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+       |counts AS (
+       |  SELECT doc_id,
+       |         $arms
+       |  FROM th GROUP BY doc_id),
+       |fps AS (SELECT doc_id, $fpExpr AS fp FROM counts),
+       |chunks AS (
+       |  $chunkArms),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         bit_count(xor(a.fp, b.fp)) AS hamming
+       |  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

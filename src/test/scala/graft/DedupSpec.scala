@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup semantics on planted fixtures: exact dups collapse, near-dups
+  * surface as LSH candidates and survive Jaccard verification, unrelated
+  * docs do not pair. */
+class DedupSpec extends SparkSpec {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+  private val nearDup = // one word changed
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm rug near the door"
+  private val unrelated =
+    "completely different content about spark shuffles partitions and broadcast joins at scale"
+
+  private def docs = Seq(
+    (1L, base), (2L, base.toUpperCase), // exact after normalization
+    (3L, nearDup),
+    (4L, unrelated),
+  ).toDF("doc_id", "text")
+
+  test("exact: case/whitespace-normalized duplicates collapse to one fingerprint") {
+    val out = Dedup.exact(docs).collect()
+    val dupGroup = out.filter(_.getAs[Long]("n_dups") > 1)
+    assert(dupGroup.length == 1)
+    assert(dupGroup.head.getAs[Long]("canonical_id") == 1L, "min doc_id is canonical")
+    assert(out.map(_.getAs[Long]("n_dups")).sum == 4)
+  }
+
+  test("minhash-LSH: near-dup pair is a candidate; unrelated doc pairs with nothing") {
+    val pairs = Dedup.lshCandidates(Dedup.lshBands(
+      Dedup.minhashSignature(Dedup.shingles(docs))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup is trivially a candidate")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), "near-dup found")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc never pairs")
+  }
+
+  test("jaccard verification: near-dup scores high, and score is exact set-Jaccard") {
+    val out = Dedup.jaccardOverCandidates(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(out((1L, 2L)) == 1.0, "normalized-identical docs have jaccard 1")
+    // base vs nearDup: 20 words -> 18 shingles each (all distinct); the one
+    // changed word sits in 3 shingles -> |A∩B| = 15, |A∪B| = 18+18-15 = 21
+    assert(out((1L, 3L)) == 15.0 / 21.0, s"hand-computed jaccard, got ${out((1L, 3L))}")
+  }
+
+  test("simhash: near-dup within hamming threshold, unrelated far away") {
+    // SimHash needs realistic document length to be stable (a 3-shingle
+    // change in a 20-word doc flips ~10+ bits; in a 60+-word doc, a
+    // handful). Fixture mirrors the real corpus' ~50-word scale.
+    val longBase = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango uniform victor " +
+      "whiskey xray yankee zulu one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen red orange yellow green blue indigo " +
+      "violet black white gray silver gold copper bronze iron"
+    val longDocs = Seq(
+      (1L, longBase),
+      (2L, longBase), // exact dup
+      (3L, longBase.replace("quebec", "quibec")), // one-word near-dup
+      (4L, "totally different words about query engines shuffles caches and " +
+        "columnar storage formats for big data processing at warehouse scale today"),
+    ).toDF("doc_id", "text")
+    val fps = Dedup.simhash(longDocs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L), "identical docs -> identical fingerprint")
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) <= Dedup.HammingMax, "near-dup close")
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(4L)) > Dedup.HammingMax, "unrelated far")
+    val cands = Dedup.simhashCandidates(Dedup.simhash(longDocs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 3L)) && !cands.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("LSH candidate generation is bounded: pair count << all-pairs on real corpus") {
+    val docs500 = graft.sources.Tables.documents(spark, sf)
+    val n = docs500.count()
+    val candidates = Dedup.qMinhash(spark, sf).count()
+    assert(candidates < n * 2, s"candidates ($candidates) must stay near-linear, not O(n²)")
+  }
+}
