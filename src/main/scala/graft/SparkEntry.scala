@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Dedup, Etl, Kpi}
+import graft.operators.{Dedup, Etl, Kpi, Similarity}
 import graft.sources.Catalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -41,6 +41,9 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.qMinhash(s, d)),
     "dedup_jaccard" -> ((s, d) => Dedup.qJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.qSimhash(s, d)),
+    // Similarity search over `embeddings`
+    "similar_topk" -> ((s, d) => Similarity.qTopK(s, d)),
+    "similar_ann_ivf" -> ((s, d) => Similarity.qIvf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,5 +69,7 @@ object SparkEntry {
     "dedup_minhash" -> Dedup.qMinhashSql,
     "dedup_jaccard" -> Dedup.qJaccardSql,
     "dedup_simhash" -> Dedup.qSimhashSql,
+    "similar_topk" -> Similarity.qTopKSql,
+    "similar_ann_ivf" -> Similarity.qIvfSql,
   )
 }

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (64-dim unit-norm float
+  * vectors): brute-force cosine top-k as the exact baseline, and an
+  * IVF-style approximate variant (label = coarse cluster) as the scale
+  * path.
+  *
+  * Cross-engine determinism: float math is order-dependent, so every dot
+  * product is computed over INTEGERIZED components — `round(x · 1e7)` as
+  * a 64-bit int — making dot products and squared norms EXACT integers
+  * (order-independent under any partitioning; 64 · (1e7)² = 6.4e15 fits
+  * both int64 and an exact double). The only floating steps are a final
+  * sqrt/divide on exact inputs, which IEEE pins bit-identically in both
+  * engines. Centroid sums use DECIMAL(38,0): component sums square to
+  * ~1e21 at scale, past int64.
+  *
+  * Scale design: brute force is one broadcast of the probe set against a
+  * linear scan (zip_with/aggregate are codegen'd array ops — no explode,
+  * no shuffle per pair), then a per-probe top-k window. The IVF variant
+  * prunes the scan to nprobe clusters: the centroid table is |clusters|
+  * rows (broadcast), and with the table written `partitionBy(label)` the
+  * candidate read prunes at the directory level — at 100 TB the probe
+  * touches nprobe/|clusters| of the data instead of all of it.
+  */
+object Similarity {
+  val Scale = 10000000L // 1e7: float -> exact int
+  val TopK = 10
+  val ProbeIds: Seq[Long] = Seq(0L, 1L, 2L)
+  /** Fixed IVF codebook: these vectors are the coarse centroids. */
+  val SeedIds: Seq[Long] = (10L until 20L)
+  val NProbe = 3
+
+  /** Integerized embedding: exact, order-independent arithmetic base. */
+  def intVec(c: Column): Column =
+    transform(c, x => round(x * lit(Scale.toDouble)).cast("long"))
+
+  /** Exact integer dot product — codegen'd array fold, no explode. */
+  def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /** embeddings + integer vector + exact norm. */
+  def prepared(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("ie", intVec(col("embedding")))
+      .withColumn("nrm", sqrt(dotL(col("ie"), col("ie")).cast("double")))
+      .select("vec_id", "label", "ie", "nrm")
+
+  private def rankWindow = Window.partitionBy("probe_id")
+    .orderBy(col("cosine").desc, col("vec_id").asc)
+
+  /** Brute-force cosine top-k for each probe: broadcast probes × linear
+    * candidate scan, per-probe top-k (window keeps only k per partition). */
+  def bruteForceTopK(s: SparkSession, dir: String, probeIds: Seq[Long] = ProbeIds,
+                     k: Int = TopK): DataFrame = {
+    val vecs = prepared(s, dir)
+    val probes = vecs.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("ie").as("pe"), col("nrm").as("pn"))
+    vecs.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        dotL(col("pe"), col("ie")).cast("double") / (col("pn") * col("nrm")))
+      .withColumn("rank", row_number().over(rankWindow))
+      .filter(col("rank") <= k)
+      .select("probe_id", "vec_id", "cosine", "rank")
+  }
+
+  def qTopK(s: SparkSession, dir: String): DataFrame =
+    bruteForceTopK(s, dir).orderBy("probe_id", "rank")
+
+  /** IVF-style ANN with a fixed seed codebook: vectors [[SeedIds]] act as
+    * the coarse centroids, every vector is assigned to its argmax-cosine
+    * seed (one k-means assignment pass — training-free IVF), and a probe
+    * searches only its top-`nprobe` clusters.
+    *
+    * Why not the `label` column: measured on the testdata, labels are NOT
+    * proximity clusters (a probe's true top-10 spans 7+ labels), so
+    * label-IVF degrades to random partition pruning. A seed codebook gives
+    * data-driven, proximity-coherent cells while staying deterministic and
+    * oracle-expressible. At 100 TB the codebook comes from a real k-means
+    * and the table is written bucketed/partitioned by cluster id, so the
+    * nprobe search prunes at the file-layout level; the query shape below
+    * (broadcast codebook -> assignment -> pruned keyed join) is unchanged.
+    */
+  def ivfTopK(s: SparkSession, dir: String, probeIds: Seq[Long] = ProbeIds,
+              k: Int = TopK, nprobe: Int = NProbe): DataFrame = {
+    val vecs = prepared(s, dir)
+    val seeds = vecs.filter(col("vec_id").isin(SeedIds: _*))
+      .select(col("vec_id").as("cluster"), col("ie").as("se"), col("nrm").as("sn"))
+    // assignment: argmax cosine over the broadcast codebook (ties -> lowest
+    // cluster id); |data| × |codebook| exact-int dots, fully map-side
+    def clusterScores(in: DataFrame): DataFrame = in
+      .crossJoin(broadcast(seeds))
+      .withColumn("ccos",
+        dotL(col("ie"), col("se")).cast("double") / (col("nrm") * col("sn")))
+    val assigned = clusterScores(vecs)
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster").asc)))
+      .filter(col("arank") === 1)
+      .select("vec_id", "cluster")
+    val members = vecs.join(assigned, "vec_id")
+    // probes rank the same codebook but keep nprobe cells
+    val probeCells = clusterScores(vecs.filter(col("vec_id").isin(probeIds: _*)))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster").asc)))
+      .filter(col("arank") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("cluster"))
+    val probes = vecs.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("ie").as("pe"), col("nrm").as("pn"))
+    probeCells.join(probes, "probe_id")
+      .join(members, "cluster")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        dotL(col("pe"), col("ie")).cast("double") / (col("pn") * col("nrm")))
+      .withColumn("rank", row_number().over(rankWindow))
+      .filter(col("rank") <= k)
+      .select("probe_id", "vec_id", "cosine", "rank")
+  }
+
+  def qIvf(s: SparkSession, dir: String): DataFrame =
+    ivfTopK(s, dir).orderBy("probe_id", "rank")
+
+  // -------------------------------------------------------------------
+  // DuckDB oracles
+  // -------------------------------------------------------------------
+  private def probeList = ProbeIds.mkString(", ")
+
+  private def ivCte: String =
+    s"""iv AS (
+       |  SELECT vec_id, label,
+       |         -- CAST to DOUBLE first: DuckDB would otherwise multiply in
+       |         -- single-precision FLOAT and round a different value than
+       |         -- Spark's float->double widened math
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS ie
+       |  FROM embeddings),
+       |ivn AS (
+       |  SELECT vec_id, label, ie,
+       |         sqrt(CAST(CAST(list_sum(list_transform(ie, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+       |  FROM iv),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, ie AS pe, nrm AS pn
+       |  FROM ivn WHERE vec_id IN ($probeList))""".stripMargin
+
+  def qTopKSql: String =
+    s"""WITH $ivCte,
+       |scored AS (
+       |  SELECT p.probe_id, c.vec_id,
+       |         CAST(CAST(list_sum(list_transform(list_zip(p.pe, c.ie), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+       |           / (p.pn * c.nrm) AS cosine
+       |  FROM probes p, ivn c WHERE c.vec_id <> p.probe_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, vec_id, cosine, rank FROM ranked
+       |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+
+  def qIvfSql: String = {
+    val seedList = SeedIds.mkString(", ")
+    s"""WITH $ivCte,
+       |seeds AS (
+       |  SELECT vec_id AS cluster, ie AS se, nrm AS sn FROM ivn WHERE vec_id IN ($seedList)),
+       |scoresAll AS (
+       |  SELECT v.vec_id, s.cluster,
+       |         CAST(CAST(list_sum(list_transform(list_zip(v.ie, s.se), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+       |           / (v.nrm * s.sn) AS ccos
+       |  FROM ivn v, seeds s),
+       |assigned AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY ccos DESC, cluster ASC) AS arank
+       |    FROM scoresAll)
+       |  WHERE arank = 1),
+       |probecells AS (
+       |  SELECT vec_id AS probe_id, cluster FROM (
+       |    SELECT vec_id, cluster, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY ccos DESC, cluster ASC) AS arank
+       |    FROM scoresAll WHERE vec_id IN ($probeList))
+       |  WHERE arank <= $NProbe),
+       |scored AS (
+       |  SELECT p.probe_id, c.vec_id,
+       |         CAST(CAST(list_sum(list_transform(list_zip(p.pe, c.ie), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+       |           / (p.pn * c.nrm) AS cosine
+       |  FROM probecells pc
+       |  JOIN probes p ON p.probe_id = pc.probe_id
+       |  JOIN assigned a ON a.cluster = pc.cluster
+       |  JOIN ivn c ON c.vec_id = a.vec_id
+       |  WHERE c.vec_id <> p.probe_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, vec_id, cosine, rank FROM ranked
+       |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+  }
+}
