@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Dedup, Etl, Kpi, Similarity}
+import graft.operators.{Dedup, Etl, Kpi, Similarity, Text}
 import graft.sources.Catalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -44,6 +44,10 @@ object SparkEntry {
     // Similarity search over `embeddings`
     "similar_topk" -> ((s, d) => Similarity.qTopK(s, d)),
     "similar_ann_ivf" -> ((s, d) => Similarity.qIvf(s, d)),
+    // Text analysis over `documents`
+    "text_stats" -> ((s, d) => Text.qStats(s, d)),
+    "text_langid" -> ((s, d) => Text.qLangId(s, d)),
+    "text_fingerprint" -> ((s, d) => Text.qFingerprint(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,5 +75,8 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.qSimhashSql,
     "similar_topk" -> Similarity.qTopKSql,
     "similar_ann_ivf" -> Similarity.qIvfSql,
+    "text_stats" -> Text.qStatsSql,
+    "text_langid" -> Text.qLangIdSql,
+    "text_fingerprint" -> Text.qFingerprintSql,
   )
 }

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * per-doc statistics + quality score, stopword-profile language scoring,
+  * and content fingerprinting. Every operator is a narrow per-row
+  * projection (no shuffle, fully codegen'd — at 100 TB these run at scan
+  * speed), and every expression has an exactly-equivalent DuckDB form so
+  * the whole module is oracle-gated.
+  *
+  * Honesty note on language-ID: the synthetic corpus draws ALL languages
+  * from one shared English-ish vocabulary (verified: de/fr/es/zh docs
+  * contain the same words as en), so content-based identification cannot
+  * recover the `lang` column here. The operator ships the real machinery —
+  * per-language stopword-profile hit ratios + deterministic argmax — with
+  * profiles that would be trained/curated on a real corpus at scale.
+  */
+object Text {
+  /** Tiny per-language function-word profiles (curated, deterministic). */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "de"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "en"),
+  )
+  /** BPE-ish pre-tokenizer: letter runs | digit runs | single symbol.
+    * Same semantics in Java regex and RE2. */
+  val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  private def norm(t: Column): Column = trim(regexp_replace(lower(t), "\\s+", " "))
+  private def words(t: Column): Column = split(norm(t), " ")
+
+  private def hitCount(ws: Column, profile: Seq[String]): Column =
+    size(filter(ws, w => w.isin(profile: _*)))
+
+  /** Per-doc statistics + a bounded [0,1] quality score (the standard
+    * length/stopword/punctuation gates used for corpus filtering). */
+  def stats(docs: DataFrame): DataFrame = {
+    val t = norm(col("text"))
+    val ws = words(col("text"))
+    docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(ws).cast("long").as("n_words"),
+        size(regexp_extract_all(t, lit(TokenPattern), lit(0))).cast("long").as("n_tokens"),
+        (length(regexp_replace(t, "[^ ]", "")) + lit(1)).cast("long").as("n_spaces_p1"),
+        length(regexp_replace(t, "[^.,;:!?]", "")).cast("long").as("n_punct"),
+        hitCount(ws, Profiles.head._2).cast("long").as("n_stop"))
+      .withColumn("avg_word_len",
+        (col("n_chars") - col("n_spaces_p1") + lit(1)).cast("double") / col("n_words"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+      .withColumn("quality",
+        when(col("n_words").between(20, 1000), 0.4).otherwise(0.0)
+          + when(col("stop_ratio") >= 0.01, 0.3).otherwise(0.0)
+          + when(col("punct_ratio") <= 0.1, 0.3).otherwise(0.0))
+      .drop("n_spaces_p1")
+  }
+
+  def qStats(s: SparkSession, dir: String): DataFrame =
+    stats(Tables.documents(s, dir)).orderBy("doc_id")
+
+  def qStatsSql: String = {
+    val stopList = Profiles.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+       |         CAST(len(regexp_extract_all(t, '$TokenPattern')) AS BIGINT) AS n_tokens,
+       |         CAST(length(regexp_replace(t, '[^ ]', '', 'g')) AS BIGINT) AS n_spaces,
+       |         CAST(length(regexp_replace(t, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+       |         CAST(len(list_filter(string_split(t, ' '), w -> w IN ($stopList))) AS BIGINT) AS n_stop
+       |  FROM d)
+       |SELECT doc_id, n_chars, n_words, n_tokens, n_punct, n_stop,
+       |       CAST(n_chars - n_spaces AS DOUBLE) / n_words AS avg_word_len,
+       |       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+       |       CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+       |       (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END
+       |        + CASE WHEN CAST(n_stop AS DOUBLE) / n_words >= 0.01 THEN 0.3 ELSE 0.0 END
+       |        + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars <= 0.1 THEN 0.3 ELSE 0.0 END) AS quality
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  /** Stopword-profile language scores + deterministic argmax (ties break
+    * in profile declaration order). */
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val scored = docs.select(
+      col("doc_id") +: size(ws).as("n") +:
+        Profiles.map { case (lang, prof) =>
+          hitCount(ws, prof).cast("double").as(s"hits_$lang")
+        }: _*)
+    val withScores = Profiles.foldLeft(scored) { case (d, (lang, _)) =>
+      d.withColumn(s"score_$lang", col(s"hits_$lang") / col("n"))
+    }
+    // argmax with declaration-order tie-break: first profile in the CASE
+    // chain whose score equals the max wins
+    val maxScore = greatest(Profiles.map { case (l, _) => col(s"score_$l") }: _*)
+    val predicted = Profiles.foldRight(lit(null).cast("string")) { case ((lang, _), acc) =>
+      when(col(s"score_$lang") === maxScore, lang).otherwise(acc)
+    }
+    withScores
+      .withColumn("predicted", predicted)
+      .select(col("doc_id") +:
+        Profiles.map { case (l, _) => col(s"score_$l") } :+ col("predicted"): _*)
+  }
+
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    langId(Tables.documents(s, dir)).orderBy("doc_id")
+
+  def qLangIdSql: String = {
+    val hitCols = Profiles.map { case (lang, prof) =>
+      val list = prof.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(ws, w -> w IN ($list))) AS DOUBLE) / len(ws) AS score_$lang"
+    }.mkString(",\n         ")
+    val maxExpr = "GREATEST(" + Profiles.map(p => s"score_${p._1}").mkString(", ") + ")"
+    val caseChain = Profiles.map { case (lang, _) =>
+      s"WHEN score_$lang = $maxExpr THEN '$lang'"
+    }.mkString("\n         ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id,
+       |         $hitCols
+       |  FROM d)
+       |SELECT doc_id, ${Profiles.map(p => s"score_${p._1}").mkString(", ")},
+       |       CASE $caseChain END AS predicted
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprints: md5 of normalized text (exact identity) plus a
+    * 60-bit integer fingerprint (the join-key-friendly form) and a prefix
+    * anchor (cheap locality probe — docs sharing a long prefix are
+    * near-dup suspects before any pairwise work). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val t = norm(col("text"))
+    docs.select(
+      col("doc_id"),
+      md5(t).as("fp_md5"),
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long").as("fp64"),
+      md5(substring(t, 1, 64)).as("fp_prefix"))
+  }
+
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    fingerprint(Tables.documents(s, dir)).orderBy("doc_id")
+
+  def qFingerprintSql: String =
+    """SELECT doc_id,
+      |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+      |       CAST('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15) AS BIGINT) AS fp64,
+      |       md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 64)) AS fp_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Text
+
+class TextSpec extends SparkSpec {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  test("stats: hand-computed counts on a fixture") {
+    // "the cat, sat!" -> norm "the cat, sat!"; 3 words; punct , and !;
+    // tokens: the|cat|,|sat|! = 5; stopword hits: "the" = 1
+    val df = Seq((1L, "The  cat, sat!")).toDF("doc_id", "text")
+    val r = Text.stats(df).head
+    assert(r.getAs[Long]("n_words") == 3)
+    assert(r.getAs[Long]("n_tokens") == 5)
+    assert(r.getAs[Long]("n_punct") == 2)
+    assert(r.getAs[Long]("n_stop") == 1)
+    assert(r.getAs[Double]("stop_ratio") == 1.0 / 3.0)
+    // quality: n_words<20 -> 0; stop_ratio .33>=0.01 -> +0.3; punct_ratio
+    // 2/14 > 0.1 -> 0  => 0.3
+    assert(r.getAs[Double]("quality") == 0.3)
+  }
+
+  test("langid: profile argmax with declaration-order tie-break") {
+    val df = Seq(
+      (1L, "der und ist das some words here"),   // de profile hits
+      (2L, "le la et est some words here"),      // fr
+      (3L, "xyz abc nothing matches anything")). // all scores 0 -> tie -> en
+      toDF("doc_id", "text")
+    val out = Text.langId(df).collect().map(r => r.getLong(0) -> r.getAs[String]("predicted")).toMap
+    assert(out(1L) == "de" && out(2L) == "fr")
+    assert(out(3L) == "en", "all-zero tie breaks to first declared profile")
+  }
+
+  test("fingerprint: normalization-invariant identity, 60-bit form consistent") {
+    val df = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val out = Text.fingerprint(df).collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == out(2L), "case/whitespace-insensitive")
+    assert(out(1L) != out(3L))
+    assert(java.lang.Long.toHexString(out(1L)._2) == out(1L)._1.take(15).dropWhile(_ == '0'),
+      "fp64 is the first 15 hex chars of fp_md5")
+  }
+}
