@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Dedup, Etl, Kpi, Similarity, Text}
+import graft.operators.{Dedup, Etl, Events, Kpi, Similarity, Text}
 import graft.sources.Catalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -48,6 +48,10 @@ object SparkEntry {
     "text_stats" -> ((s, d) => Text.qStats(s, d)),
     "text_langid" -> ((s, d) => Text.qLangId(s, d)),
     "text_fingerprint" -> ((s, d) => Text.qFingerprint(s, d)),
+    // Event-time windows + sessionization over `events`
+    "events_window" -> ((s, d) => Events.qTumbling(s, d)),
+    "events_window_sliding" -> ((s, d) => Events.qSliding(s, d)),
+    "events_sessions" -> ((s, d) => Events.qSessions(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,5 +82,8 @@ object SparkEntry {
     "text_stats" -> Text.qStatsSql,
     "text_langid" -> Text.qLangIdSql,
     "text_fingerprint" -> Text.qFingerprintSql,
+    "events_window" -> Events.qTumblingSql,
+    "events_window_sliding" -> Events.qSlidingSql,
+    "events_sessions" -> Events.qSessionsSql,
   )
 }

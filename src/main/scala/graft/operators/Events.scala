@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Num.{dbl, dec}
+import graft.sources.Tables
+
+/** Time-series operators over the `events` table: tumbling and sliding
+  * event-time windows and gaps-and-islands sessionization. The window
+  * transforms are the SAME functions the streaming path uses
+  * ([[graft.streaming.Streams]] — Spark's unified batch/stream API), so
+  * the DuckDB oracle gates the streaming semantics too (for closed
+  * windows; the streaming test pins batch≡stream equivalence).
+  *
+  * Determinism: event `value` sums are done in DECIMAL(18,4) (exact,
+  * order-independent — double sums would vary with partitioning);
+  * event-time gaps compare epoch MICROSECONDS as integers (interval
+  * arithmetic differs subtly across engines; integer µs do not).
+  */
+object Events {
+  val SessionGapMin = 30L
+
+  /** Tumbling 1-hour windows per event_type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), dbl(col("sv")).as("sum_value"))
+
+  def qTumbling(s: SparkSession, dir: String): DataFrame =
+    tumbling(Tables.events(s, dir)).orderBy("w_start", "event_type")
+
+  def qTumblingSql: String =
+    """SELECT date_trunc('hour', ts) AS w_start, event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  /** Sliding 2-hour windows advancing hourly, per event_type: each event
+    * lands in exactly two windows. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), dbl(col("sv")).as("sum_value"))
+
+  def qSliding(s: SparkSession, dir: String): DataFrame =
+    sliding(Tables.events(s, dir)).orderBy("w_start", "event_type")
+
+  def qSlidingSql: String =
+    """WITH expanded AS (
+      |  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start,
+      |         event_type, value
+      |  FROM events)
+      |SELECT w_start, event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM expanded
+      |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  /** Batch sessionization: classic gaps-and-islands — a new session starts
+    * after a > 30 min silence per user. Single shuffle on user_id; both
+    * window functions reuse the same partitioning. The streaming
+    * equivalent ([[graft.streaming.Streams.sessionize]]) holds the open
+    * session in keyed state instead of looking backward. */
+  def sessions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = SessionGapMin * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"), dbl(sum(dec(col("value")))).as("sum_value"))
+  }
+
+  def qSessions(s: SparkSession, dir: String): DataFrame =
+    sessions(Tables.events(s, dir)).orderBy("user_id", "sid")
+
+  def qSessionsSql: String = {
+    val gapUs = SessionGapMin * 60L * 1000000L
+    s"""WITH lagd AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |  FROM events),
+       |flags AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > $gapUs
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM lagd),
+       |sess AS (
+       |  SELECT *, CAST(SUM(new_sess) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS INT) AS sid
+       |  FROM flags)
+       |SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |       COUNT(*) AS n_events,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+  }
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.Num.{dbl, dec}
+
+/** Structured Streaming surface (SURVEY §7.4 extension): the same
+  * event-stream semantics as [[graft.operators.Events]], expressed for an
+  * unbounded source — watermarked windowed aggregation and keyed stateful
+  * sessionization via `flatMapGroupsWithState`.
+  *
+  * Design: the windowed transform is literally the batch one plus a
+  * watermark — Spark's unified API means the DuckDB-gated batch query and
+  * the streaming query share the aggregation code, and `StreamingSpec`
+  * pins stream≡batch equivalence through a MemoryStream.
+  *
+  * Scale notes: state is keyed (user_id / window × type), so it shards
+  * across executors with the shuffle; the watermark bounds state size
+  * (windows older than the watermark are finalized and evicted). Session
+  * state is one small case class per OPEN session, evicted on event-time
+  * timeout = gap, so state is O(active users), not O(events).
+  */
+object Streams {
+  val WatermarkDelay = "2 hours"
+  val SessionGapMs: Long = graft.operators.Events.SessionGapMin * 60L * 1000L
+
+  /** Watermarked hourly tumbling counts/sums per event_type. On a batch
+    * DataFrame the watermark is a no-op and this equals
+    * `Events.tumbling`; on a stream it emits finalized windows. */
+  def hourlyWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), dbl(col("sv")).as("sum_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, end: Long, n: Int, sum: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Keyed stateful sessionization: the open session per user lives in
+    * GroupState; a session closes (and is emitted) when the event-time
+    * watermark passes its end + gap. The streaming dual of the batch
+    * gaps-and-islands in `Events.sessions`. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n.toLong))
+          } else {
+            // fold sorted events into the open session; gaps close it
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= SessionGapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n.toLong)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + SessionGapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Convenience: run the hourly-window stream from a file source —
+    * the deployment shape (`readStream` → transform → `writeStream`). */
+  def fileStreamQuery(s: SparkSession, dir: String, checkpoint: String,
+                      outPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = s.readStream
+      .schema(graft.sources.Schemas.events)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    hourlyWindows(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .start(outPath)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Events
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Structured Streaming semantics: stream ≡ batch for the shared windowed
+  * transform, and stateful sessionization emits exactly the closed
+  * sessions the batch gaps-and-islands would. */
+class StreamingSpec extends SparkSpec {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("streaming hourly windows (complete mode) == batch tumbling aggregation") {
+    val events = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .collect().toSeq
+    val stream = MemoryStream[Event](spark)
+    val q = Streams.hourlyWindows(stream.toDF())
+      .writeStream.format("memory").queryName("win_complete")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      stream.addData(events.take(500))
+      q.processAllAvailable()
+      stream.addData(events.drop(500))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM win_complete")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = Events.tumbling(graft.sources.Tables.events(spark, sf)
+          .select("event_id", "ts", "user_id", "event_type", "value"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want, s"stream produced ${got.size} windows, batch ${want.size}")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: gap closes a session, timeout emits it") {
+    val stream = MemoryStream[Event](spark)
+    val q = Streams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart (one session), then one 50 min in
+      // (> 30 min gap -> second session)
+      stream.addData(
+        Event(1, ts(0), 1L, "click", 1.0),
+        Event(2, ts(10), 1L, "view", 2.0),
+        Event(3, ts(50), 1L, "click", 3.0))
+      q.processAllAvailable()
+      // user 2 far in the future: advances the watermark hours past both
+      // user-1 sessions' (end + gap), forcing their timeouts
+      stream.addData(Event(4, ts(600), 2L, "view", 4.0))
+      q.processAllAvailable()
+      stream.addData(Event(5, ts(610), 2L, "view", 5.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM sessions").as[Session].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+      assert(got.contains((1L, ts(0), ts(10), 2L)), s"first session closed+emitted, got $got")
+      assert(got.contains((1L, ts(50), ts(50), 1L)), s"singleton second session, got $got")
+      assert(!got.exists(_._1 == 2L), "user 2's session still open (watermark short of it)")
+    } finally q.stop()
+  }
+
+  test("batch sessionization agrees with stateful semantics on the fixture") {
+    val batch = Events.sessions(Seq(
+      (1L, ts(0), 1L, "click", 1.0), (2L, ts(10), 1L, "view", 2.0),
+      (3L, ts(50), 1L, "click", 3.0), (4L, ts(600), 2L, "view", 4.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
+    assert(batch == Set(
+      (1L, ts(0), ts(10), 2L), (1L, ts(50), ts(50), 1L), (2L, ts(600), ts(600), 1L)))
+  }
+
+  test("deployment shape: readStream -> windows -> parquet sink starts and stops clean") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val q = Streams.fileStreamQuery(spark, sf, s"$tmp/ckpt", s"$tmp/out")
+    try q.processAllAvailable() finally q.stop()
+    assert(new java.io.File(s"$tmp/ckpt").exists, "checkpoint dir created")
+  }
+}
