@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Dedup, Etl, Events, Kpi, Similarity, Text}
+import graft.operators.{Dedup, Etl, Events, Kpi, Multimodal, Similarity, Text}
 import graft.sources.Catalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -52,6 +52,8 @@ object SparkEntry {
     "events_window" -> ((s, d) => Events.qTumbling(s, d)),
     "events_window_sliding" -> ((s, d) => Events.qSliding(s, d)),
     "events_sessions" -> ((s, d) => Events.qSessions(s, d)),
+    // Multimodal binary columns (decode kernels stubbed; plumbing real)
+    "media_meta" -> ((s, d) => Multimodal.qMediaMeta(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +87,6 @@ object SparkEntry {
     "events_window" -> Events.qTumblingSql,
     "events_window_sliding" -> Events.qSlidingSql,
     "events_sessions" -> Events.qSessionsSql,
+    "media_meta" -> Multimodal.qMediaMetaSql,
   )
 }

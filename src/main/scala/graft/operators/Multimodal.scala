@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing for training-data pipelines: media as an
+  * opaque `binary` column + typed metadata struct, with decode /
+  * feature-extract / frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the DECODE KERNELS ARE
+  * DETERMINISTIC FAKES (clearly marked below) — but everything Spark-side
+  * is real and tested: the schema shape, the binary column flow, byte
+  * slicing, per-partition batch processing (the Scala analog of
+  * `mapInPandas`: one decoder instance per partition, rows streamed
+  * through it), and partitioning preservation.
+  *
+  * Scale notes: media blobs ride the same columnar files as their
+  * metadata; the metadata struct lets filters prune (`kind = 'image' AND
+  * meta.width > 512`) BEFORE any blob bytes are read (Parquet reads the
+  * projected columns only). The mapPartitions decode path holds one
+  * codec/model per partition — the standard shape for batched GPU/library
+  * inference — and never collects to the driver.
+  */
+object Multimodal {
+  val FrameCount = 4
+
+  /** Synthesize a media table from `documents` (deterministic: content =
+    * UTF-8 bytes of the text, kind round-robins by id). In production this
+    * is the ingest table of real blobs; the schema is the contract. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("content"))
+
+  /** FAKE decode (no codecs in container): derives metadata
+    * deterministically from the content hash — the real implementation
+    * parses the container format here. Pure column expressions: runs in
+    * whole-stage codegen, no UDF. */
+  def decodeMeta(media: DataFrame): DataFrame =
+    media
+      .withColumn("__h", md5(col("content")))
+      .withColumn("meta", struct(
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("int") % 3840 + 128).as("width"),
+        (conv(substring(col("__h"), 5, 4), 16, 10).cast("int") % 2160 + 96).as("height"),
+        (length(col("content")) * 8).cast("long").as("bit_size"),
+        (conv(substring(col("__h"), 9, 4), 16, 10).cast("int") % 60000).as("duration_ms")))
+      .drop("__h")
+
+  /** Frame sampling: FrameCount evenly-spaced byte slices of the blob —
+    * the real implementation seeks to keyframes; the slicing plumbing
+    * (offset arithmetic on binary columns, array-of-binary output) is the
+    * part that must survive at scale, and is real. */
+  def frameSample(media: DataFrame, frames: Int = FrameCount): DataFrame = {
+    val n = length(col("content"))
+    val frameLen = greatest(n / frames, lit(1))
+    val slices = sequence(lit(0), lit(frames - 1)).cast("array<int>")
+    media.withColumn("frames",
+      transform(slices, i => expr("content").substr(i * frameLen + 1, frameLen)))
+  }
+
+  /** Per-frame features: length + crc32 fingerprint per slice (stand-in
+    * for an embedding/classifier output), as an array of structs. */
+  def frameFeatures(withFrames: DataFrame): DataFrame =
+    withFrames.withColumn("frame_features",
+      transform(col("frames"), f => struct(
+        length(f).as("n_bytes"), crc32(f).as("fingerprint"))))
+
+  // ---------------------------------------------------------------
+  // The mapPartitions batch path: Scala analog of mapInPandas. One
+  // "decoder" per partition, rows streamed through in batches.
+  // ---------------------------------------------------------------
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+  case class DecodedRow(media_id: Long, kind: String, width: Int, height: Int,
+                        bit_size: Long, duration_ms: Int)
+
+  /** FAKE per-partition decoder: instantiated ONCE per partition (the
+    * expensive-codec-init pattern), then streamed. Must agree with
+    * [[decodeMeta]] — pinned by MultimodalSpec. */
+  def decodePartitioned(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // expensive init happens here, once per partition, off the driver
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        digest.reset()
+        val h = digest.digest(r.content).map("%02x".format(_)).mkString
+        DecodedRow(r.media_id, r.kind,
+          (java.lang.Long.parseLong(h.substring(0, 4), 16) % 3840 + 128).toInt,
+          (java.lang.Long.parseLong(h.substring(4, 8), 16) % 2160 + 96).toInt,
+          r.content.length.toLong * 8,
+          (java.lang.Long.parseLong(h.substring(8, 12), 16) % 60000).toInt)
+      }
+    }
+  }
+
+  /** Oracle-checked query: media identity + size + content hash + decoded
+    * dims (DuckDB md5 is VARCHAR-only, so the oracle hashes the text while
+    * Spark hashes its UTF-8 bytes — the same bytes). */
+  def qMediaMeta(s: SparkSession, dir: String): DataFrame =
+    decodeMeta(mediaTable(s, dir)).select(
+      col("media_id"), col("kind"),
+      length(col("content")).cast("long").as("n_bytes"),
+      md5(col("content")).as("content_md5"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      col("meta.duration_ms").as("duration_ms"))
+      .orderBy("media_id")
+
+  def qMediaMetaSql: String =
+    """SELECT doc_id AS media_id,
+      |       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       md5(text) AS content_md5,
+      |       CAST(CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 3840 + 128 AS INT) AS width,
+      |       CAST(CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 2160 + 96 AS INT) AS height,
+      |       CAST(CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) % 60000 AS INT) AS duration_ms
+      |FROM documents ORDER BY media_id""".stripMargin
+}

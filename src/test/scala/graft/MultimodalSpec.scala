@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRow
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private lazy val media = Multimodal.mediaTable(spark, sf)
+
+  test("media table: binary content, kinds round-robin, bytes == utf8 length") {
+    val r = media.orderBy("media_id").limit(3).collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("image", "audio", "video"))
+    assert(r.head.getAs[Array[Byte]]("content").nonEmpty)
+  }
+
+  test("expression decode and mapPartitions decode agree exactly") {
+    val viaExpr = Multimodal.decodeMeta(media)
+      .select(col("media_id"), col("meta.width"), col("meta.height"),
+        col("meta.bit_size"), col("meta.duration_ms"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+      .sortBy(_._1)
+    val viaPart = Multimodal.decodePartitioned(media.as[MediaRow].repartition(7))
+      .collect().map(d => (d.media_id, d.width, d.height, d.bit_size, d.duration_ms))
+      .sortBy(_._1)
+    assert(viaExpr.toSeq == viaPart.toSeq,
+      "codegen expression path and per-partition batch path must produce identical decodes")
+  }
+
+  test("frame sampling: N frames, correct sizes, reassembly prefix-matches content") {
+    val out = Multimodal.frameSample(media).orderBy("media_id").limit(1).head
+    val content = out.getAs[Array[Byte]]("content")
+    val frames = out.getSeq[Array[Byte]](out.fieldIndex("frames"))
+    assert(frames.length == Multimodal.FrameCount)
+    val frameLen = math.max(content.length / Multimodal.FrameCount, 1)
+    assert(frames.forall(_.length == frameLen))
+    assert(frames.flatten.toSeq == content.take(frameLen * Multimodal.FrameCount).toSeq,
+      "concatenated frames == evenly-sliced content prefix")
+  }
+
+  test("frame features: one struct per frame with byte count + fingerprint") {
+    val out = Multimodal.frameFeatures(Multimodal.frameSample(media))
+      .select(col("media_id"), col("frame_features")).orderBy("media_id").limit(1).head
+    val feats = out.getSeq[org.apache.spark.sql.Row](1)
+    assert(feats.length == Multimodal.FrameCount)
+    assert(feats.forall(f => f.getInt(0) > 0))
+    assert(feats.map(_.getLong(1)).distinct.length > 1, "fingerprints differ across frames")
+  }
+
+  test("metadata pruning: filter on meta fields reads no blob bytes (column pruning)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_media").toString
+    Multimodal.decodeMeta(media).write.mode("overwrite").parquet(tmp)
+    val q = spark.read.parquet(tmp)
+      .filter(col("kind") === "image" && col("meta.width") > 512)
+      .select("media_id", "meta.width")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scan.contains("content"), s"blob column must be pruned from the scan:\n$scan")
+  }
+}
