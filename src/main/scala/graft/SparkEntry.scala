@@ -54,6 +54,10 @@ object SparkEntry {
     "events_sessions" -> ((s, d) => Events.qSessions(s, d)),
     // Multimodal binary columns (decode kernels stubbed; plumbing real)
     "media_meta" -> ((s, d) => Multimodal.qMediaMeta(s, d)),
+    // HLL sketch next to exact distinct — no oracle (sketches are
+    // engine-specific); driver records the weaker rows-only check and
+    // KpiSpec bounds the relative error.
+    "kpi_headcount_approx" -> ((s, d) => Kpi.headcountApprox(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

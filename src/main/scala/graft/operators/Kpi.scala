@@ -44,6 +44,30 @@ object Kpi {
       .withColumn("avg_net_per_fte", ratio(col("net"), col("fte")))
   }
 
+  /** P17: the reference 404s when the month has no data (`api.py:39-40`
+    * checks `gross IS NULL`). Caller-side guard, not an engine operator:
+    * None ⇔ HTTP 404. */
+  def summaryOpt(s: SparkSession, dir: String, m: String = M1): Option[org.apache.spark.sql.Row] = {
+    val row = summary(s, dir, m).head()
+    if (row.isNullAt(row.fieldIndex("gross"))) None else Some(row)
+  }
+
+  /** Approximate-distinct variant (SURVEY §7.1 step 8): HyperLogLog++
+    * headcount next to the exact one, with the observed relative error.
+    * At 100 TB the exact two-phase distinct is a full shuffle of all
+    * emp_ids; the HLL sketch is a constant-size mergeable state — this
+    * query documents the accuracy trade. No DuckDB oracle (sketch values
+    * are engine-specific); gated by the rows-only check + KpiSpec's
+    * relative-error bound. */
+  def headcountApprox(s: SparkSession, dir: String, m: String = M1): DataFrame = {
+    val f = Tables.fact(s, dir, Seq(m))
+    f.agg(
+        countDistinct("emp_id").as("exact"),
+        approx_count_distinct("emp_id", 0.02).as("approx"))
+      .withColumn("rel_err",
+        abs(col("approx") - col("exact")).cast("double") / col("exact"))
+  }
+
   def summarySql(m: String = M1): String =
     s"""WITH ${factSql(inMonthSql("o.o_orderdate", m))},
        |agg AS (

@@ -88,4 +88,16 @@ class KpiSpec extends SparkSpec {
     intercept[IllegalArgumentException](Kpi.summary(spark, sf, "1997-3"))
     intercept[IllegalArgumentException](Kpi.byDeptSql("1997-13"))
   }
+
+  test("P17 empty-month guard: Some for a populated month, None for an empty one") {
+    assert(Kpi.summaryOpt(spark, sf, Kpi.M1).isDefined)
+    assert(Kpi.summaryOpt(spark, sf, "2099-01").isEmpty)
+  }
+
+  test("approx headcount: HLL within its configured relative error of exact") {
+    val r = Kpi.headcountApprox(spark, sf).head
+    assert(r.getAs[Long]("exact") > 0)
+    assert(r.getAs[Double]("rel_err") <= 0.05,
+      s"approx=${r.getAs[Long]("approx")} exact=${r.getAs[Long]("exact")}")
+  }
 }
