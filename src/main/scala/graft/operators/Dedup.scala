@@ -78,9 +78,8 @@ object Dedup {
     *    the rebalance is a cheap pre-explosion shuffle of the small side).
     */
   def shingles(docs: DataFrame): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val in = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    val w = in.select(col("doc_id"), split(normText(col("text")), " ").as("__w"))
+    val w = Tables.balanced(docs)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("__w"))
     val wc = col("__w")
     val shArr = when(size(wc) >= ShingleK,
         transform(sequence(lit(0), size(wc) - ShingleK),

@@ -45,7 +45,7 @@ object Similarity {
 
   /** embeddings + integer vector + exact norm. */
   def prepared(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    Tables.balanced(Tables.embeddings(s, dir))
       .withColumn("ie", intVec(col("embedding")))
       .withColumn("nrm", sqrt(dotL(col("ie"), col("ie")).cast("double")))
       .select("vec_id", "label", "ie", "nrm")

@@ -61,7 +61,7 @@ object Text {
   }
 
   def qStats(s: SparkSession, dir: String): DataFrame =
-    stats(Tables.documents(s, dir)).orderBy("doc_id")
+    stats(Tables.balanced(Tables.documents(s, dir))).orderBy("doc_id")
 
   def qStatsSql: String = {
     val stopList = Profiles.head._2.map(w => s"'$w'").mkString(", ")
@@ -112,7 +112,7 @@ object Text {
   }
 
   def qLangId(s: SparkSession, dir: String): DataFrame =
-    langId(Tables.documents(s, dir)).orderBy("doc_id")
+    langId(Tables.balanced(Tables.documents(s, dir))).orderBy("doc_id")
 
   def qLangIdSql: String = {
     val hitCols = Profiles.map { case (lang, prof) =>

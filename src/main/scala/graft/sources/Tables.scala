@@ -39,6 +39,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Rebalance a compact input to the session's parallelism — ONLY when
+    * the scan produced fewer splits than cores (small/single-file
+    * inputs), where one task would otherwise own an entire downstream
+    * pipeline. At real scale the scan is already multi-split and this is
+    * an identity (no shuffle added). Measured: the sf0.1 documents file
+    * is ONE split; per-row-heavy pipelines over it ran 3-12× slower
+    * single-tasked. */
+  def balanced(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Predicate for "order falls in month m" (m = "yyyy-MM") expressed as a
     * raw range on `o_orderdate` so it PUSHES DOWN to the parquet scan.
     *
