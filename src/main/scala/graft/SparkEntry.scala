@@ -58,6 +58,9 @@ object SparkEntry {
     // engine-specific); driver records the weaker rows-only check and
     // KpiSpec bounds the relative error.
     "kpi_headcount_approx" -> ((s, d) => Kpi.headcountApprox(s, d)),
+    // Same anomalies semantics via the spillable sort-based exact median
+    // (SURVEY §7.2 scale path) — same oracle, different physical plan.
+    "kpi_anomalies_at_scale" -> ((s, d) => Kpi.anomalies(s, d, scalableMedian = true)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,5 +95,6 @@ object SparkEntry {
     "events_window_sliding" -> Events.qSlidingSql,
     "events_sessions" -> Events.qSessionsSql,
     "media_meta" -> Multimodal.qMediaMetaSql,
+    "kpi_anomalies_at_scale" -> Kpi.anomaliesSql(),
   )
 }

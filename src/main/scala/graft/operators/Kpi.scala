@@ -228,7 +228,8 @@ object Kpi {
   // -------------------------------------------------------------------
   def anomalies(s: SparkSession, dir: String, m: String = M1,
                 threshold: Double = AnomThreshold, limit: Int = AnomLimit,
-                dept: Option[String] = None): DataFrame = {
+                dept: Option[String] = None,
+                scalableMedian: Boolean = false): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
@@ -240,7 +241,7 @@ object Kpi {
         dec(o("o_totalprice")).as("p"))
     val data0 = base.groupBy("emp_id", "dept").agg(dbl(sum("p")).as("net"))
     val data = dept.fold(data0)(d => data0.filter(col("dept") === d))
-    anomaliesFrom(data, threshold, limit)
+    anomaliesFrom(data, threshold, limit, scalableMedian)
   }
 
   /** Core of the anomalies pipeline over a prepared `(emp_id, dept, net)`
@@ -248,10 +249,18 @@ object Kpi {
     * post-LIMIT threshold filter) are unit-testable on hand-built fixtures
     * independent of the star-join readers. */
   def anomaliesFrom(data: DataFrame, threshold: Double = AnomThreshold,
-                    limit: Int = AnomLimit): DataFrame = {
-    val med = data.groupBy("dept").agg(median(col("net")).as("med"))
+                    limit: Int = AnomLimit, scalableMedian: Boolean = false): DataFrame = {
+    // Two exact-median strategies, same numbers (ScalableMedianSpec pins
+    // equality): the built-in ObjectHashAggregate `median` buffers each
+    // group in memory — right for bounded groups (25 depts); the
+    // sort-based order-statistics variant spills — right when a group
+    // can be arbitrarily large (SURVEY §7.2 hard part).
+    def med1(df: DataFrame, c: String, alias: String): DataFrame =
+      if (scalableMedian) graft.functions.ScalableMedian.median(df, Seq("dept"), c, alias)
+      else df.groupBy("dept").agg(median(col(c)).as(alias))
+    val med = med1(data, "net", "med")
     val dev = data.join(med, "dept").withColumn("absdev", abs(col("net") - col("med")))
-    val mad = dev.groupBy("dept").agg(median(col("absdev")).as("mad"))
+    val mad = med1(dev, "absdev", "mad")
     val z = dev
       .join(mad, "dept")
       .withColumn("z",

@@ -88,6 +88,17 @@ object Streams {
       }
   }
 
+  /** Streaming exact-dedup: drop re-deliveries of the same event_id where
+    * the duplicate arrives within the watermark of the original — the
+    * streaming face of the dedup family (state = one entry per key seen
+    * within the watermark horizon, evicted as the watermark passes; at
+    * scale the state shards with the key shuffle and stays bounded by
+    * event-rate × watermark, not by stream length). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Convenience: run the hourly-window stream from a file source —
     * the deployment shape (`readStream` → transform → `writeStream`). */
   def fileStreamQuery(s: SparkSession, dir: String, checkpoint: String,

@@ -75,6 +75,24 @@ class StreamingSpec extends SparkSpec {
       (1L, ts(0), ts(10), 2L), (1L, ts(50), ts(50), 1L), (2L, ts(600), ts(600), 1L)))
   }
 
+  test("streaming dedup: re-delivered event_ids within the watermark are dropped") {
+    val stream = MemoryStream[Event](spark)
+    val q = Streams.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(
+        Event(1, ts(0), 1L, "click", 1.0),
+        Event(1, ts(1), 1L, "click", 1.0), // same id, same batch
+        Event(2, ts(2), 1L, "view", 2.0))
+      q.processAllAvailable()
+      stream.addData(Event(1, ts(3), 1L, "click", 1.0)) // re-delivery, later batch
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_stream").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L), s"duplicates dropped, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("deployment shape: readStream -> windows -> parquet sink starts and stops clean") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val q = Streams.fileStreamQuery(spark, sf, s"$tmp/ckpt", s"$tmp/out")
