@@ -41,6 +41,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.qMinhash(s, d)),
     "dedup_jaccard" -> ((s, d) => Dedup.qJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.qSimhash(s, d)),
+    "dedup_embed" -> ((s, d) => Dedup.qEmbed(s, d)),
     // Similarity search over `embeddings`
     "similar_topk" -> ((s, d) => Similarity.qTopK(s, d)),
     "similar_ann_ivf" -> ((s, d) => Similarity.qIvf(s, d)),
@@ -86,6 +87,7 @@ object SparkEntry {
     "dedup_minhash" -> Dedup.qMinhashSql,
     "dedup_jaccard" -> Dedup.qJaccardSql,
     "dedup_simhash" -> Dedup.qSimhashSql,
+    "dedup_embed" -> Dedup.qEmbedSql,
     "similar_topk" -> Similarity.qTopKSql,
     "similar_ann_ivf" -> Similarity.qIvfSql,
     "text_stats" -> Text.qStatsSql,

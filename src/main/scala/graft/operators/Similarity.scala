@@ -39,16 +39,28 @@ object Similarity {
   def intVec(c: Column): Column =
     transform(c, x => round(x * lit(Scale.toDouble)).cast("long"))
 
-  /** Exact integer dot product — codegen'd array fold, no explode. */
+  /** Exact integer dot product — higher-order-function form. Correct but
+    * interpreted: Spark's HOFs are `CodegenFallback`, so this is the slow
+    * path, kept as the fallback for sessions without [[graft.plans.GraftExtensions]]. */
   def dotL(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
 
+  /** Exact integer dot product — native codegen'd expression when the
+    * session registered it (identical values either way; VectorExprsSpec
+    * pins the equivalence). The per-row kernel of every scan below. */
+  def dot(s: SparkSession)(a: Column, b: Column): Column =
+    if (s.catalog.functionExists(graft.plans.GraftExtensions.DotLongName))
+      call_function(graft.plans.GraftExtensions.DotLongName, a, b)
+    else dotL(a, b)
+
   /** embeddings + integer vector + exact norm. */
-  def prepared(s: SparkSession, dir: String): DataFrame =
+  def prepared(s: SparkSession, dir: String): DataFrame = {
+    val d = dot(s) _
     Tables.balanced(Tables.embeddings(s, dir))
       .withColumn("ie", intVec(col("embedding")))
-      .withColumn("nrm", sqrt(dotL(col("ie"), col("ie")).cast("double")))
+      .withColumn("nrm", sqrt(d(col("ie"), col("ie")).cast("double")))
       .select("vec_id", "label", "ie", "nrm")
+  }
 
   private def rankWindow = Window.partitionBy("probe_id")
     .orderBy(col("cosine").desc, col("vec_id").asc)
@@ -63,7 +75,7 @@ object Similarity {
     vecs.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine",
-        dotL(col("pe"), col("ie")).cast("double") / (col("pn") * col("nrm")))
+        dot(s)(col("pe"), col("ie")).cast("double") / (col("pn") * col("nrm")))
       .withColumn("rank", row_number().over(rankWindow))
       .filter(col("rank") <= k)
       .select("probe_id", "vec_id", "cosine", "rank")
@@ -96,7 +108,7 @@ object Similarity {
     def clusterScores(in: DataFrame): DataFrame = in
       .crossJoin(broadcast(seeds))
       .withColumn("ccos",
-        dotL(col("ie"), col("se")).cast("double") / (col("nrm") * col("sn")))
+        dot(s)(col("ie"), col("se")).cast("double") / (col("nrm") * col("sn")))
     val assigned = clusterScores(vecs)
       .withColumn("arank", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster").asc)))
@@ -115,7 +127,7 @@ object Similarity {
       .join(members, "cluster")
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine",
-        dotL(col("pe"), col("ie")).cast("double") / (col("pn") * col("nrm")))
+        dot(s)(col("pe"), col("ie")).cast("double") / (col("pn") * col("nrm")))
       .withColumn("rank", row_number().over(rankWindow))
       .filter(col("rank") <= k)
       .select("probe_id", "vec_id", "cosine", "rank")

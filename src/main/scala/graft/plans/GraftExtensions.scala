@@ -1,0 +1,30 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSessionExtensions, SparkSessionExtensionsProvider}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotLong
+
+/** Engine extension point, registered the public way:
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  *
+  * Injects the native expressions into the session's function registry so
+  * operators reach them via `call_function` — no private Spark API, and
+  * SQL users get them for free (`SELECT graft_dot_long(a, b)`). Operators
+  * fall back to the equivalent higher-order-function form when a session
+  * was built without the extension (see `Similarity.dot`), so correctness
+  * never depends on registration — only the hot-path speed does.
+  */
+class GraftExtensions extends SparkSessionExtensionsProvider {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftExtensions.install(ext)
+}
+
+object GraftExtensions {
+  val DotLongName = "graft_dot_long"
+
+  def install(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(DotLongName),
+      new ExpressionInfo(classOf[DotLong].getName, DotLongName),
+      (args: Seq[Expression]) => DotLong(args(0), args(1))))
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Dedup semantics on planted fixtures: exact dups collapse, near-dups
@@ -79,5 +79,31 @@ class DedupSpec extends SparkSpec {
     val n = docs500.count()
     val candidates = Dedup.qMinhash(spark, sf).count()
     assert(candidates < n * 2, s"candidates ($candidates) must stay near-linear, not O(n²)")
+  }
+
+  test("embedding near-dup: planted high-cosine pair found, far pairs pruned by verify") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val near = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val far = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val vecs = Seq((1L, base.toSeq), (2L, near.toSeq), (3L, far.toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("ie", Similarity.intVec(col("embedding")))
+      .withColumn("nrm", sqrt(Similarity.dotL(col("ie"), col("ie")).cast("double")))
+    val cands = Dedup.embedCandidates(spark, vecs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), s"cos≈0.999 pair must share a band, got $cands")
+    val dups = Dedup.embedNearDup(spark, vecs, threshold = 0.95)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == Set((1L, 2L)), s"only the planted pair survives verify, got $dups")
+  }
+
+  test("embedding LSH prunes: candidate pairs well under all-pairs on real vectors") {
+    val vecs = Similarity.prepared(spark, sf)
+    val n = vecs.count()
+    val allPairs = n * (n - 1) / 2
+    val candidates = Dedup.embedCandidates(spark, vecs).count()
+    assert(candidates < allPairs / 4,
+      s"banding must prune ($candidates of $allPairs pairs)")
   }
 }
