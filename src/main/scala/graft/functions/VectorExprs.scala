@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Exact integer dot product of two `array<long>` columns as a native
@@ -68,4 +68,79 @@ case class DotLong(left: Expression, right: Expression) extends BinaryExpression
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotLong =
     copy(left = newLeft, right = newRight)
+}
+
+/** Sign-random-projection LSH band values of an integerized embedding, in
+  * one codegen'd pass: bit b of the signature is `sign(v · matrix(b))`,
+  * and consecutive groups of `bandBits` bits pack (MSB-first) into one
+  * band value — `matrix.length / bandBits` longs out.
+  *
+  * The composed form (`transform` over a matrix literal with a dot + an
+  * `aggregate` bit-pack) is interpreted end-to-end (HOFs are
+  * CodegenFallback) and re-dispatches a lambda per hyperplane row. Here
+  * the matrix is a JVM `long[]` reference object and the whole signature
+  * is two nested primitive loops inside the stage — the map-side cost of
+  * embedding near-dup at corpus scale lives exactly here.
+  *
+  * The matrix rides along as a constructor constant (not a child
+  * expression): it is engine configuration, fixed per deployment, which
+  * keeps the SQL surface a plain one-argument function
+  * (`graft_sign_bands(ie)`).
+  */
+case class SignBands(child: Expression, matrix: Seq[Seq[Long]], bandBits: Int)
+    extends UnaryExpression {
+
+  private val nBits = matrix.length
+  private val dim = matrix.head.length
+  private val nBands = nBits / bandBits
+  @transient private lazy val flat: Array[Long] = matrix.flatten.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument, got ${dt.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sign_bands"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBits) {
+      var s = 0L
+      var j = 0
+      while (j < n) { s += flat(b * dim + j) * v.getLong(j); j += 1 }
+      out(b / bandBits) = (out(b / bandBits) << 1) | (if (s >= 0) 1L else 0L)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("signMatrix", flat, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($dim, $v.numElements());
+         |final long[] $out = new long[$nBands];
+         |for (int $b = 0; $b < $nBits; $b++) {
+         |  long $s = 0L;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $s += $matRef[$b * $dim + $j] * $v.getLong($j);
+         |  }
+         |  $out[$b / $bandBits] = ($out[$b / $bandBits] << 1) | ($s >= 0L ? 1L : 0L);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBands =
+    copy(child = newChild)
 }

@@ -332,14 +332,28 @@ object Dedup {
     * band self-join. Input is `Similarity.prepared` shape
     * (vec_id, ie, nrm). */
   def embedBands(s: SparkSession, vecs: DataFrame): DataFrame = {
+    val banded =
+      if (s.catalog.functionExists(graft.plans.GraftExtensions.SignBandsName))
+        vecs.withColumn("bands",
+          call_function(graft.plans.GraftExtensions.SignBandsName, col("ie")))
+      else hofBands(s, vecs)
+    banded.select(col("vec_id"), posexplode(col("bands"))).toDF("vec_id", "k", "bv")
+  }
+
+  /** The composed (interpreted) form of [[graft.functions.SignBands]]:
+    * per-hyperplane dot → sign bit (projected ONCE — no CSE inside HOF
+    * lambdas), then MSB-first bit-pack per band. Fallback for sessions
+    * without GraftExtensions; DedupSpec pins its equality with the
+    * native expression. */
+  def hofBands(s: SparkSession, vecs: DataFrame): DataFrame = {
     val d = Similarity.dot(s) _
-    val bits = vecs.withColumn("bits",
-      transform(typedLit(hyperplanes), h => (d(col("ie"), h) >= 0).cast("long")))
-    bits.select(col("vec_id"), posexplode(
-      transform(sequence(lit(0), lit(RpBands - 1)),
-        k => aggregate(slice(col("bits"), k * lit(RpBandBits) + lit(1), lit(RpBandBits)),
-          lit(0L), (acc, x) => acc * 2 + x))))
-      .toDF("vec_id", "k", "bv")
+    vecs
+      .withColumn("bits",
+        transform(typedLit(hyperplanes), h => (d(col("ie"), h) >= 0).cast("long")))
+      .withColumn("bands",
+        transform(sequence(lit(0), lit(RpBands - 1)),
+          k => aggregate(slice(col("bits"), k * lit(RpBandBits) + lit(1), lit(RpBandBits)),
+            lit(0L), (acc, x) => acc * 2 + x)))
   }
 
   /** Candidate pairs = vectors sharing >= 1 band value: a keyed equi-join

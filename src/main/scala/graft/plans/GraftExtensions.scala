@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSessionExtensions, SparkSessionExtensionsProvider}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotLong
+import graft.functions.{DotLong, SignBands}
 
 /** Engine extension point, registered the public way:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -21,10 +21,19 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
 
 object GraftExtensions {
   val DotLongName = "graft_dot_long"
+  val SignBandsName = "graft_sign_bands"
 
-  def install(ext: SparkSessionExtensions): Unit =
+  def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(DotLongName),
       new ExpressionInfo(classOf[DotLong].getName, DotLongName),
       (args: Seq[Expression]) => DotLong(args(0), args(1))))
+    // the sign-LSH matrix is engine configuration (fixed per deployment),
+    // so the SQL surface stays a one-argument function
+    ext.injectFunction((
+      FunctionIdentifier(SignBandsName),
+      new ExpressionInfo(classOf[SignBands].getName, SignBandsName),
+      (args: Seq[Expression]) => SignBands(args(0),
+        graft.operators.Dedup.hyperplanes, graft.operators.Dedup.RpBandBits)))
+  }
 }

@@ -67,6 +67,20 @@ class VectorExprsSpec extends SparkSpec {
     assert(q.filter(col("d") === expect).count() >= 1)
   }
 
+  test("native sign-bands == composed HOF form on real embeddings") {
+    val vecs = Similarity.prepared(spark, sf)
+    val native = vecs.select(col("vec_id"),
+      call_function("graft_sign_bands", col("ie")).as("bands"))
+    val hof = graft.operators.Dedup.hofBands(spark, vecs).select("vec_id", "bands")
+    assert(native.except(hof).isEmpty && hof.except(native).isEmpty,
+      "band values must be identical between the codegen'd and HOF paths")
+    // shape: RpBands values, each within [0, 2^RpBandBits)
+    val bounds = native.select(explode(col("bands")).as("bv"))
+      .agg(min("bv"), max("bv")).collect()(0)
+    assert(bounds.getLong(0) >= 0L &&
+      bounds.getLong(1) < (1L << graft.operators.Dedup.RpBandBits))
+  }
+
   test("SQL surface: SELECT graft_dot_long(...) works via the extension") {
     val g = spark.sql("SELECT graft_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
       .as[Long].collect()
