@@ -53,6 +53,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("per-probe top-k uses rank-limit pushdown, not a full per-group sort") {
+    // Spark's WindowGroupLimit (partial before the shuffle + final after)
+    // keeps only k rows per probe per partition — without it, every
+    // candidate row would be shuffled and sorted per probe, which is the
+    // difference between O(k) and O(candidates) memory per group at scale.
+    Seq("similar_topk", "similar_ann_ivf").foreach { name =>
+      val plan = executed(name).toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name: expected WindowGroupLimit rank pushdown:\n${plan.take(1500)}")
+    }
+  }
+
+  test("native codegen'd kernels are in the hot-path projections") {
+    assert(executed("similar_topk").toString.contains("graft_dot_long"),
+      "similarity dot should be the native expression under the test session")
+    val embed = executed("dedup_embed").toString
+    assert(embed.contains("graft_sign_bands"), "signature stage should be native")
+    // the exact-cosine verify is pushed into the join, not a post-filter
+    assert(embed.contains(">= 0.45"), "cosine threshold should appear as a join predicate")
+  }
+
   test("shuffle counts stay bounded for the hot queries (broadcasts excluded)") {
     // regression tripwire: a rewrite that introduces an extra shuffle
     // stage should fail loudly here. Broadcast exchanges are excluded —
