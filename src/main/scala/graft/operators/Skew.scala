@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for keyed joins — the manual lever for when a handful
+  * of hot keys would pin a 100 TB shuffle onto a few reducers.
+  *
+  * Order of preference at scale:
+  *  1. AQE skew-join splitting (`spark.sql.adaptive.skewJoin.*`) — free,
+  *     on by default, handles sort-merge skew at runtime; always try
+  *     first.
+  *  2. Broadcast the small side — no shuffle of the big side at all.
+  *  3. This salted join — when the small side is too big to broadcast AND
+  *     the skew lives in an aggregation-like pattern AQE can't split.
+  *
+  * The salt is DETERMINISTIC (xxhash64 of the big row's values, mod
+  * `salts`), not `rand()`: results are reproducible across retries and
+  * partitionings, which task re-execution on a real cluster requires
+  * (a nondeterministic salt can double-count rows when a stage retries).
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `key`, spreading each hot key of the big
+    * side over `salts` reducer groups; the small side is replicated
+    * `salts`× (explode over the salt range), so memory cost is
+    * |small| × salts — keep salts modest (8–64). Semantically identical
+    * to `big.join(small, key, joinType)` for row-level join types
+    * (SkewSpec pins equality). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicatedSmall, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -39,4 +39,42 @@ class LayoutSpec extends SparkSpec {
       s"scan read ${scan.metrics("numFiles").value} files; month dir has $filesInMonth — " +
         "pruning must restrict the read to the filtered month")
   }
+
+  test("bucketed layout: co-located fact⋈fact join runs with ZERO shuffles") {
+    // The pre-partitioning lever for repeated big⋈big joins: both sides
+    // written bucketBy(join key) read back already hash-partitioned, so
+    // the sort-merge join needs no Exchange at all. At 100 TB this is the
+    // difference between re-shuffling the fact table per query and never
+    // shuffling it again. (Broadcast disabled: with tiny test data Spark
+    // would otherwise broadcast and trivially show zero shuffles.)
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_bucketed")
+    l.withColumnRenamed("l_orderkey", "o_orderkey")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val j = spark.table("lineitem_bucketed")
+        .join(spark.table("orders_bucketed"), "o_orderkey")
+        .agg(sum(col("l_quantity") * col("o_totalprice")).as("x"))
+      j.collect()
+      val shuffles = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      val joinShuffles = shuffles.filterNot(_.toString.contains("SinglePartition"))
+      assert(joinShuffles.isEmpty,
+        s"bucketed join must not shuffle either side:\n${j.queryExecution.executedPlan.toString.take(1500)}")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        "scan must be bucket-aware")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+    }
+  }
 }
