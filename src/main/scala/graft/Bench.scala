@@ -36,7 +36,8 @@ object Bench {
     // Warm the target-dir file index + footers too: listing and schema
     // reads are one-time session costs that would otherwise be billed to
     // whichever query happens to run first at sfDir.
-    new java.io.File(sfDir).listFiles().filter(_.getName.endsWith(".parquet"))
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
       .foreach(f => try spark.read.parquet(f.getPath).limit(1).count()
         catch { case _: Throwable => () })
 

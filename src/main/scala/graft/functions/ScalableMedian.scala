@@ -33,6 +33,9 @@ object ScalableMedian {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
     val wAll = Window.partitionBy(groupCols.map(col): _*)
     df.select(groupCols.map(col) :+ col(valueCol): _*)
+      // the built-in median IGNORES NULLs; without this filter they sort
+      // first (NULLS FIRST), shift the middle ranks, and poison the result
+      .filter(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
       // middle positions: floor((n+1)/2) and floor(n/2)+1 coincide for

@@ -31,8 +31,8 @@ object Dedup {
   val NumBands: Int = NumHashes / BandRows
   val JaccardThreshold = 0.5
   val SimhashBits = 60      // 15 hex chars -> fits a signed 64-bit exactly
-  val SimhashChunks = 4     // 15-bit chunks for the hamming-LSH band join
-  val HammingMax = 6
+  val SimhashChunks = 7     // hamming-LSH band chunks; 7 > HammingMax, so
+  val HammingMax = 6        // pigeonhole GUARANTEES recall up to d = 6
 
   /** lower + collapse whitespace: the canonical text both engines hash. */
   def normText(t: Column): Column = trim(regexp_replace(lower(t), "\\s+", " "))
@@ -243,14 +243,28 @@ object Dedup {
     counts.select(col("doc_id"), fp.as("fp"))
   }
 
-  /** Hamming-near pairs: band on 15-bit fingerprint chunks (two docs within
+  /** (offset, size) of chunk c: `SimhashBits mod SimhashChunks` leading
+    * chunks get one extra bit, so the chunks tile all 60 bits exactly.
+    * Pigeonhole: a pair at hamming d <= SimhashChunks - 1 = HammingMax
+    * has fewer differing bits than chunks, so at least one chunk is
+    * untouched and the band join finds the pair — GUARANTEED recall,
+    * which 4 chunks (d <= 3) did not give for the d in 4..6 range. */
+  def chunkSpans: Seq[(Int, Int)] = {
+    val base = SimhashBits / SimhashChunks
+    val rem = SimhashBits % SimhashChunks
+    (0 until SimhashChunks).map { c =>
+      (c * base + math.min(c, rem), base + (if (c < rem) 1 else 0))
+    }
+  }
+
+  /** Hamming-near pairs: band on fingerprint chunks (two docs within
     * hamming distance < chunks must share >= 1 chunk — pigeonhole), then
     * exact popcount filter on the xor. */
   def simhashCandidates(fps: DataFrame): DataFrame = {
-    val chunkSize = SimhashBits / SimhashChunks
     val chunks = fps.select(col("doc_id"), col("fp"), posexplode(array(
-      (0 until SimhashChunks).map(c =>
-        shiftright(col("fp"), c * chunkSize).bitwiseAND(lit((1L << chunkSize) - 1))): _*)))
+      chunkSpans.map { case (off, size) =>
+        shiftright(col("fp"), off).bitwiseAND(lit((1L << size) - 1))
+      }: _*)))
       .toDF("doc_id", "fp", "chunk", "cv")
     val a = chunks.toDF("doc_a", "fp_a", "chunk", "cv")
     val b = chunks.toDF("doc_b", "fp_b", "chunk", "cv")
@@ -265,14 +279,13 @@ object Dedup {
     simhashCandidates(simhash(Tables.documents(s, dir))).orderBy("doc_a", "doc_b")
 
   def qSimhashSql: String = {
-    val chunkSize = SimhashBits / SimhashChunks
     val arms = (0 until SimhashBits).map(b =>
       s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n         ")
     val fpExpr = (0 until SimhashBits).map(b =>
       s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    val chunkArms = (0 until SimhashChunks).map(c =>
-      s"SELECT doc_id, fp, $c AS chunk, (fp >> ${c * chunkSize}) & ${(1L << chunkSize) - 1} AS cv FROM fps")
-      .mkString("\n  UNION ALL ")
+    val chunkArms = chunkSpans.zipWithIndex.map { case ((off, size), c) =>
+      s"SELECT doc_id, fp, $c AS chunk, (fp >> $off) & ${(1L << size) - 1} AS cv FROM fps"
+    }.mkString("\n  UNION ALL ")
     s"""WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
        |       FROM documents),
        |w AS (SELECT doc_id, string_split(t, ' ') AS ws, t FROM d),

@@ -55,7 +55,10 @@ object Multimodal {
     * part that must survive at scale, and is real. */
   def frameSample(media: DataFrame, frames: Int = FrameCount): DataFrame = {
     val n = length(col("content"))
-    val frameLen = greatest(n / frames, lit(1))
+    // integral division — Column `/` is double division, whose fractional
+    // frame length would truncate per-slice into NON-contiguous offsets
+    // (skipped bytes) whenever length % frames != 0
+    val frameLen = greatest(floor(n / frames).cast("int"), lit(1))
     val slices = sequence(lit(0), lit(frames - 1)).cast("array<int>")
     media.withColumn("frames",
       transform(slices, i => expr("content").substr(i * frameLen + 1, frameLen)))

@@ -30,6 +30,13 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // right/full outer would emit the small side's unmatched SALT COPIES
+    // as extra null-padded rows — salting is only sound for join types
+    // whose output rows all originate from the (salted) big side
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+      .contains(normalized),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)).cast("int"))
     val replicatedSmall = small.withColumn("__salt",

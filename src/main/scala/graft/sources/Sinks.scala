@@ -35,13 +35,17 @@ object Sinks {
     */
   def upsertFactPartitions(s: SparkSession, path: String, incoming: DataFrame,
                            keys: Seq[String]): Unit = {
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val existing = s.read.parquet(path)
       .join(broadcast(incoming.select("month").distinct()), Seq("month"), "left_semi")
     val merged = graft.operators.Merge.upsert(existing, incoming, keys)
       // align column order: partition column must be last for the writer
       .select(existing.columns.map(col): _*)
       .localCheckpoint(true)
-    merged.write.partitionBy("month").mode("overwrite").parquet(path)
+    merged.write
+      // per-write option, NOT the session conf: setting the session-wide
+      // partitionOverwriteMode would silently turn every later overwrite
+      // in the session into a partial (non-truncating) one
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("month").mode("overwrite").parquet(path)
   }
 }

@@ -40,7 +40,8 @@ object Streams {
                    event_type: String, value: Double)
   case class SessionState(start: Long, end: Long, n: Int, sum: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
-                     session_end: java.sql.Timestamp, n_events: Long)
+                     session_end: java.sql.Timestamp, n_events: Long,
+                     sum_value: Double)
 
   /** Keyed stateful sessionization: the open session per user lives in
     * GroupState; a session closes (and is emitted) when the event-time
@@ -59,7 +60,7 @@ object Streams {
             val s = state.get
             state.remove()
             Iterator(Session(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n.toLong))
+              new java.sql.Timestamp(s.end), s.n.toLong, s.sum))
           } else {
             // fold sorted events into the open session; gaps close it
             val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
@@ -73,7 +74,7 @@ object Streams {
                     sum = s.sum + e.value))
                 case Some(s) =>
                   closed ::= Session(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n.toLong)
+                    new java.sql.Timestamp(s.end), s.n.toLong, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))

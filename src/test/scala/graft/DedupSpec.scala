@@ -81,6 +81,21 @@ class DedupSpec extends SparkSpec {
     assert(candidates < n * 2, s"candidates ($candidates) must stay near-linear, not O(n²)")
   }
 
+  test("simhash pigeonhole: a pair at hamming = HammingMax is ALWAYS found") {
+    // worst case for banding: the differing bits spread maximally across
+    // chunks. With the old 4×15-bit chunks, 4 spread flips (one per
+    // chunk) shared no band and the pair was silently lost despite
+    // hamming 4 <= HammingMax 6; 7 chunks pigeonhole-guarantee recall.
+    val base = 0x0FFFFFFFFFFFFFFL & ((1L << Dedup.SimhashBits) - 1)
+    val spreadBits = Seq(0, 10, 20, 30, 40, 50) // 6 flips, 6 distinct chunks
+    val other = spreadBits.foldLeft(base)((f, b) => f ^ (1L << b))
+    assert(java.lang.Long.bitCount(base ^ other) == Dedup.HammingMax)
+    val fps = Seq((1L, base), (2L, other)).toDF("doc_id", "fp")
+    val pairs = Dedup.simhashCandidates(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"pigeonhole recall must hold, got $pairs")
+  }
+
   test("embedding near-dup: planted high-cosine pair found, far pairs pruned by verify") {
     val rnd = new scala.util.Random(7)
     val base = Array.fill(64)(rnd.nextFloat() - 0.5f)

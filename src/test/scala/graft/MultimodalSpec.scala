@@ -30,14 +30,27 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("frame sampling: N frames, correct sizes, reassembly prefix-matches content") {
-    val out = Multimodal.frameSample(media).orderBy("media_id").limit(1).head
-    val content = out.getAs[Array[Byte]]("content")
-    val frames = out.getSeq[Array[Byte]](out.fieldIndex("frames"))
-    assert(frames.length == Multimodal.FrameCount)
-    val frameLen = math.max(content.length / Multimodal.FrameCount, 1)
-    assert(frames.forall(_.length == frameLen))
-    assert(frames.flatten.toSeq == content.take(frameLen * Multimodal.FrameCount).toSeq,
-      "concatenated frames == evenly-sliced content prefix")
+    // EVERY row, not a sampled one: lengths not divisible by FrameCount
+    // once produced non-contiguous slices (double division truncating
+    // per-slice) — this loop is the regression net
+    Multimodal.frameSample(media).orderBy("media_id").collect().foreach { out =>
+      val content = out.getAs[Array[Byte]]("content")
+      val frames = out.getSeq[Array[Byte]](out.fieldIndex("frames"))
+      assert(frames.length == Multimodal.FrameCount)
+      val frameLen = math.max(content.length / Multimodal.FrameCount, 1)
+      assert(frames.forall(_.length == frameLen))
+      assert(frames.flatten.toSeq == content.take(frameLen * Multimodal.FrameCount).toSeq,
+        s"media ${out.getLong(0)}: concatenated frames == evenly-sliced content prefix")
+    }
+  }
+
+  test("frame sampling is contiguous for lengths not divisible by the frame count") {
+    val sp2 = spark
+    import sp2.implicits._
+    // 10 bytes, 4 frames -> frameLen 2, frames cover bytes 0..7 contiguously
+    val one = Seq((1L, "img", "ABCDEFGHIJ".getBytes("UTF-8"))).toDF("media_id", "kind", "content")
+    val fr = Multimodal.frameSample(one).head.getSeq[Array[Byte]](3)
+    assert(fr.map(new String(_, "UTF-8")) == Seq("AB", "CD", "EF", "GH"))
   }
 
   test("frame features: one struct per frame with byte count + fingerprint") {

@@ -74,6 +74,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(embed.contains(">= 0.45"), "cosine threshold should appear as a join predicate")
   }
 
+  test("jaccard's repeated shingle pipelines collapse via exchange reuse") {
+    // qJaccard derives tok/sizes/signatures from the same shingle chain in
+    // several sub-plans; Spark dedupes them ONLY while the subtrees stay
+    // canonically identical. If a refactor perturbs one copy, every
+    // ReusedExchange silently becomes a recompute — this tripwire fires.
+    val df = SparkEntry.queries("dedup_jaccard")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange".r.findAllIn(plan).length
+    assert(reused >= 3, s"expected >=3 ReusedExchange nodes, got $reused")
+  }
+
   test("shuffle counts stay bounded for the hot queries (broadcasts excluded)") {
     // regression tripwire: a rewrite that introduces an extra shuffle
     // stage should fail loudly here. Broadcast exchanges are excluded —

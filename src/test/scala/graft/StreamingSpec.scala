@@ -58,9 +58,9 @@ class StreamingSpec extends SparkSpec {
       stream.addData(Event(5, ts(610), 2L, "view", 5.0))
       q.processAllAvailable()
       val got = spark.sql("SELECT * FROM sessions").as[Session].collect()
-        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
-      assert(got.contains((1L, ts(0), ts(10), 2L)), s"first session closed+emitted, got $got")
-      assert(got.contains((1L, ts(50), ts(50), 1L)), s"singleton second session, got $got")
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.sum_value)).toSet
+      assert(got.contains((1L, ts(0), ts(10), 2L, 3.0)), s"first session closed+emitted, got $got")
+      assert(got.contains((1L, ts(50), ts(50), 1L, 3.0)), s"singleton second session, got $got")
       assert(!got.exists(_._1 == 2L), "user 2's session still open (watermark short of it)")
     } finally q.stop()
   }
