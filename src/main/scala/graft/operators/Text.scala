@@ -139,22 +139,47 @@ object Text {
     * 60-bit integer fingerprint (the join-key-friendly form) and a prefix
     * anchor (cheap locality probe — docs sharing a long prefix are
     * near-dup suspects before any pairwise work). */
+  val RollB = 131L          // polynomial base
+  val RollM = 1000000007L   // modulus; keeps acc*B + x exactly in int64
+
+  /** Order-sensitive polynomial rolling hash over the word sequence:
+    * h = fold((acc * B + wordHash mod M) mod M). Each word maps through
+    * the portable 60-bit md5 hash first, so both engines fold identical
+    * integers; acc < M ≈ 1e9 keeps acc*131 + x far from int64 overflow
+    * (exact under ANSI). Unlike fp_md5 this is INCREMENTAL — the
+    * content-defined-chunking / winnowing primitive: appending a word
+    * updates it in O(1), and a window hash pops the head term with one
+    * precomputed power of B. */
+  def rollingHash(ws: Column): Column =
+    aggregate(
+      transform(ws, w => conv(substring(md5(w), 1, 15), 16, 10).cast("long") % RollM),
+      lit(0L), (acc, x) => (acc * RollB + x) % RollM)
+
   def fingerprint(docs: DataFrame): DataFrame = {
     val t = norm(col("text"))
     docs.select(
       col("doc_id"),
       md5(t).as("fp_md5"),
       conv(substring(md5(t), 1, 15), 16, 10).cast("long").as("fp64"),
-      md5(substring(t, 1, 64)).as("fp_prefix"))
+      md5(substring(t, 1, 64)).as("fp_prefix"),
+      rollingHash(words(col("text"))).as("fp_rolling"))
   }
 
   def qFingerprint(s: SparkSession, dir: String): DataFrame =
     fingerprint(Tables.documents(s, dir)).orderBy("doc_id")
 
   def qFingerprintSql: String =
-    """SELECT doc_id,
-      |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
-      |       CAST('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15) AS BIGINT) AS fp64,
-      |       md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 64)) AS fp_prefix
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""WITH d AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |       md5(t) AS fp_md5,
+      |       CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS fp64,
+      |       md5(substr(t, 1, 64)) AS fp_prefix,
+      |       list_reduce(
+      |         list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(t, ' '),
+      |             w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % $RollM)),
+      |         (acc, x) -> (acc * $RollB + x) % $RollM) AS fp_rolling
+      |FROM d ORDER BY doc_id""".stripMargin
 }

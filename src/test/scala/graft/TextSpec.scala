@@ -41,4 +41,22 @@ class TextSpec extends SparkSpec {
     assert(java.lang.Long.toHexString(out(1L)._2) == out(1L)._1.take(15).dropWhile(_ == '0'),
       "fp64 is the first 15 hex chars of fp_md5")
   }
+
+  test("rolling hash: order-sensitive, matches hand-fold, incremental append") {
+    def wh(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % Text.RollM
+    }
+    def fold(ws: Seq[String]): Long =
+      ws.foldLeft(0L)((acc, w) => (acc * Text.RollB + wh(w)) % Text.RollM)
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val out = Text.fingerprint(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("fp_rolling")).toMap
+    assert(out(1L) == fold(Seq("alpha", "beta", "gamma")), "matches the driver-side fold")
+    assert(out(1L) != out(2L), "word order must change the hash")
+    // O(1) incremental append: h(ws :+ w) = (h(ws)*B + wh(w)) mod M
+    assert(out(1L) == (out(3L) * Text.RollB + wh("gamma")) % Text.RollM)
+  }
 }
