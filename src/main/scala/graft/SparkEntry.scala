@@ -49,6 +49,7 @@ object SparkEntry {
     "text_stats" -> ((s, d) => Text.qStats(s, d)),
     "text_langid" -> ((s, d) => Text.qLangId(s, d)),
     "text_fingerprint" -> ((s, d) => Text.qFingerprint(s, d)),
+    "text_winnow" -> ((s, d) => Text.qWinnow(s, d)),
     // Event-time windows + sessionization over `events`
     "events_window" -> ((s, d) => Events.qTumbling(s, d)),
     "events_window_sliding" -> ((s, d) => Events.qSliding(s, d)),
@@ -93,6 +94,7 @@ object SparkEntry {
     "text_stats" -> Text.qStatsSql,
     "text_langid" -> Text.qLangIdSql,
     "text_fingerprint" -> Text.qFingerprintSql,
+    "text_winnow" -> Text.qWinnowSql,
     "events_window" -> Events.qTumblingSql,
     "events_window_sliding" -> Events.qSlidingSql,
     "events_sessions" -> Events.qSessionsSql,

@@ -168,6 +168,71 @@ object Text {
   def qFingerprint(s: SparkSession, dir: String): DataFrame =
     fingerprint(Tables.documents(s, dir)).orderBy("doc_id")
 
+  val WinnowK = 3           // words per k-gram
+  val WinnowW = 4           // k-gram hashes per winnowing window
+
+  /** Winnowing document fingerprints (the SIGMOD'03 local-sampling
+    * scheme): hash every word k-gram, slide a w-window over the hash
+    * sequence, keep each window's minimum — guaranteeing any match of
+    * length >= w+k-1 words shares a fingerprint, while storing only
+    * ~2/(w+1) of the hashes. Output: one row per distinct selected hash
+    * per doc.
+    *
+    * All narrow array ops until the final per-doc distinct — the k-gram
+    * hashes and window minima never shuffle; at corpus scale this runs at
+    * scan speed and the fingerprint set (not the text) is what joins
+    * against the index. Docs shorter than k words contribute their whole
+    * text as one k-gram (mirrors Dedup.shingles). */
+  def winnow(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val docsW = docs.withColumn("__ws", ws).withColumn("__n", size(col("__ws")))
+    val gramHash = docsW.withColumn("__gh",
+      when(col("__n") >= WinnowK,
+        transform(sequence(lit(1), col("__n") - (WinnowK - 1)), i =>
+          conv(substring(md5(concat_ws(" ",
+            (0 until WinnowK).map(o => element_at(col("__ws"), i + o)): _*)), 1, 15), 16, 10)
+            .cast("long") % RollM))
+        .otherwise(array(conv(substring(md5(norm(col("text"))), 1, 15), 16, 10)
+          .cast("long") % RollM)))
+    val mins = gramHash.withColumn("__m", size(col("__gh")))
+      .withColumn("__sel",
+        when(col("__m") >= WinnowW,
+          array_distinct(transform(sequence(lit(1), col("__m") - (WinnowW - 1)), j =>
+            array_min(slice(col("__gh"), j, lit(WinnowW))))))
+          .otherwise(array(array_min(col("__gh")))))
+    mins.select(col("doc_id"), explode(col("__sel")).as("winnow_hash")).distinct()
+  }
+
+  def qWinnow(s: SparkSession, dir: String): DataFrame =
+    winnow(graft.sources.Tables.balanced(graft.sources.Tables.documents(s, dir)))
+      .orderBy("doc_id", "winnow_hash")
+
+  def qWinnowSql: String = {
+    val gram = (0 until WinnowK).map(o => s"ws[i + $o]").mkString(" || ' ' || ")
+    s"""WITH d AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      |  FROM documents),
+      |w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM d),
+      |gh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(ws) >= $WinnowK
+      |              THEN list_transform(range(1, len(ws) - ${WinnowK - 1} + 1),
+      |                     i -> CAST('0x' || substr(md5($gram), 1, 15) AS BIGINT) % $RollM)
+      |              ELSE [CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $RollM]
+      |         END AS g
+      |  FROM w),
+      |sel AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(g) >= $WinnowW
+      |              THEN list_distinct(list_transform(range(1, len(g) - ${WinnowW - 1} + 1),
+      |                     j -> list_min(g[j:j + ${WinnowW - 1}])))
+      |              ELSE [list_min(g)]
+      |         END AS sels
+      |  FROM gh)
+      |SELECT DISTINCT doc_id, unnest(sels) AS winnow_hash
+      |FROM sel ORDER BY doc_id, winnow_hash""".stripMargin
+  }
+
   def qFingerprintSql: String =
     s"""WITH d AS (
       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t

@@ -59,4 +59,25 @@ class TextSpec extends SparkSpec {
     // O(1) incremental append: h(ws :+ w) = (h(ws)*B + wh(w)) mod M
     assert(out(1L) == (out(3L) * Text.RollB + wh("gamma")) % Text.RollM)
   }
+
+  test("winnowing: match guarantee and local-edit robustness") {
+    val a = "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    // same text with ONE word changed in the middle (normalization
+    // lowercases, so the replacement must differ beyond case)
+    val b = a.replace(" ten ", " zzz ")
+    val out = Text.winnow(Seq((1L, a), (2L, b), (3L, a)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(out(1L) == out(3L), "identical docs -> identical fingerprint set")
+    // a one-word edit only perturbs k-grams covering it: the fingerprint
+    // sets must still overlap heavily (this is winnowing's whole point)
+    val inter = out(1L).intersect(out(2L)).size.toDouble
+    assert(inter / out(1L).size >= 0.4,
+      s"local edit must preserve most fingerprints: ${inter}/${out(1L).size}")
+    assert(out(1L) != out(2L), "but the edit is detectable")
+    // short-doc guard: < k words yields exactly one fingerprint
+    val short = Text.winnow(Seq((9L, "tiny doc")).toDF("doc_id", "text")).collect()
+    assert(short.length == 1)
+  }
 }
