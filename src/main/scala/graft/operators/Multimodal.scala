@@ -64,6 +64,30 @@ object Multimodal {
       transform(slices, i => expr("content").substr(i * frameLen + 1, frameLen)))
   }
 
+  /** Resize stage: target-dimension metadata + a proportionally
+    * subsampled payload. The KERNEL IS A FAKE (real impl: scaler/codec on
+    * the bytes); the plumbing — recomputed meta struct riding with a
+    * transformed binary column, pure column exprs, no UDF — is the real
+    * contract. Aspect ratio preserved: height scales by the same factor
+    * as width; payload shrinks by the area ratio (bounded below by 1
+    * byte). */
+  def resize(decoded: DataFrame, targetWidth: Int): DataFrame = {
+    val scale = lit(targetWidth.toDouble) / col("meta.width")
+    val newH = greatest(floor(col("meta.height") * scale).cast("int"), lit(1))
+    decoded
+      // materialize the new length BEFORE touching content — the meta
+      // struct below must not re-derive it from the truncated bytes
+      .withColumn("__len", greatest(
+        floor(length(col("content")) * scale * scale).cast("int"), lit(1)))
+      .withColumn("content", expr("content").substr(lit(1), col("__len")))
+      .withColumn("meta", struct(
+        lit(targetWidth).as("width"),
+        newH.as("height"),
+        (col("__len") * 8).cast("long").as("bit_size"),
+        col("meta.duration_ms").as("duration_ms")))
+      .drop("__len")
+  }
+
   /** Per-frame features: length + crc32 fingerprint per slice (stand-in
     * for an embedding/classifier output), as an array of structs. */
   def frameFeatures(withFrames: DataFrame): DataFrame =

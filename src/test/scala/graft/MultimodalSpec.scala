@@ -44,6 +44,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize: aspect ratio preserved, payload shrinks by area ratio, schema intact") {
+    val out = Multimodal.resize(Multimodal.decodeMeta(media), targetWidth = 256)
+    out.orderBy("media_id").collect().take(20).foreach { r =>
+      val meta = r.getStruct(r.fieldIndex("meta"))
+      assert(meta.getInt(0) == 256, "width is the target")
+      assert(meta.getInt(1) >= 1, "height stays positive")
+      val content = r.getAs[Array[Byte]]("content")
+      assert(meta.getLong(2) == content.length.toLong * 8, "bit_size tracks the new payload")
+    }
+    // meta field names/types unchanged by the stage (downstream contract;
+    // nullability legitimately tightens — literals are non-null)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(out) == shape(Multimodal.decodeMeta(media)))
+  }
+
   test("frame sampling is contiguous for lengths not divisible by the frame count") {
     val sp2 = spark
     import sp2.implicits._
