@@ -184,23 +184,36 @@ object Text {
     * against the index. Docs shorter than k words contribute their whole
     * text as one k-gram (mirrors Dedup.shingles). */
   def winnow(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ws = words(col("text"))
     val docsW = docs.withColumn("__ws", ws).withColumn("__n", size(col("__ws")))
-    val gramHash = docsW.withColumn("__gh",
+    // k-gram hashes EXPLODED to rows immediately: an earlier array-based
+    // variant kept them as a per-doc array and computed window minima with
+    // a second transform over slices — CollapseProject inlined the k-gram
+    // array into that lambda and recomputed all ~n md5 k-grams PER WINDOW
+    // (a silent ~50x blowup; minutes at sf0.1). Rows + a window function
+    // keep the hash computation single-pass, and rows are the 100 TB shape
+    // anyway: no giant per-doc arrays, one keyed shuffle by doc.
+    val gram = docsW.select(col("doc_id"), posexplode(
       when(col("__n") >= WinnowK,
         transform(sequence(lit(1), col("__n") - (WinnowK - 1)), i =>
           conv(substring(md5(concat_ws(" ",
             (0 until WinnowK).map(o => element_at(col("__ws"), i + o)): _*)), 1, 15), 16, 10)
             .cast("long") % RollM))
         .otherwise(array(conv(substring(md5(norm(col("text"))), 1, 15), 16, 10)
-          .cast("long") % RollM)))
-    val mins = gramHash.withColumn("__m", size(col("__gh")))
-      .withColumn("__sel",
-        when(col("__m") >= WinnowW,
-          array_distinct(transform(sequence(lit(1), col("__m") - (WinnowW - 1)), j =>
-            array_min(slice(col("__gh"), j, lit(WinnowW))))))
-          .otherwise(array(array_min(col("__gh")))))
-    mins.select(col("doc_id"), explode(col("__sel")).as("winnow_hash")).distinct()
+          .cast("long") % RollM))))
+      .toDF("doc_id", "pos", "h")
+    val byDoc = Window.partitionBy("doc_id")
+    val fwd = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    gram
+      .withColumn("__wm", min("h").over(fwd))
+      .withColumn("__m", count(lit(1)).over(byDoc))
+      // only windows fully inside the sequence (or the single clipped
+      // window of a short doc); pos is posexplode's 0-BASED index, so the
+      // last full window starts at m - W
+      .filter(col("pos") <= greatest(col("__m") - WinnowW, lit(0)))
+      .select(col("doc_id"), col("__wm").as("winnow_hash")).distinct()
   }
 
   def qWinnow(s: SparkSession, dir: String): DataFrame =
