@@ -45,6 +45,10 @@ object SparkEntry {
     // Similarity search over `embeddings`
     "similar_topk" -> ((s, d) => Similarity.qTopK(s, d)),
     "similar_ann_ivf" -> ((s, d) => Similarity.qIvf(s, d)),
+    // Lloyd-trained codebook ANN — no SQL oracle (iterative training is
+    // not worth mirroring in SQL); driver records the rows-only check,
+    // SimilaritySpec gates recall vs the exact brute-force top-k.
+    "similar_ann_kmeans" -> ((s, d) => Similarity.qIvfKmeans(s, d)),
     // Text analysis over `documents`
     "text_stats" -> ((s, d) => Text.qStats(s, d)),
     "text_langid" -> ((s, d) => Text.qLangId(s, d)),

@@ -99,10 +99,10 @@ object Similarity {
     * (broadcast codebook -> assignment -> pruned keyed join) is unchanged.
     */
   def ivfTopK(s: SparkSession, dir: String, probeIds: Seq[Long] = ProbeIds,
-              k: Int = TopK, nprobe: Int = NProbe): DataFrame = {
+              k: Int = TopK, nprobe: Int = NProbe,
+              codebook: Option[DataFrame] = None): DataFrame = {
     val vecs = prepared(s, dir)
-    val seeds = vecs.filter(col("vec_id").isin(SeedIds: _*))
-      .select(col("vec_id").as("cluster"), col("ie").as("se"), col("nrm").as("sn"))
+    val seeds = codebook.getOrElse(seedCodebook(vecs))
     // assignment: argmax cosine over the broadcast codebook (ties -> lowest
     // cluster id); |data| × |codebook| exact-int dots, fully map-side
     def clusterScores(in: DataFrame): DataFrame = in
@@ -135,6 +135,62 @@ object Similarity {
 
   def qIvf(s: SparkSession, dir: String): DataFrame =
     ivfTopK(s, dir).orderBy("probe_id", "rank")
+
+  /** The fixed codebook: vectors [[SeedIds]] as (cluster, se, sn). */
+  def seedCodebook(vecs: DataFrame): DataFrame =
+    vecs.filter(col("vec_id").isin(SeedIds: _*))
+      .select(col("vec_id").as("cluster"), col("ie").as("se"), col("nrm").as("sn"))
+
+  /** Lloyd-refined codebook: start from the seed vectors, then iterate
+    * (argmax-cosine assignment → integer-mean re-centering). Backs the
+    * "real k-means at 100 TB" claim in [[ivfTopK]]'s doc with working
+    * code. Determinism: assignment ties break toward the lowest cluster
+    * id; centroid components are integer means (`sum div count`) of the
+    * already-integerized vectors, so every iteration is exact — the same
+    * codebook on any partitioning. Scale shape: each iteration is one
+    * broadcast-assign (map-side) plus one aggregation keyed by
+    * (cluster, dim) over exploded components; production trains on a
+    * sample, so the explode stays bounded by the sample, not the corpus.
+    * An empty cell keeps its previous centroid (standard k-means guard).
+    */
+  def kmeansCodebook(s: SparkSession, vecs: DataFrame, iters: Int = 2): DataFrame = {
+    val d = dot(s) _
+    var centroids = seedCodebook(vecs)
+    for (_ <- 1 to iters) {
+      val assigned = vecs.crossJoin(broadcast(centroids))
+        .withColumn("ccos",
+          d(col("ie"), col("se")).cast("double") / (col("nrm") * col("sn")))
+        .withColumn("arank", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster").asc)))
+        .filter(col("arank") === 1)
+        .select("vec_id", "cluster", "ie")
+      val means = assigned
+        .select(col("cluster"), posexplode(col("ie")))
+        .toDF("cluster", "dim", "v")
+        .groupBy("cluster", "dim")
+        // exact integer mean: sums of 1e7-scale components stay far from
+        // int64 overflow at sample scale; div keeps it deterministic
+        .agg((sum("v") / count(lit(1))).cast("long").as("mv"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
+          e => e.getField("mv")).as("se"))
+        .withColumn("sn", sqrt(d(col("se"), col("se")).cast("double")))
+      // empty cells vanish from `means`; keep their previous centroid
+      centroids = means.unionByName(
+        centroids.join(means.select("cluster"), Seq("cluster"), "left_anti"))
+    }
+    centroids
+  }
+
+  /** ANN over the k-means codebook — declared WITHOUT a DuckDB oracle
+    * (mirroring iterative training in SQL buys no additional safety);
+    * the driver records the weaker rows-only check and SimilaritySpec
+    * gates recall against the exact brute-force top-k. */
+  def qIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val vecs = prepared(s, dir)
+    ivfTopK(s, dir, codebook = Some(kmeansCodebook(s, vecs)))
+      .orderBy("probe_id", "rank")
+  }
 
   // -------------------------------------------------------------------
   // DuckDB oracles

@@ -43,6 +43,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-means codebook: Lloyd refinement beats the raw seed codebook") {
+    // Deterministic (tie-broken assignment, integer-mean centroids), so
+    // these are fixed numbers, not a flaky statistical bound: measured
+    // recall@10 seed=0.467 / kmeans=0.533 at sf0.001 (0.400/0.467 at
+    // sf0.01) — training the codebook must never LOSE recall here.
+    def recallOf(df: org.apache.spark.sql.DataFrame, truth: Set[(Long, Long)]): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val truth = Similarity.qTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seedR = recallOf(Similarity.qIvf(spark, sf), truth)
+    val kmR = recallOf(Similarity.qIvfKmeans(spark, sf), truth)
+    info(f"recall@10: seed=$seedR%.3f kmeans=$kmR%.3f")
+    assert(kmR >= seedR, s"k-means codebook regressed recall: $kmR < $seedR")
+    assert(kmR >= 0.5, s"expected the measured 0.533, got $kmR")
+  }
+
   test("integerized dot product is partitioning-independent (exact math)") {
     val v = Similarity.prepared(spark, sf)
     val a = v.repartition(13).agg(sum(Similarity.dotL(col("ie"), col("ie")))).head.getLong(0)
