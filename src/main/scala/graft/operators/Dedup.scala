@@ -35,7 +35,7 @@ object Dedup {
   val HammingMax = 6        // pigeonhole GUARANTEES recall up to d = 6
 
   /** lower + collapse whitespace: the canonical text both engines hash. */
-  def normText(t: Column): Column = trim(regexp_replace(lower(t), "\\s+", " "))
+  def normText(t: Column): Column = graft.functions.Hashes.normText(t)
 
   // -------------------------------------------------------------------
   // Exact dedup (hash-groupBy)
@@ -217,10 +217,8 @@ object Dedup {
   // SimHash (60-bit) + chunk-LSH hamming candidates
   // -------------------------------------------------------------------
 
-  /** Per-token 60-bit hash: top 15 hex chars of md5, as a long. Identical
-    * in DuckDB via CAST('0x' || substr(md5(tok),1,15) AS BIGINT). */
-  private def tokenHash: Column =
-    conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+  /** Per-token 60-bit hash — the shared [[graft.functions.Hashes.hash60]]. */
+  private def tokenHash: Column = graft.functions.Hashes.hash60(col("tok"))
 
   /** SimHash fingerprints: one groupBy with 60 conditional-sum arms (one
     * shuffle; the arms are codegen'd bit tests, not UDFs). Bit b of the

@@ -76,9 +76,13 @@ object Multimodal {
     val newH = greatest(floor(col("meta.height") * scale).cast("int"), lit(1))
     decoded
       // materialize the new length BEFORE touching content — the meta
-      // struct below must not re-derive it from the truncated bytes
-      .withColumn("__len", greatest(
-        floor(length(col("content")) * scale * scale).cast("int"), lit(1)))
+      // struct below must not re-derive it from the truncated bytes.
+      // Clamped to the REAL length: upscaling (width < target) cannot
+      // grow the payload, and bit_size must describe the bytes actually
+      // present (18/500 sf0.001 rows decode wider-than-content otherwise)
+      .withColumn("__len", greatest(least(
+        floor(length(col("content")) * scale * scale).cast("int"),
+        length(col("content"))), lit(1)))
       .withColumn("content", expr("content").substr(lit(1), col("__len")))
       .withColumn("meta", struct(
         lit(targetWidth).as("width"),

@@ -168,16 +168,22 @@ object Similarity {
         .select(col("cluster"), posexplode(col("ie")))
         .toDF("cluster", "dim", "v")
         .groupBy("cluster", "dim")
-        // exact integer mean: sums of 1e7-scale components stay far from
-        // int64 overflow at sample scale; div keeps it deterministic
-        .agg((sum("v") / count(lit(1))).cast("long").as("mv"))
+        // exact integral mean: `div` never routes through a double, so
+        // the result is exact at ANY component-sum magnitude (a double
+        // quotient would round once sums pass 2^53)
+        .agg(sum("v").as("s"), count(lit(1)).as("c"))
+        .withColumn("mv", expr("s div c"))
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
           e => e.getField("mv")).as("se"))
         .withColumn("sn", sqrt(d(col("se"), col("se")).cast("double")))
-      // empty cells vanish from `means`; keep their previous centroid
+      // empty cells vanish from `means`; keep their previous centroid.
+      // localCheckpoint: `means` is referenced twice and each iteration
+      // otherwise embeds the previous one's whole training subtree —
+      // plan growth ~2^iters. The checkpoint is |codebook| rows: free.
       centroids = means.unionByName(
         centroids.join(means.select("cluster"), Seq("cluster"), "left_anti"))
+        .localCheckpoint(true)
     }
     centroids
   }

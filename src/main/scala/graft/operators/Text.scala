@@ -30,7 +30,7 @@ object Text {
     * Same semantics in Java regex and RE2. */
   val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
-  private def norm(t: Column): Column = trim(regexp_replace(lower(t), "\\s+", " "))
+  private def norm(t: Column): Column = graft.functions.Hashes.normText(t)
   private def words(t: Column): Column = split(norm(t), " ")
 
   private def hitCount(ws: Column, profile: Seq[String]): Column =
@@ -152,7 +152,7 @@ object Text {
     * precomputed power of B. */
   def rollingHash(ws: Column): Column =
     aggregate(
-      transform(ws, w => conv(substring(md5(w), 1, 15), 16, 10).cast("long") % RollM),
+      transform(ws, w => graft.functions.Hashes.hash60(w) % RollM),
       lit(0L), (acc, x) => (acc * RollB + x) % RollM)
 
   def fingerprint(docs: DataFrame): DataFrame = {
@@ -160,7 +160,7 @@ object Text {
     docs.select(
       col("doc_id"),
       md5(t).as("fp_md5"),
-      conv(substring(md5(t), 1, 15), 16, 10).cast("long").as("fp64"),
+      graft.functions.Hashes.hash60(t).as("fp64"),
       md5(substring(t, 1, 64)).as("fp_prefix"),
       rollingHash(words(col("text"))).as("fp_rolling"))
   }
@@ -197,11 +197,9 @@ object Text {
     val gram = docsW.select(col("doc_id"), posexplode(
       when(col("__n") >= WinnowK,
         transform(sequence(lit(1), col("__n") - (WinnowK - 1)), i =>
-          conv(substring(md5(concat_ws(" ",
-            (0 until WinnowK).map(o => element_at(col("__ws"), i + o)): _*)), 1, 15), 16, 10)
-            .cast("long") % RollM))
-        .otherwise(array(conv(substring(md5(norm(col("text"))), 1, 15), 16, 10)
-          .cast("long") % RollM))))
+          graft.functions.Hashes.hash60(concat_ws(" ",
+            (0 until WinnowK).map(o => element_at(col("__ws"), i + o)): _*)) % RollM))
+        .otherwise(array(graft.functions.Hashes.hash60(norm(col("text"))) % RollM))))
       .toDF("doc_id", "pos", "h")
     val byDoc = Window.partitionBy("doc_id")
     val fwd = Window.partitionBy("doc_id").orderBy("pos")

@@ -46,7 +46,9 @@ class MultimodalSpec extends SparkSpec {
 
   test("resize: aspect ratio preserved, payload shrinks by area ratio, schema intact") {
     val out = Multimodal.resize(Multimodal.decodeMeta(media), targetWidth = 256)
-    out.orderBy("media_id").collect().take(20).foreach { r =>
+    // EVERY row: the first upscale-inconsistent row on this fixture is the
+    // 21st — a sampled assertion sailed right past it
+    out.orderBy("media_id").collect().foreach { r =>
       val meta = r.getStruct(r.fieldIndex("meta"))
       assert(meta.getInt(0) == 256, "width is the target")
       assert(meta.getInt(1) >= 1, "height stays positive")
