@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.ScalableMedian
+import graft.operators.{Similarity, Skew, Text}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic properties of the newest primitives over ScalaCheck-drawn
+  * inputs (fixed seeds — deterministic, adversarially dense). Each case
+  * runs a real Spark job, so counts stay modest. */
+class KernelPropertySpec extends SparkSpec {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private val Cases = 6
+
+  private def draw[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("property: ScalableMedian == builtin median on random groups with nulls") {
+    val rowGen = for {
+      grp <- Gen.choose(0, 3)
+      v <- Gen.option(Gen.choose(-1e6, 1e6))
+    } yield (grp, v)
+    (1 to Cases).foreach { s =>
+      val rows = draw(Gen.listOfN(40, rowGen), s.toLong)
+      val df = rows.toDF("dept", "net")
+      val builtin = df.groupBy("dept").agg(median(col("net")).as("med"))
+        .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      val scalable = ScalableMedian.median(df, Seq("dept"), "net", "med")
+        .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      // all-null groups: builtin yields a NULL row, the order-statistics
+      // variant yields no row — compare over the non-null results
+      val nonNull = builtin.filter(_._2 != null)
+      assert(scalable == nonNull, s"seed $s: $scalable != $nonNull")
+    }
+  }
+
+  test("property: saltedJoin == plain join across random salt counts") {
+    val rowGen = for {
+      k <- Gen.choose(0L, 4L)
+      p <- Gen.choose(0, 1000)
+    } yield (k, p)
+    (1 to Cases).foreach { s =>
+      val big = draw(Gen.listOfN(30, rowGen), s.toLong).toDF("k", "payload")
+      val small = draw(Gen.listOfN(6, rowGen), (s + 100).toLong).distinct.toDF("k", "v")
+      val salts = 1 + s % 7
+      val plain = big.join(small, Seq("k"), "inner")
+      val salted = Skew.saltedJoin(big, small, "k", salts)
+      assert(salted.count() == plain.count(), s"seed $s count")
+      assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty, s"seed $s rows")
+    }
+  }
+
+  test("property: rolling hash respects the incremental-append identity") {
+    val wordGen = Gen.listOfN(10, Gen.alphaLowerStr.map(_.take(6)).suchThat(_.nonEmpty))
+    (1 to Cases).foreach { s =>
+      val ws = draw(wordGen, s.toLong)
+      val full = Seq(Tuple1(ws.mkString(" "))).toDF("text")
+        .select(Text.rollingHash(split(col("text"), " ")).as("h")).as[Long].head()
+      val prefix = Seq(Tuple1(ws.init.mkString(" "))).toDF("text")
+        .select(Text.rollingHash(split(col("text"), " ")).as("h")).as[Long].head()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val lastH = java.lang.Long.parseLong(
+        md.digest(ws.last.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16) % Text.RollM
+      assert(full == (prefix * Text.RollB + lastH) % Text.RollM, s"seed $s")
+    }
+  }
+
+  test("property: native dot is symmetric, linear in scalars, and Cauchy-Schwarz-bounded") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-10000000L, 10000000L))
+    (1 to Cases).foreach { s =>
+      val a = draw(vecGen, s.toLong)
+      val b = draw(vecGen, (s + 50).toLong)
+      val df = Seq((a, b)).toDF("a", "b")
+      val Array(ab, ba, aa, bb) = df.select(
+        call_function("graft_dot_long", col("a"), col("b")),
+        call_function("graft_dot_long", col("b"), col("a")),
+        call_function("graft_dot_long", col("a"), col("a")),
+        call_function("graft_dot_long", col("b"), col("b"))).collect()(0)
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      assert(ab == ba, s"seed $s: symmetry")
+      assert(aa >= 0 && bb >= 0, s"seed $s: self-dot nonneg")
+      // Cauchy-Schwarz in BigInt (ab^2 overflows long)
+      assert(BigInt(ab) * BigInt(ab) <= BigInt(aa) * BigInt(bb), s"seed $s: C-S")
+    }
+  }
+
+  test("property: kmeans assignment never decreases mean self-cluster cosine vs seeds") {
+    // deterministic end-to-end: same data -> same codebooks -> same means
+    val vecs = Similarity.prepared(spark, sf)
+    def meanAssignedCos(codebook: org.apache.spark.sql.DataFrame): Double = {
+      val d = Similarity.dot(spark) _
+      vecs.crossJoin(broadcast(codebook))
+        .withColumn("ccos", d(col("ie"), col("se")).cast("double") / (col("nrm") * col("sn")))
+        .groupBy("vec_id").agg(max("ccos").as("best"))
+        .agg(avg("best")).as[Double].head()
+    }
+    val seedCos = meanAssignedCos(Similarity.seedCodebook(vecs))
+    val kmCos = meanAssignedCos(Similarity.kmeansCodebook(spark, vecs))
+    info(f"mean best-cluster cosine: seeds=$seedCos%.4f kmeans=$kmCos%.4f")
+    assert(kmCos >= seedCos - 1e-12,
+      s"Lloyd iterations must not worsen the k-means objective: $kmCos < $seedCos")
+  }
+}
