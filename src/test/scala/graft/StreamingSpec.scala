@@ -75,6 +75,32 @@ class StreamingSpec extends SparkSpec {
       (1L, ts(0), ts(10), 2L), (1L, ts(50), ts(50), 1L), (2L, ts(600), ts(600), 1L)))
   }
 
+  test("watermark drops late data: an event hours behind the watermark never lands") {
+    val stream = MemoryStream[Event](spark)
+    val q = Streams.hourlyWindows(stream.toDF())
+      .writeStream.format("memory").queryName("late_windows")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(Event(1, ts(0), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // jump the watermark far past the first window (+ the 2h delay)
+      stream.addData(Event(2, ts(600), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // now 'late': event-time back at the start, watermark way beyond it
+      stream.addData(Event(3, ts(1), 1L, "click", 100.0))
+      q.processAllAvailable()
+      stream.addData(Event(4, ts(1200), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // ts(0) = 2023-11-14 22:13:20 UTC -> its hourly window starts 22:00
+      val firstWindow = spark.sql(
+        "SELECT sum_value FROM late_windows WHERE w_start = timestamp'2023-11-14 22:00:00'")
+        .collect()
+      // the finalized first window must NOT include the late event's 100.0
+      assert(firstWindow.forall(_.getDouble(0) == 1.0),
+        s"late event leaked into a finalized window: ${firstWindow.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("streaming dedup: re-delivered event_ids within the watermark are dropped") {
     val stream = MemoryStream[Event](spark)
     val q = Streams.dedupEvents(stream.toDF())
