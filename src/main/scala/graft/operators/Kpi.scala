@@ -64,8 +64,11 @@ object Kpi {
     f.agg(
         countDistinct("emp_id").as("exact"),
         approx_count_distinct("emp_id", 0.02).as("approx"))
+      // empty month: exact = approx = 0 is a perfect estimate, not a
+      // divide-by-zero NULL (ADVICE r02)
       .withColumn("rel_err",
-        abs(col("approx") - col("exact")).cast("double") / col("exact"))
+        when(col("exact") === 0, lit(0.0))
+          .otherwise(abs(col("approx") - col("exact")).cast("double") / col("exact")))
   }
 
   def summarySql(m: String = M1): String =

@@ -16,8 +16,10 @@ import graft.sources.Tables
   * (order-independent under any partitioning; 64 · (1e7)² = 6.4e15 fits
   * both int64 and an exact double). The only floating steps are a final
   * sqrt/divide on exact inputs, which IEEE pins bit-identically in both
-  * engines. Centroid sums use DECIMAL(38,0): component sums square to
-  * ~1e21 at scale, past int64.
+  * engines. Centroid component sums are plain int64 (`sum(long)`): each
+  * component is <= 1e7, so the sum is exact (and under ANSI mode errors
+  * rather than wraps) up to ~9e11 rows per cluster — production trains
+  * on a sample far below that bound.
   *
   * Scale design: brute force is one broadcast of the probe set against a
   * linear scan (zip_with/aggregate are codegen'd array ops — no explode,
@@ -155,9 +157,14 @@ object Similarity {
     */
   def kmeansCodebook(s: SparkSession, vecs: DataFrame, iters: Int = 2): DataFrame = {
     val d = dot(s) _
-    var centroids = seedCodebook(vecs)
+    // Iterative training replays its input once per iteration — cache it
+    // (the standard MLlib-training shape: persist the training set, not
+    // the lineage). MEMORY_AND_DISK: a sample that outgrows memory spills
+    // instead of recomputing the scan. Unpersisted before return.
+    val cached = vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids = seedCodebook(cached)
     for (_ <- 1 to iters) {
-      val assigned = vecs.crossJoin(broadcast(centroids))
+      val assigned = cached.crossJoin(broadcast(centroids))
         .withColumn("ccos",
           d(col("ie"), col("se")).cast("double") / (col("nrm") * col("sn")))
         .withColumn("arank", row_number().over(
@@ -185,6 +192,7 @@ object Similarity {
         centroids.join(means.select("cluster"), Seq("cluster"), "left_anti"))
         .localCheckpoint(true)
     }
+    cached.unpersist(false)
     centroids
   }
 

@@ -33,8 +33,10 @@ object Skew {
     // right/full outer would emit the small side's unmatched SALT COPIES
     // as extra null-padded rows — salting is only sound for join types
     // whose output rows all originate from the (salted) big side
+    // "cross" is excluded: with using-columns it would degenerate to the
+    // keyed equi-join anyway (inner covers it) — offering it is misleading
     val normalized = joinType.toLowerCase.replace("_", "")
-    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
       .contains(normalized),
       s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType")
     val saltedBig = big.withColumn("__salt",

@@ -134,11 +134,19 @@ object Streams {
       .start()
 
   /** Convenience: run the hourly-window stream from a file source —
-    * the deployment shape (`readStream` → transform → `writeStream`). */
+    * the deployment shape (`readStream` → transform → `writeStream`).
+    * `dir` is the sf directory; only the events files are ingested (the
+    * sibling tables share the directory — a glob over all of them would
+    * read ~10x the bytes as all-null rows). The nanos conf is set here,
+    * not inherited from a prior batch `Tables.events` call. */
   def fileStreamQuery(s: SparkSession, dir: String, checkpoint: String,
                       outPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = s.readStream
       .schema(graft.sources.Schemas.events)
+      // glob filter, not a file path: FileStreamSource requires a
+      // directory (basePath), and the filter prunes at listing time
+      .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     hourlyWindows(stream).writeStream
