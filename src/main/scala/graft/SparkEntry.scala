@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Dedup, Etl, Events, Kpi, Multimodal, Similarity, Text}
+import graft.operators.{Cluster, Dedup, Etl, Events, Kpi, Multimodal, Sample, Similarity, Text}
 import graft.sources.Catalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -42,6 +42,11 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, d) => Dedup.qJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.qSimhash(s, d)),
     "dedup_embed" -> ((s, d) => Dedup.qEmbed(s, d)),
+    // Cluster formation over the verified near-dup pairs (connected
+    // components via iterative min-label propagation)
+    "dedup_clusters" -> ((s, d) => Cluster.qClusters(s, d)),
+    // Deterministic stratified hash sampling (training-data mixing)
+    "sample_stratified" -> ((s, d) => Sample.qSample(s, d)),
     // Similarity search over `embeddings`
     "similar_topk" -> ((s, d) => Similarity.qTopK(s, d)),
     "similar_ann_ivf" -> ((s, d) => Similarity.qIvf(s, d)),
@@ -54,12 +59,15 @@ object SparkEntry {
     "text_langid" -> ((s, d) => Text.qLangId(s, d)),
     "text_fingerprint" -> ((s, d) => Text.qFingerprint(s, d)),
     "text_winnow" -> ((s, d) => Text.qWinnow(s, d)),
+    "text_vocab" -> ((s, d) => Text.qVocab(s, d)),
+    "text_bm25" -> ((s, d) => Text.qBm25(s, d)),
     // Event-time windows + sessionization over `events`
     "events_window" -> ((s, d) => Events.qTumbling(s, d)),
     "events_window_sliding" -> ((s, d) => Events.qSliding(s, d)),
     "events_sessions" -> ((s, d) => Events.qSessions(s, d)),
     // Multimodal binary columns (decode kernels stubbed; plumbing real)
     "media_meta" -> ((s, d) => Multimodal.qMediaMeta(s, d)),
+    "media_frames" -> ((s, d) => Multimodal.qFrames(s, d)),
     // HLL sketch next to exact distinct — no oracle (sketches are
     // engine-specific); driver records the weaker rows-only check and
     // KpiSpec bounds the relative error.
@@ -93,16 +101,21 @@ object SparkEntry {
     "dedup_jaccard" -> Dedup.qJaccardSql,
     "dedup_simhash" -> Dedup.qSimhashSql,
     "dedup_embed" -> Dedup.qEmbedSql,
+    "dedup_clusters" -> Cluster.qClustersSql,
+    "sample_stratified" -> Sample.qSampleSql,
     "similar_topk" -> Similarity.qTopKSql,
     "similar_ann_ivf" -> Similarity.qIvfSql,
     "text_stats" -> Text.qStatsSql,
     "text_langid" -> Text.qLangIdSql,
     "text_fingerprint" -> Text.qFingerprintSql,
     "text_winnow" -> Text.qWinnowSql,
+    "text_vocab" -> Text.qVocabSql,
+    "text_bm25" -> Text.qBm25Sql,
     "events_window" -> Events.qTumblingSql,
     "events_window_sliding" -> Events.qSlidingSql,
     "events_sessions" -> Events.qSessionsSql,
     "media_meta" -> Multimodal.qMediaMetaSql,
+    "media_frames" -> Multimodal.qFramesSql,
     "kpi_anomalies_at_scale" -> Kpi.anomaliesSql(),
   )
 }

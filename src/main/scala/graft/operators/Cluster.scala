@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Near-dup cluster formation — the step AFTER candidate generation and
+  * verification in a dedup pipeline: verified pairs form a graph, its
+  * connected components are the duplicate clusters, and each cluster
+  * keeps one canonical document (min doc_id). The reference's dedup is
+  * row-level keyed (`drop_duplicates`, /root/reference/src/etl.py:33);
+  * this is its corpus-level analog for training data, where "duplicate"
+  * is a relation (A~B, B~C) that must be closed transitively before
+  * anything can be dropped.
+  *
+  * Algorithm: iterative min-label propagation (the hash-join form of
+  * connected components — the same dataflow GraphX's
+  * `ConnectedComponents` lowers to, re-expressed as DataFrame joins so
+  * Catalyst/AQE own the physical plan). Each iteration is one keyed
+  * join + one min-aggregate; iteration count = graph diameter, and
+  * near-dup graphs are shallow (clusters are cliques-ish: diameter 2-4)
+  * so the loop terminates in a handful of rounds. The convergence probe
+  * is an `isEmpty` on the checkpointed labels — a driver-side boolean,
+  * not a data collect (the standard Pregel driver loop).
+  *
+  * Scale notes: the edge list is |verified pairs| — orders of magnitude
+  * smaller than the corpus (only near-dups appear); labels are one row
+  * per CLUSTERED doc. Both are checkpointed per iteration, so plans stay
+  * O(1) and the candidate pipeline upstream is evaluated exactly once.
+  * At extreme diameters (adversarial chains) the alternating large-star/
+  * small-star variant caps rounds at O(log n) with the same join shape —
+  * the swap is local to this function. Determinism: min over a total
+  * order — the same labels on any partitioning.
+  */
+object Cluster {
+  val MaxIter = 15
+
+  /** Connected components of an (a, b) edge list: one row per vertex,
+    * `canonical_id` = min vertex id reachable. Vertices are the edge
+    * endpoints (isolated docs are not duplicates of anything — they
+    * don't need a row). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = MaxIter): DataFrame = {
+    // symmetric closure, checkpointed: every iteration reuses it without
+    // replaying the (expensive) candidate pipeline that produced it
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .withColumn("chg", lit(true))
+      .localCheckpoint(true)
+    var it = 0
+    var done = sym.isEmpty
+    while (!done && it < maxIter) {
+      // label(b) <- min(label(b), min over neighbors a of label(a))
+      val nbr = sym.withColumnRenamed("a", "v")
+        .join(labels, "v")
+        .groupBy(col("b").as("v"))
+        .agg(min("label").as("nl"))
+      val next = labels.drop("chg").join(nbr, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (col("nl") < col("label")).as("chg"))
+        .localCheckpoint(true)
+      done = next.filter(col("chg")).isEmpty
+      labels = next
+      it += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("canonical_id"))
+  }
+
+  /** Declared query: clusters over the Jaccard-VERIFIED near-dup pairs
+    * (candidates alone would cluster false positives), with per-cluster
+    * member counts. */
+  def qClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardOverCandidates(Tables.documents(s, dir))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val cc = connectedComponents(pairs)
+    val csize = cc.groupBy("canonical_id").agg(count(lit(1)).as("n_members"))
+    cc.join(csize, "canonical_id")
+      .select("doc_id", "canonical_id", "n_members")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle: the same verified pairs (shared CTEs with qJaccard),
+    * transitive closure via a recursive CTE (UNION dedup keeps it
+    * finite), canonical = min reachable id. */
+  def qClustersSql: String =
+    s"""WITH RECURSIVE ${Dedup.jaccardVerifiedCtes},
+       |cedges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+       |           UNION SELECT doc_b, doc_a FROM verified),
+       |cnodes AS (SELECT DISTINCT a AS v FROM cedges),
+       |reach AS (
+       |  SELECT v AS src, v AS dst FROM cnodes
+       |  UNION
+       |  SELECT r.src, e.b AS dst FROM reach r JOIN cedges e ON e.a = r.dst),
+       |cc AS (SELECT src AS doc_id, MIN(dst) AS canonical_id FROM reach GROUP BY src),
+       |csize AS (SELECT canonical_id, COUNT(*) AS n_members FROM cc GROUP BY canonical_id)
+       |SELECT doc_id, canonical_id, n_members
+       |FROM cc JOIN csize USING (canonical_id) ORDER BY doc_id""".stripMargin
+}

@@ -195,8 +195,11 @@ object Dedup {
   def qJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardOverCandidates(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
 
-  def qJaccardSql: String =
-    s"""WITH $minhashCtes,
+  /** Shared CTE chain ending in `verified(doc_a, doc_b, jaccard)` — the
+    * threshold-passing near-dup pairs. Used by qJaccardSql and by the
+    * cluster oracle ([[Cluster.qClustersSql]]). */
+  private[operators] def jaccardVerifiedCtes: String =
+    s"""$minhashCtes,
        |tok AS (SELECT DISTINCT doc_id, sh FROM shx),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
        |inter AS (
@@ -204,13 +207,18 @@ object Dedup {
        |  FROM pairs p
        |  JOIN tok ta ON ta.doc_id = p.doc_a
        |  JOIN tok tb ON tb.doc_id = p.doc_b AND tb.sh = ta.sh
-       |  GROUP BY p.doc_a, p.doc_b)
-       |SELECT i.doc_a, i.doc_b,
-       |       CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
-       |FROM inter i
-       |JOIN sizes sa ON sa.doc_id = i.doc_a
-       |JOIN sizes sb ON sb.doc_id = i.doc_b
-       |WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= $JaccardThreshold
+       |  GROUP BY p.doc_a, p.doc_b),
+       |verified AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |         CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= $JaccardThreshold)""".stripMargin
+
+  def qJaccardSql: String =
+    s"""WITH $jaccardVerifiedCtes
+       |SELECT doc_a, doc_b, jaccard FROM verified
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------------------------

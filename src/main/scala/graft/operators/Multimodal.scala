@@ -139,6 +139,36 @@ object Multimodal {
       col("meta.duration_ms").as("duration_ms"))
       .orderBy("media_id")
 
+  /** Oracle-checked frame sampling: the byte-slicing stage of
+    * [[frameSample]], one row per (media, frame) with size + content
+    * hash. The corpus is pure ASCII (verified), so the DuckDB twin's
+    * character slicing is byte-identical to Spark's binary slicing —
+    * which is exactly what makes the plumbing testable end-to-end even
+    * though the decode kernel itself is stubbed. */
+  def qFrames(s: SparkSession, dir: String): DataFrame =
+    frameSample(mediaTable(s, dir))
+      .select(col("media_id"), col("kind"), posexplode(col("frames")))
+      .toDF("media_id", "kind", "frame_no", "frame")
+      .select(col("media_id"), col("kind"), col("frame_no"),
+        length(col("frame")).cast("long").as("n_bytes"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("media_id", "frame_no")
+
+  def qFramesSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       |         text,
+       |         GREATEST(length(text) // $FrameCount, 1) AS fl
+       |  FROM documents),
+       |f AS (
+       |  SELECT media_id, kind, CAST(i AS INT) AS frame_no,
+       |         substr(text, CAST(i * fl + 1 AS INT), CAST(fl AS INT)) AS fr
+       |  FROM m, range($FrameCount) t(i))
+       |SELECT media_id, kind, frame_no,
+       |       CAST(length(fr) AS BIGINT) AS n_bytes, md5(fr) AS frame_md5
+       |FROM f ORDER BY media_id, frame_no""".stripMargin
+
   def qMediaMetaSql: String =
     """SELECT doc_id AS media_id,
       |       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,

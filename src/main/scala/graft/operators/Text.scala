@@ -244,6 +244,99 @@ object Text {
       |FROM sel ORDER BY doc_id, winnow_hash""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Vocabulary (corpus token statistics — the BPE-training input)
+  // -------------------------------------------------------------------
+  val VocabK = 100
+
+  /** Top-k corpus vocabulary: per-token occurrence and document counts.
+    * One explode + one keyed agg (map-side combinable) + top-k via
+    * TakeOrderedAndProject — the canonical shape for building a tokenizer
+    * vocabulary over a corpus. Ties break on token asc, so the cut is
+    * deterministic. */
+  def vocab(docs: DataFrame, k: Int = VocabK): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occur"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n_occur").desc, col("token").asc)
+      .limit(k)
+
+  def qVocab(s: SparkSession, dir: String): DataFrame =
+    vocab(Tables.balanced(Tables.documents(s, dir)))
+
+  def qVocabSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |w AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM d)
+       |SELECT token, COUNT(*) AS n_occur, COUNT(DISTINCT doc_id) AS n_docs
+       |FROM w GROUP BY token
+       |ORDER BY n_occur DESC, token ASC LIMIT $VocabK""".stripMargin
+
+  // -------------------------------------------------------------------
+  // BM25-style keyword retrieval (quantized integer weights)
+  // -------------------------------------------------------------------
+  val QueryTerms: Seq[String] = Seq("hash", "join", "spark", "window", "batch")
+  val Bm25K = 20
+  val WQuant = 10000L       // idf quantization steps
+  val WCap = 1000000000L    // weight clamp — keeps tfw*w far from int64
+
+  /** Top-k documents for a fixed keyword query, scored BM25-style with
+    * QUANTIZED INTEGER weights — every transcendental is replaced by an
+    * exact integral form so scores are order-independent and bit-equal
+    * across engines (a float `ln`/`Σ` differs in ulps between libms and
+    * between addition orders; an int64 sum cannot):
+    *   idf_t  = floor(WQuant · (N + 0.5) / (df_t + 0.5))      [int div]
+    *   tfsat  = floor(1000 · tf(k1+1) / (tf + k1)), k1 = 1.2  [int div]
+    *   score  = Σ_t tfsat · min(idf_t, WCap)                  [exact]
+    * The plan prunes to the query terms BEFORE any aggregation (the
+    * inverted-index access path, relationally): tf/df are computed over
+    * the filtered token stream only, the tiny per-term weight table is
+    * broadcast, and the doc-level sum is one keyed agg + top-k. At
+    * production N the idf table is precomputed once per corpus snapshot;
+    * WCap bounds the product under ANSI far below int64. */
+  def bm25(docs: DataFrame, terms: Seq[String] = QueryTerms, k: Int = Bm25K): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = df.crossJoin(broadcast(n))
+      .withColumn("w",
+        least(expr(s"($WQuant * (2 * n_docs + 1)) div (2 * df + 1)"), lit(WCap)))
+      .select("token", "w")
+    tf.join(broadcast(w), "token")
+      .withColumn("tfsat", expr("(tf * 22 * 100) div (10 * tf + 12)"))
+      .groupBy("doc_id")
+      .agg(sum(col("tfsat") * col("w")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    bm25(Tables.balanced(Tables.documents(s, dir)))
+
+  def qBm25Sql: String = {
+    val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |w AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM d),
+       |qtok AS (SELECT doc_id, token FROM w WHERE token IN ($termList)),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM qtok GROUP BY doc_id, token),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT COUNT(*) AS n_docs FROM d),
+       |wt AS (SELECT token,
+       |              LEAST(($WQuant * (2 * n_docs + 1)) // (2 * df + 1), $WCap) AS w
+       |       FROM df, n)
+       |SELECT tf.doc_id,
+       |       CAST(SUM(((tf.tf * 22 * 100) // (10 * tf.tf + 12)) * wt.w) AS BIGINT) AS score,
+       |       COUNT(*) AS n_terms
+       |FROM tf JOIN wt USING (token)
+       |GROUP BY tf.doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin
+  }
+
   def qFingerprintSql: String =
     s"""WITH d AS (
       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t

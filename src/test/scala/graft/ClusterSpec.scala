@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Cluster
+import org.apache.spark.sql.functions._
+
+/** Connected-components semantics on hand-built graphs: transitive
+  * closure across chains (multi-iteration propagation), component
+  * isolation, determinism across partitionings, and empty input. */
+class ClusterSpec extends SparkSpec {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Cluster.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain needs > 1 propagation round: 5-4-3-2-1 all label to 1") {
+    // worst-case direction: labels must flow the full chain length
+    val labels = cc(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("two components stay separate; isolated docs absent") {
+    val labels = cc(Seq((10L, 20L), (20L, 30L), (7L, 8L)))
+    assert(labels == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("deterministic across partitionings") {
+    val edges = Seq((1L, 9L), (9L, 4L), (6L, 2L), (2L, 9L), (11L, 12L))
+    val one = Cluster.connectedComponents(edges.toDF("a", "b").repartition(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val many = Cluster.connectedComponents(edges.toDF("a", "b").repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == many)
+    assert(one.map(_._2) == Set(1L, 11L))
+  }
+
+  test("empty edge list yields empty labels, no iteration") {
+    assert(Cluster.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
+  }
+
+  test("cluster query shape: every member maps into its cluster, sizes consistent") {
+    val out = Cluster.qClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    if (out.nonEmpty) {
+      val byCluster = out.groupBy(_._2)
+      // n_members agrees with actual membership; canonical is the min member
+      byCluster.foreach { case (canon, members) =>
+        assert(members.forall(_._3 == members.length))
+        assert(members.map(_._1).min == canon)
+      }
+      assert(out.forall(_._3 >= 2), "clusters come from pairs: size >= 2")
+    }
+  }
+}

@@ -81,6 +81,21 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.getLong(1)).distinct.length > 1, "fingerprints differ across frames")
   }
 
+  test("qFrames: one row per (media, frame), hashes match direct slicing") {
+    val out = Multimodal.qFrames(spark, sf)
+    val rows = out.limit(Multimodal.FrameCount).collect()
+    assert(rows.length == Multimodal.FrameCount)
+    assert(rows.map(_.getInt(2)).toSeq == (0 until Multimodal.FrameCount))
+    // frame bytes re-hashed by hand for the first media
+    val media = Multimodal.mediaTable(spark, sf).orderBy("media_id").limit(1).head
+    val content = media.getAs[Array[Byte]]("content")
+    val fl = math.max(content.length / Multimodal.FrameCount, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(content.slice(0, fl)).map("%02x".format(_)).mkString
+    assert(rows.head.getString(4) == expect)
+    assert(rows.head.getLong(3) == fl.toLong)
+  }
+
   test("metadata pruning: filter on meta fields reads no blob bytes (column pruning)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_media").toString
     Multimodal.decodeMeta(media).write.mode("overwrite").parquet(tmp)

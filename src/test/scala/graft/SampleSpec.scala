@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Sample
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling: rate adherence, rerun stability,
+  * monotonicity under rate increases, unknown-stratum drop. */
+class SampleSpec extends SparkSpec {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private def docs(n: Int) =
+    (0 until n).map(i => (i.toLong, if (i % 2 == 0) "en" else "xx"))
+      .toDF("doc_id", "lang")
+
+  test("observed rate tracks the configured rate") {
+    val n = 2000
+    val kept = Sample.stratified(docs(n), Seq("en" -> 5000)).count()
+    // 1000 'en' docs at rate 0.5: binomial-ish bound, hash should land
+    // well within ±10 percentage points
+    assert(kept > 400 && kept < 600, s"kept $kept of 1000 at rate 0.5")
+  }
+
+  test("unknown stratum is dropped entirely (explicit config only)") {
+    val out = Sample.stratified(docs(100), Seq("en" -> 10000))
+    assert(out.filter(col("lang") === "xx").count() == 0)
+    assert(out.count() == 50, "rate 1.0 keeps every 'en' row")
+  }
+
+  test("rerun-stable and partitioning-independent") {
+    val a = Sample.stratified(docs(500).repartition(1)).collect().map(_.getLong(0)).toSet
+    val b = Sample.stratified(docs(500).repartition(13)).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("raising a rate keeps every previously sampled row (superset)") {
+    val low = Sample.stratified(docs(1000), Seq("en" -> 2000))
+      .collect().map(_.getLong(0)).toSet
+    val high = Sample.stratified(docs(1000), Seq("en" -> 6000))
+      .collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
+  }
+
+  test("buckets lie in [0, Denom) and differ from the raw hash of the id") {
+    val b = docs(200).select(Sample.bucket(col("doc_id")).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b.forall(x => x >= 0 && x < Sample.Denom))
+    assert(b.distinct.length > 100, "buckets spread, not degenerate")
+  }
+}

@@ -80,4 +80,32 @@ class TextSpec extends SparkSpec {
     val short = Text.winnow(Seq((9L, "tiny doc")).toDF("doc_id", "text")).collect()
     assert(short.length == 1)
   }
+
+  test("vocab: counts, deterministic tie order, top-k cut") {
+    val docs = Seq((1L, "b a a c"), (2L, "a b B"), (3L, "c x")).toDF("doc_id", "text")
+    val out = Text.vocab(docs, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a: 3 occurrences in 2 docs; b: 3 in 2 (B lowercased); ties a < b
+    assert(out.toSeq == Seq(("a", 3L, 2L), ("b", 3L, 2L), ("c", 2L, 2L)))
+  }
+
+  test("bm25: rarer query term outranks common one; scores exact ints; top-k deterministic") {
+    val docs = Seq(
+      (1L, "spark spark spark common"),   // high tf on rare term
+      (2L, "common common common common"),// only the ubiquitous term
+      (3L, "spark common"),
+      (4L, "common noise words here"),
+      (5L, "unrelated entirely")
+    ).toDF("doc_id", "text")
+    val out = Text.bm25(docs, terms = Seq("spark", "common"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 (tf=3 on the rare term) must beat doc 2 (tf=4 on the common one)
+    assert(out.head._1 == 1L)
+    assert(out.map(_._1).contains(2L))
+    assert(!out.map(_._1).contains(5L), "no query term -> no score row")
+    // determinism across partitionings (int scores: no float summation order)
+    val again = Text.bm25(docs.repartition(7), terms = Seq("spark", "common"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
 }
