@@ -86,6 +86,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(reused >= 3, s"expected >=3 ReusedExchange nodes, got $reused")
   }
 
+  test("config-sized sides broadcast in the round-3 queries") {
+    // the rates table (sampling) and per-term weight table (bm25) are
+    // config/query-sized — they must broadcast, never shuffle the corpus
+    Seq("sample_stratified", "text_bm25").foreach { name =>
+      assert(executed(name).toString.contains("BroadcastHashJoin"),
+        s"$name: expected the small side broadcast")
+    }
+  }
+
   test("shuffle counts stay bounded for the hot queries (broadcasts excluded)") {
     // regression tripwire: a rewrite that introduces an extra shuffle
     // stage should fail loudly here. Broadcast exchanges are excluded —
@@ -95,7 +104,14 @@ class PlanAuditSpec extends SparkSpec {
     // session groupBy reuses the window's user_id partitioning).
     val bounds = Map(
       "kpi_summary" -> 2, "kpi_by_dept" -> 3, "kpi_delta_by_dept" -> 3,
-      "events_sessions" -> 2, "events_window" -> 2)
+      "events_sessions" -> 2, "events_window" -> 2,
+      // round-3 additions: sampling and frame slicing are narrow (the 1
+      // is the presentation sort); vocab = explode-agg + two-phase
+      // count-distinct; bm25's 8 counts BOTH uses of the tf subtree
+      // (ReusedExchange dedupes at runtime) and the tiny df/n/weight
+      // stages — only 2 carry data volume (tf agg, per-doc score agg)
+      "sample_stratified" -> 1, "media_frames" -> 1,
+      "text_vocab" -> 3, "text_bm25" -> 8)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
