@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Cluster, Dedup, Etl, Events, Kpi, Multimodal, Sample, Similarity, Text}
+import graft.operators.{Cluster, Curate, Dedup, Etl, Events, Kpi, Multimodal, Sample, Similarity, Text}
 import graft.sources.Catalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -47,6 +47,9 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Cluster.qClusters(s, d)),
     // Deterministic stratified hash sampling (training-data mixing)
     "sample_stratified" -> ((s, d) => Sample.qSample(s, d)),
+    // End-to-end curation: exact dedup -> near-dup clusters -> quality
+    // gate -> stratified mixture sample, composed from the operators above
+    "pipeline_curate" -> ((s, d) => Curate.qCurate(s, d)),
     // Similarity search over `embeddings`
     "similar_topk" -> ((s, d) => Similarity.qTopK(s, d)),
     "similar_ann_ivf" -> ((s, d) => Similarity.qIvf(s, d)),
@@ -103,6 +106,7 @@ object SparkEntry {
     "dedup_embed" -> Dedup.qEmbedSql,
     "dedup_clusters" -> Cluster.qClustersSql,
     "sample_stratified" -> Sample.qSampleSql,
+    "pipeline_curate" -> Curate.qCurateSql,
     "similar_topk" -> Similarity.qTopKSql,
     "similar_ann_ivf" -> Similarity.qIvfSql,
     "text_stats" -> Text.qStatsSql,

@@ -83,11 +83,11 @@ object Cluster {
       .orderBy("doc_id")
   }
 
-  /** DuckDB oracle: the same verified pairs (shared CTEs with qJaccard),
-    * transitive closure via a recursive CTE (UNION dedup keeps it
-    * finite), canonical = min reachable id. */
-  def qClustersSql: String =
-    s"""WITH RECURSIVE ${Dedup.jaccardVerifiedCtes},
+  /** Shared CTE chain (verified pairs -> `cc(doc_id, canonical_id)`),
+    * reused by the curation-pipeline oracle. Must run under
+    * `WITH RECURSIVE`. */
+  private[operators] def ccCtes: String =
+    s"""${Dedup.jaccardVerifiedCtes},
        |cedges AS (SELECT doc_a AS a, doc_b AS b FROM verified
        |           UNION SELECT doc_b, doc_a FROM verified),
        |cnodes AS (SELECT DISTINCT a AS v FROM cedges),
@@ -95,7 +95,13 @@ object Cluster {
        |  SELECT v AS src, v AS dst FROM cnodes
        |  UNION
        |  SELECT r.src, e.b AS dst FROM reach r JOIN cedges e ON e.a = r.dst),
-       |cc AS (SELECT src AS doc_id, MIN(dst) AS canonical_id FROM reach GROUP BY src),
+       |cc AS (SELECT src AS doc_id, MIN(dst) AS canonical_id FROM reach GROUP BY src)""".stripMargin
+
+  /** DuckDB oracle: the same verified pairs (shared CTEs with qJaccard),
+    * transitive closure via a recursive CTE (UNION dedup keeps it
+    * finite), canonical = min reachable id. */
+  def qClustersSql: String =
+    s"""WITH RECURSIVE $ccCtes,
        |csize AS (SELECT canonical_id, COUNT(*) AS n_members FROM cc GROUP BY canonical_id)
        |SELECT doc_id, canonical_id, n_members
        |FROM cc JOIN csize USING (canonical_id) ORDER BY doc_id""".stripMargin

@@ -37,17 +37,25 @@ object Sample {
     pmod(graft.functions.Hashes.hash60(concat(lit(Salt), key.cast("string"))),
       lit(Denom))
 
-  /** Stratified hash sample of `documents`: stratum = lang. */
-  def stratified(docs: DataFrame, rates: Seq[(String, Int)] = Rates): DataFrame = {
-    val s = docs.sparkSession
+  /** The sampling predicate applied to any frame carrying (doc_id, lang):
+    * appends `bucket`, keeps rows under their stratum's rate, preserves
+    * the other columns. The composable form — the curation pipeline
+    * chains it after its filter stages. */
+  def applyRates(keyed: DataFrame, rates: Seq[(String, Int)] = Rates): DataFrame = {
+    val s = keyed.sparkSession
     import s.implicits._
     val ratesDf = rates.toDF("lang", "rate")
-    docs.select(col("doc_id"), col("lang"))
+    keyed
       .withColumn("bucket", bucket(col("doc_id")))
       .join(broadcast(ratesDf), "lang")
       .filter(col("bucket") < col("rate"))
-      .select("doc_id", "lang", "bucket")
+      .drop("rate")
   }
+
+  /** Stratified hash sample of `documents`: stratum = lang. */
+  def stratified(docs: DataFrame, rates: Seq[(String, Int)] = Rates): DataFrame =
+    applyRates(docs.select(col("doc_id"), col("lang")), rates)
+      .select("doc_id", "lang", "bucket")
 
   def qSample(s: SparkSession, dir: String): DataFrame =
     stratified(Tables.documents(s, dir)).orderBy("doc_id")
