@@ -24,7 +24,10 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: the one recurring WARN is WindowExec's single-partition note
+    // for the dim surrogate-key window, which is by-design for dim-sized
+    // inputs (Etl.dimDept doc) — at WARN it floods the bench JSON's tail
+    spark.sparkContext.setLogLevel("ERROR")
 
     def run(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()

@@ -34,14 +34,17 @@ object SparkEntry {
     "etl_employee_upsert" -> ((s, _) => Etl.qEmployeeUpsert(s)),
     "etl_fact_upsert" -> ((s, _) => Etl.qFactUpsert(s)),
     "etl_count" -> ((s, _) => Etl.qCount(s)),
-    // S9 catalog introspection
+    // S9 catalog introspection + data-level profiling
     "catalog_columns" -> ((s, _) => Catalog.columns(s)),
+    "catalog_profile" -> ((s, d) => Catalog.qProfile(s, d)),
     // Training-data dedup family over `documents`
     "dedup_exact" -> ((s, d) => Dedup.qExact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.qMinhash(s, d)),
     "dedup_jaccard" -> ((s, d) => Dedup.qJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.qSimhash(s, d)),
     "dedup_embed" -> ((s, d) => Dedup.qEmbed(s, d)),
+    // Incremental: new batch vs persisted corpus band index
+    "dedup_incremental" -> ((s, d) => Dedup.qIncremental(s, d)),
     // Cluster formation over the verified near-dup pairs (connected
     // components via iterative min-label propagation)
     "dedup_clusters" -> ((s, d) => Cluster.qClusters(s, d)),
@@ -99,11 +102,13 @@ object SparkEntry {
     "etl_fact_upsert" -> Etl.qFactUpsertSql,
     "etl_count" -> Etl.qCountSql,
     "catalog_columns" -> Catalog.columnsSql,
+    "catalog_profile" -> Catalog.qProfileSql,
     "dedup_exact" -> Dedup.qExactSql,
     "dedup_minhash" -> Dedup.qMinhashSql,
     "dedup_jaccard" -> Dedup.qJaccardSql,
     "dedup_simhash" -> Dedup.qSimhashSql,
     "dedup_embed" -> Dedup.qEmbedSql,
+    "dedup_incremental" -> Dedup.qIncrementalSql,
     "dedup_clusters" -> Cluster.qClustersSql,
     "sample_stratified" -> Sample.qSampleSql,
     "pipeline_curate" -> Curate.qCurateSql,

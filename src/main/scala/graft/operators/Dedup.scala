@@ -322,6 +322,51 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Incremental dedup: new batch vs a persisted corpus band index
+  // -------------------------------------------------------------------
+
+  /** The persistable LSH band index of a corpus: (doc_id, band, bh).
+    * At 100 TB this is written ONCE (bucketed/partitioned by (band, bh))
+    * and each incoming batch joins against it — re-shingling the corpus
+    * per batch is the thing incremental dedup exists to avoid. */
+  def bandIndex(docs: DataFrame): DataFrame =
+    lshBands(minhashSignature(shingles(docs)))
+
+  /** Candidate pairs of an incoming batch against an existing index:
+    * the same keyed (band, hash) equi-join as [[lshCandidates]], but
+    * asymmetric — only new×corpus pairs emerge, the corpus never
+    * self-joins. Cost per batch is |batch bands| ⋈ bucket occupancy;
+    * with the index bucketed by (band, bh) the join is co-located and
+    * shuffle-free on the corpus side. `newDocs` pairs are intentionally
+    * NOT generated here (run [[lshCandidates]] on the batch for those). */
+  def incrementalCandidates(newBands: DataFrame, index: DataFrame): DataFrame = {
+    val inc = newBands.toDF("doc_new", "band", "bh")
+    val idx = index.toDF("doc_idx", "band", "bh")
+    inc.join(idx, Seq("band", "bh"))
+      .filter(col("doc_new") =!= col("doc_idx"))
+      .select("doc_new", "doc_idx").distinct()
+  }
+
+  /** Declared query: docs with doc_id % 5 == 0 arrive as the "new batch"
+    * against an index of the rest — the steady-state shape of a corpus
+    * that deduplicates every ingest increment. */
+  def qIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val newBatch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    incrementalCandidates(bandIndex(newBatch), bandIndex(corpus))
+      .orderBy("doc_new", "doc_idx")
+  }
+
+  def qIncrementalSql: String =
+    s"""WITH $minhashCtes
+       |SELECT a.doc_id AS doc_new, b.doc_id AS doc_idx
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       |GROUP BY 1, 2
+       |ORDER BY doc_new, doc_idx""".stripMargin
+
+  // -------------------------------------------------------------------
   // Embedding-cosine near-dup (sign-random-projection LSH)
   // -------------------------------------------------------------------
 

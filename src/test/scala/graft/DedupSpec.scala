@@ -31,6 +31,21 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_dups")).sum == 4)
   }
 
+  test("incremental: a new near-dup pairs against the persisted index, not the batch alone") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    // corpus indexed once (docs 1, 4); batch brings a near-dup of 1 + noise
+    Dedup.bandIndex(Seq((1L, base), (4L, unrelated)).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(tmp)
+    val batch = Seq((10L, nearDup), (11L, "entirely fresh text about nothing similar at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.incrementalCandidates(
+        Dedup.bandIndex(batch), spark.read.parquet(tmp))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 1L)), "near-dup of an indexed doc is found")
+    assert(!pairs.exists(_._1 == 11L), "fresh content pairs with nothing")
+    assert(pairs.forall(p => p._1 >= 10L && p._2 < 10L), "only new x corpus pairs")
+  }
+
   test("minhash-LSH: near-dup pair is a candidate; unrelated doc pairs with nothing") {
     val pairs = Dedup.lshCandidates(Dedup.lshBands(
       Dedup.minhashSignature(Dedup.shingles(docs))))

@@ -34,4 +34,17 @@ class SchemasSpec extends SparkSpec {
     val us = conv.getTime * 1000L + (conv.getNanos / 1000L) % 1000L
     assert(us == rawNs / 1000L, s"ns=$rawNs µs=$us")
   }
+
+  test("profile: one pass, hand-checkable stats, nulls counted") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (10L, Some("b")))
+      .toDF("id", "v")
+    val out = graft.sources.Catalog.profile(df, Seq("id", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(out("id") == ((4L, 4L, 4L, "1", "3")),
+      s"lexicographic min/max on the string form ('10' < '2'): got ${out("id")}")
+    assert(out("v") == ((4L, 3L, 2L, "a", "b")), s"nulls excluded: ${out("v")}")
+  }
 }
