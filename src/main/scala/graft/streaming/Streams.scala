@@ -133,6 +133,48 @@ object Streams {
       }
       .start()
 
+  /** Streaming incremental near-dup dedup: each micro-batch of documents
+    * is shingled to its LSH band signature, matched against the
+    * PERSISTED corpus band index (hits = candidate near-dups of anything
+    * ever ingested), then appended to that index — the continuous-ingest
+    * face of [[graft.operators.Dedup.bandIndex]] /
+    * [[graft.operators.Dedup.incrementalCandidates]]. The corpus is
+    * never re-shingled: per batch the work is |batch| shingling plus one
+    * keyed join against the (bucketed at scale) index.
+    *
+    * Effectively-once: both sinks are PARTITIONED BY batch_id and written
+    * with dynamic partition overwrite, so a replayed micro-batch
+    * rewrites exactly its own partition — idempotent under the retries
+    * Structured Streaming assumes, with no read-modify-write of the
+    * whole index (the same pattern `Sinks.upsertFactPartitions` uses for
+    * the fact table). */
+  def dedupIngest(docs: DataFrame, indexPath: String, hitsPath: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bands = graft.operators.Dedup.bandIndex(batch)
+          .localCheckpoint(true) // two consumers below; shingle once
+        if (new java.io.File(indexPath).exists()) {
+          val idx = s.read.parquet(indexPath)
+            // a replayed batch must not match its own previous write
+            .filter(col("batch_id") =!= batchId)
+            .drop("batch_id")
+          graft.operators.Dedup.incrementalCandidates(bands, idx)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(hitsPath)
+        }
+        bands.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(indexPath)
+      }
+      .start()
+
   /** Convenience: run the hourly-window stream from a file source —
     * the deployment shape (`readStream` → transform → `writeStream`).
     * `dir` is the sf directory; only the events files are ingested (the

@@ -37,6 +37,31 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: connectedComponents == driver-side union-find on random graphs") {
+    val edgeGen = for {
+      a <- Gen.choose(0L, 19L)
+      b <- Gen.choose(0L, 19L)
+      if a != b
+    } yield (a, b)
+    (1 to Cases).foreach { s =>
+      val edges = draw(Gen.listOfN(25, edgeGen), 100L + s)
+      // reference: plain union-find with min-root canonicalization
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(v => v -> find(v)).toMap
+      val got = graft.operators.Cluster.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"seed $s: $got != $expect")
+    }
+  }
+
   test("property: saltedJoin == plain join across random salt counts") {
     val rowGen = for {
       k <- Gen.choose(0L, 4L)

@@ -138,6 +138,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: later batches match the persisted band index") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps on the warm mat near the door"
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = Streams.dedupIngest(stream.toDF().toDF("doc_id", "text"),
+      s"$tmp/index", s"$tmp/hits", s"$tmp/ckpt")
+    try {
+      stream.addData((1L, base), (2L, "entirely unrelated content"))
+      q.processAllAvailable()
+      // batch 2: a near-dup of doc 1 (one word changed) + fresh noise
+      stream.addData((10L, base.replace("mat", "rug")),
+        (11L, "novel text with no relatives"))
+      q.processAllAvailable()
+      val hits = spark.read.parquet(s"$tmp/hits")
+        .collect().map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_idx"))).toSet
+      assert(hits.contains((10L, 1L)), s"near-dup must hit the index, got $hits")
+      assert(!hits.exists(h => h._1 == 11L || h._2 == 11L), "noise matches nothing")
+      val idx = spark.read.parquet(s"$tmp/index")
+      assert(idx.select("doc_id").distinct().count() == 4, "index accumulates batches")
+      assert(idx.columns.contains("batch_id"), "batch-partitioned for idempotent replay")
+    } finally q.stop()
+  }
+
   test("deployment shape: readStream -> windows -> parquet sink starts and stops clean") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val q = Streams.fileStreamQuery(spark, sf, s"$tmp/ckpt", s"$tmp/out")
