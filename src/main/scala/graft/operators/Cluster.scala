@@ -38,7 +38,16 @@ object Cluster {
   /** Connected components of an (a, b) edge list: one row per vertex,
     * `canonical_id` = min vertex id reachable. Vertices are the edge
     * endpoints (isolated docs are not duplicates of anything — they
-    * don't need a row). */
+    * don't need a row).
+    *
+    * `maxIter` is a RUNAWAY GUARD, not a quality knob: propagation needs
+    * `eccentricity(min-id vertex)` rounds, and exhausting the cap means
+    * the labels are NOT a fixpoint — returning them would silently split
+    * true clusters. We throw instead (the caller either raises the cap
+    * or switches to the O(log n)-round large-star/small-star variant).
+    * Superseded label generations are small (one row per clustered doc)
+    * and reclaimed by Spark's ContextCleaner once unreferenced —
+    * localCheckpoint blocks have no public eager-release API. */
   def connectedComponents(edges: DataFrame, maxIter: Int = MaxIter): DataFrame = {
     // symmetric closure, checkpointed: every iteration reuses it without
     // replaying the (expensive) candidate pipeline that produced it
@@ -67,6 +76,8 @@ object Cluster {
       labels = next
       it += 1
     }
+    require(done, s"connectedComponents did not converge in $maxIter rounds " +
+      "(graph deeper than the guard); raise maxIter or use a log-round variant")
     labels.select(col("v").as("doc_id"), col("label").as("canonical_id"))
   }
 

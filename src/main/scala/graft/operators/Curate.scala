@@ -60,12 +60,12 @@ object Curate {
     curated(Tables.balanced(Tables.documents(s, dir))).orderBy("doc_id")
 
   /** DuckDB oracle: the same four stages — exact-canonical list, cluster
-    * drop-list (recursive CTE), quality gate, rate filter. The quality
-    * CTE mirrors qStatsSql's arithmetic exactly (same literals, same
-    * order), so the double compare agrees bit-for-bit. */
-  def qCurateSql: String = {
-    val stopList = Text.Profiles.head._2.map(w => s"'$w'").mkString(", ")
-    val ratesRows = Sample.Rates.map { case (l, r) => s"('$l', $r)" }.mkString(", ")
+    * drop-list (recursive CTE), quality gate, rate filter. Every piece
+    * of load-bearing arithmetic is the SHARED helper, not a copy:
+    * cluster CTEs from [[Cluster.ccCtes]], quality counts/score from
+    * [[Text.qualityCountsSql]]/[[Text.qualityArmsSql]], bucket + rates
+    * from [[Sample.bucketSql]]/[[Sample.ratesValuesSql]]. */
+  def qCurateSql: String =
     s"""WITH RECURSIVE ${Cluster.ccCtes},
        |noncanon AS (SELECT doc_id FROM cc WHERE doc_id <> canonical_id),
        |fp AS (SELECT doc_id, md5(t) AS f FROM d),
@@ -75,29 +75,23 @@ object Curate {
        |  FROM documents),
        |qbase AS (
        |  SELECT doc_id,
-       |         CAST(length(text) AS BIGINT) AS n_chars,
-       |         CAST(len(string_split(qt, ' ')) AS BIGINT) AS n_words,
-       |         CAST(length(regexp_replace(qt, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
-       |         CAST(len(list_filter(string_split(qt, ' '), w -> w IN ($stopList))) AS BIGINT) AS n_stop
+       |         ${Text.qualityCountsSql("qt")}
        |  FROM qd),
        |qual AS (
        |  SELECT doc_id,
-       |         (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END
-       |          + CASE WHEN CAST(n_stop AS DOUBLE) / n_words >= 0.01 THEN 0.3 ELSE 0.0 END
-       |          + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars <= 0.1 THEN 0.3 ELSE 0.0 END) AS quality
+       |         ${Text.qualityArmsSql} AS quality
        |  FROM qbase),
-       |rates(lang, rate) AS (VALUES $ratesRows)
-       |SELECT dd.doc_id, dd.lang, q.quality,
-       |       CAST('0x' || substr(md5('${Sample.Salt}' || dd.doc_id), 1, 15) AS BIGINT)
-       |         % ${Sample.Denom} AS bucket
-       |FROM documents dd
-       |JOIN canon c ON c.doc_id = dd.doc_id
-       |JOIN qual q ON q.doc_id = dd.doc_id
-       |JOIN rates r ON r.lang = dd.lang
-       |WHERE NOT EXISTS (SELECT 1 FROM noncanon n WHERE n.doc_id = dd.doc_id)
+       |rates(lang, rate) AS (VALUES ${Sample.ratesValuesSql}),
+       |keyed AS (
+       |  SELECT doc_id, lang, ${Sample.bucketSql("doc_id")} AS bucket
+       |  FROM documents)
+       |SELECT k.doc_id, k.lang, q.quality, k.bucket
+       |FROM keyed k
+       |JOIN canon c ON c.doc_id = k.doc_id
+       |JOIN qual q ON q.doc_id = k.doc_id
+       |JOIN rates r ON r.lang = k.lang
+       |WHERE NOT EXISTS (SELECT 1 FROM noncanon n WHERE n.doc_id = k.doc_id)
        |  AND q.quality >= $QualityMin
-       |  AND CAST('0x' || substr(md5('${Sample.Salt}' || dd.doc_id), 1, 15) AS BIGINT)
-       |        % ${Sample.Denom} < r.rate
-       |ORDER BY dd.doc_id""".stripMargin
-  }
+       |  AND k.bucket < r.rate
+       |ORDER BY k.doc_id""".stripMargin
 }

@@ -60,16 +60,21 @@ object Sample {
   def qSample(s: SparkSession, dir: String): DataFrame =
     stratified(Tables.documents(s, dir)).orderBy("doc_id")
 
-  def qSampleSql: String = {
-    val ratesRows = Rates.map { case (l, r) => s"('$l', $r)" }.mkString(", ")
-    s"""WITH rates(lang, rate) AS (VALUES $ratesRows),
+  /** The bucket expression's DuckDB twin over a key expression — ONE
+    * definition shared with every oracle that samples. */
+  private[operators] def bucketSql(key: String): String =
+    s"CAST('0x' || substr(md5('$Salt' || $key), 1, 15) AS BIGINT) % $Denom"
+
+  private[operators] def ratesValuesSql: String =
+    Rates.map { case (l, r) => s"('$l', $r)" }.mkString(", ")
+
+  def qSampleSql: String =
+    s"""WITH rates(lang, rate) AS (VALUES $ratesValuesSql),
        |b AS (
-       |  SELECT doc_id, lang,
-       |         CAST('0x' || substr(md5('$Salt' || doc_id), 1, 15) AS BIGINT) % $Denom AS bucket
+       |  SELECT doc_id, lang, ${bucketSql("doc_id")} AS bucket
        |  FROM documents)
        |SELECT doc_id, b.lang, bucket
        |FROM b JOIN rates USING (lang)
        |WHERE bucket < rate
        |ORDER BY doc_id""".stripMargin
-  }
 }

@@ -63,29 +63,41 @@ object Text {
   def qStats(s: SparkSession, dir: String): DataFrame =
     stats(Tables.balanced(Tables.documents(s, dir))).orderBy("doc_id")
 
-  def qStatsSql: String = {
+  /** The quality-gate count columns over (`text`, normalized alias `t`) —
+    * ONE definition shared with the curation-pipeline oracle; a drifted
+    * hand copy of this arithmetic would silently desync the two. */
+  private[operators] def qualityCountsSql(t: String): String = {
     val stopList = Profiles.head._2.map(w => s"'$w'").mkString(", ")
+    s"""CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(len(string_split($t, ' ')) AS BIGINT) AS n_words,
+       |         CAST(length(regexp_replace($t, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+       |         CAST(len(list_filter(string_split($t, ' '), w -> w IN ($stopList))) AS BIGINT) AS n_stop""".stripMargin
+  }
+
+  /** The quality score over the [[qualityCountsSql]] columns — shared
+    * with the curation oracle (same literals, same order: the double
+    * sums agree bit-for-bit). */
+  private[operators] val qualityArmsSql: String =
+    """(CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END
+      |        + CASE WHEN CAST(n_stop AS DOUBLE) / n_words >= 0.01 THEN 0.3 ELSE 0.0 END
+      |        + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars <= 0.1 THEN 0.3 ELSE 0.0 END)""".stripMargin
+
+  def qStatsSql: String =
     s"""WITH d AS (
        |  SELECT doc_id, text, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
        |  FROM documents),
        |base AS (
        |  SELECT doc_id,
-       |         CAST(length(text) AS BIGINT) AS n_chars,
-       |         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+       |         ${qualityCountsSql("t")},
        |         CAST(len(regexp_extract_all(t, '$TokenPattern')) AS BIGINT) AS n_tokens,
-       |         CAST(length(regexp_replace(t, '[^ ]', '', 'g')) AS BIGINT) AS n_spaces,
-       |         CAST(length(regexp_replace(t, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
-       |         CAST(len(list_filter(string_split(t, ' '), w -> w IN ($stopList))) AS BIGINT) AS n_stop
+       |         CAST(length(regexp_replace(t, '[^ ]', '', 'g')) AS BIGINT) AS n_spaces
        |  FROM d)
        |SELECT doc_id, n_chars, n_words, n_tokens, n_punct, n_stop,
        |       CAST(n_chars - n_spaces AS DOUBLE) / n_words AS avg_word_len,
        |       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
        |       CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
-       |       (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END
-       |        + CASE WHEN CAST(n_stop AS DOUBLE) / n_words >= 0.01 THEN 0.3 ELSE 0.0 END
-       |        + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars <= 0.1 THEN 0.3 ELSE 0.0 END) AS quality
+       |       $qualityArmsSql AS quality
        |FROM base ORDER BY doc_id""".stripMargin
-  }
 
   /** Stopword-profile language scores + deterministic argmax (ties break
     * in profile declaration order). */
@@ -287,7 +299,7 @@ object Text {
     * across engines (a float `ln`/`Σ` differs in ulps between libms and
     * between addition orders; an int64 sum cannot):
     *   idf_t  = floor(WQuant · (N + 0.5) / (df_t + 0.5))      [int div]
-    *   tfsat  = floor(1000 · tf(k1+1) / (tf + k1)), k1 = 1.2  [int div]
+    *   tfsat  = floor(100 · tf(k1+1) / (tf + k1)), k1 = 1.2   [int div]
     *   score  = Σ_t tfsat · min(idf_t, WCap)                  [exact]
     * The plan prunes to the query terms BEFORE any aggregation (the
     * inverted-index access path, relationally): tf/df are computed over

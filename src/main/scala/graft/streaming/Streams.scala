@@ -25,6 +25,14 @@ object Streams {
   val WatermarkDelay = "2 hours"
   val SessionGapMs: Long = graft.operators.Events.SessionGapMin * 60L * 1000L
 
+  /** First-batch probe through the Hadoop FS API — works for hdfs://,
+    * s3a://, and local paths alike (a `java.io.File` check is driver-local
+    * only and silently never fires on a real cluster's shared store). */
+  private def pathExists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Watermarked hourly tumbling counts/sums per event_type. On a batch
     * DataFrame the watermark is a no-op and this equals
     * `Events.tumbling`; on a stream it emits finalized windows. */
@@ -124,7 +132,7 @@ object Streams {
         val s = batch.sparkSession
         val dedup = graft.operators.Merge.keepFirst(batch, keys, ord)
         val merged =
-          if (new java.io.File(tablePath).exists()) {
+          if (pathExists(s, tablePath)) {
             val existing = s.read.parquet(tablePath)
             graft.operators.Merge.upsert(existing, dedup.select(existing.columns.map(col): _*), keys)
               .localCheckpoint(true)
@@ -157,7 +165,7 @@ object Streams {
         val s = batch.sparkSession
         val bands = graft.operators.Dedup.bandIndex(batch)
           .localCheckpoint(true) // two consumers below; shingle once
-        if (new java.io.File(indexPath).exists()) {
+        if (pathExists(s, indexPath)) {
           val idx = s.read.parquet(indexPath)
             // a replayed batch must not match its own previous write
             .filter(col("batch_id") =!= batchId)

@@ -35,6 +35,14 @@ class ClusterSpec extends SparkSpec {
     assert(one.map(_._2) == Set(1L, 11L))
   }
 
+  test("cap exhaustion throws instead of returning split clusters") {
+    val chain = (1L to 6L).sliding(2).map(s => (s(1), s(0))).toSeq
+    val e = intercept[IllegalArgumentException] {
+      Cluster.connectedComponents(chain.toDF("a", "b"), maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("empty edge list yields empty labels, no iteration") {
     assert(Cluster.connectedComponents(
       Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
