@@ -373,7 +373,7 @@ object Dedup {
   val RpBits = 60           // signature length (sign bits)
   val RpBandBits = 6        // bits per LSH band -> 10 bands
   val RpBands: Int = RpBits / RpBandBits
-  val EmbedDim = 64
+  val EmbedDim: Int = Similarity.EmbedDim
   val EmbedThreshold = 0.45
 
   /** Deterministic ±1 hyperplanes for the sign projection, derived from

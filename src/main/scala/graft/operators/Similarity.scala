@@ -31,6 +31,7 @@ import graft.sources.Tables
   */
 object Similarity {
   val Scale = 10000000L // 1e7: float -> exact int
+  val EmbedDim = 64     // embeddings table vector dimension
   val TopK = 10
   val ProbeIds: Seq[Long] = Seq(0L, 1L, 2L)
   /** Fixed IVF codebook: these vectors are the coarse centroids. */
@@ -164,25 +165,28 @@ object Similarity {
     val cached = vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids = seedCodebook(cached)
     for (_ <- 1 to iters) {
+      // argmax as a hash agg, not a window: max_by over (ccos, -cluster)
+      // is the same (cosine desc, cluster asc) winner without the
+      // per-vec_id sort a window needs; `first(ie)` is safe because every
+      // row of a vec_id group carries the identical array
       val assigned = cached.crossJoin(broadcast(centroids))
         .withColumn("ccos",
           d(col("ie"), col("se")).cast("double") / (col("nrm") * col("sn")))
-        .withColumn("arank", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster").asc)))
-        .filter(col("arank") === 1)
-        .select("vec_id", "cluster", "ie")
+        .groupBy("vec_id")
+        .agg(max_by(col("cluster"), struct(col("ccos"), -col("cluster"))).as("cluster"),
+          first(col("ie")).as("ie"))
+      // per-dim sums as 64 columnar aggregates over the array — one
+      // keyed shuffle, no 64x row explosion. Exact integral mean: `div`
+      // never routes through a double, so the result is exact at ANY
+      // component-sum magnitude (a double quotient would round once
+      // sums pass 2^53)
+      val dimSums = (0 until EmbedDim).map(i =>
+        sum(element_at(col("ie"), i + 1)).as(s"s$i"))
       val means = assigned
-        .select(col("cluster"), posexplode(col("ie")))
-        .toDF("cluster", "dim", "v")
-        .groupBy("cluster", "dim")
-        // exact integral mean: `div` never routes through a double, so
-        // the result is exact at ANY component-sum magnitude (a double
-        // quotient would round once sums pass 2^53)
-        .agg(sum("v").as("s"), count(lit(1)).as("c"))
-        .withColumn("mv", expr("s div c"))
         .groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
-          e => e.getField("mv")).as("se"))
+        .agg(dimSums.head, (dimSums.tail :+ count(lit(1)).as("c")): _*)
+        .select(col("cluster"),
+          array((0 until EmbedDim).map(i => expr(s"s$i div c")): _*).as("se"))
         .withColumn("sn", sqrt(d(col("se"), col("se")).cast("double")))
       // empty cells vanish from `means`; keep their previous centroid.
       // localCheckpoint: `means` is referenced twice and each iteration
