@@ -71,6 +71,7 @@ object SparkEntry {
     "events_window" -> ((s, d) => Events.qTumbling(s, d)),
     "events_window_sliding" -> ((s, d) => Events.qSliding(s, d)),
     "events_sessions" -> ((s, d) => Events.qSessions(s, d)),
+    "events_props" -> ((s, d) => Events.qProps(s, d)),
     // Multimodal binary columns (decode kernels stubbed; plumbing real)
     "media_meta" -> ((s, d) => Multimodal.qMediaMeta(s, d)),
     "media_frames" -> ((s, d) => Multimodal.qFrames(s, d)),
@@ -123,6 +124,7 @@ object SparkEntry {
     "events_window" -> Events.qTumblingSql,
     "events_window_sliding" -> Events.qSlidingSql,
     "events_sessions" -> Events.qSessionsSql,
+    "events_props" -> Events.qPropsSql,
     "media_meta" -> Multimodal.qMediaMetaSql,
     "media_frames" -> Multimodal.qFramesSql,
     "kpi_anomalies_at_scale" -> Kpi.anomaliesSql(),

@@ -84,6 +84,34 @@ object Events {
   def qSessions(s: SparkSession, dir: String): DataFrame =
     sessions(Tables.events(s, dir)).orderBy("user_id", "sid")
 
+  /** Semi-structured `props` (a JSON string column): schema-on-read
+    * extraction with a DECLARED schema (`from_json` — codegen'd parse,
+    * no UDF; unexpected shapes surface as NULLs, not exceptions), then a
+    * grouped aggregate over the extracted field. The engine-grade point:
+    * JSON stays a column until the projection needs a field, so column
+    * pruning still skips the whole string when a query doesn't touch it. */
+  val propsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+
+  def propsAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        countDistinct("k").as("n_k"))
+
+  def qProps(s: SparkSession, dir: String): DataFrame =
+    propsAgg(Tables.events(s, dir)).orderBy("event_type", "k_bucket")
+
+  def qPropsSql: String =
+    """WITH x AS (
+      |  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+      |SELECT event_type, k % 10 AS k_bucket, COUNT(*) AS n,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(DISTINCT k) AS n_k
+      |FROM x GROUP BY 1, 2 ORDER BY event_type, k_bucket""".stripMargin
+
   def qSessionsSql: String = {
     val gapUs = SessionGapMin * 60L * 1000000L
     s"""WITH lagd AS (
