@@ -67,6 +67,7 @@ object SparkEntry {
     "text_winnow" -> ((s, d) => Text.qWinnow(s, d)),
     "text_vocab" -> ((s, d) => Text.qVocab(s, d)),
     "text_bm25" -> ((s, d) => Text.qBm25(s, d)),
+    "text_top_by_source" -> ((s, d) => Text.qTopBySource(s, d)),
     // Event-time windows + sessionization over `events`
     "events_window" -> ((s, d) => Events.qTumbling(s, d)),
     "events_window_sliding" -> ((s, d) => Events.qSliding(s, d)),
@@ -121,6 +122,7 @@ object SparkEntry {
     "text_winnow" -> Text.qWinnowSql,
     "text_vocab" -> Text.qVocabSql,
     "text_bm25" -> Text.qBm25Sql,
+    "text_top_by_source" -> Text.qTopBySourceSql,
     "events_window" -> Events.qTumblingSql,
     "events_window_sliding" -> Events.qSlidingSql,
     "events_sessions" -> Events.qSessionsSql,

@@ -349,6 +349,50 @@ object Text {
        |ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Group-wise top-k (per-source best documents)
+  // -------------------------------------------------------------------
+  val TopPerSource = 3
+
+  /** The k highest-quality docs per source — the per-stratum selection
+    * step corpus curation uses when a source has a document budget.
+    * row_number + rank filter lowers to WindowGroupLimit: only k rows
+    * per source survive each partition BEFORE the shuffle, so no source
+    * group is ever fully sorted or materialized (PlanAuditSpec asserts
+    * the same rewrite for the ANN top-k). Ties break (quality desc,
+    * doc_id asc) — deterministic cut. */
+  def topKBySource(docs: DataFrame, k: Int = TopPerSource): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    stats(docs).join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("doc_id"), col("quality"))
+  }
+
+  def qTopBySource(s: SparkSession, dir: String): DataFrame =
+    topKBySource(Tables.balanced(Tables.documents(s, dir))).orderBy("source", "rank")
+
+  def qTopBySourceSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text,
+       |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |qbase AS (
+       |  SELECT doc_id, source,
+       |         ${qualityCountsSql("t")}
+       |  FROM d),
+       |qual AS (
+       |  SELECT doc_id, source, $qualityArmsSql AS quality FROM qbase),
+       |ranked AS (
+       |  SELECT source, doc_id, quality,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY quality DESC, doc_id ASC) AS INT) AS rank
+       |  FROM qual)
+       |SELECT source, rank, doc_id, quality FROM ranked
+       |WHERE rank <= $TopPerSource ORDER BY source, rank""".stripMargin
+
   def qFingerprintSql: String =
     s"""WITH d AS (
       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t

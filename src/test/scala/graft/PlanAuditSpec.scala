@@ -58,7 +58,7 @@ class PlanAuditSpec extends SparkSpec {
     // keeps only k rows per probe per partition — without it, every
     // candidate row would be shuffled and sorted per probe, which is the
     // difference between O(k) and O(candidates) memory per group at scale.
-    Seq("similar_topk", "similar_ann_ivf").foreach { name =>
+    Seq("similar_topk", "similar_ann_ivf", "text_top_by_source").foreach { name =>
       val plan = executed(name).toString
       assert(plan.contains("WindowGroupLimit"),
         s"$name: expected WindowGroupLimit rank pushdown:\n${plan.take(1500)}")
