@@ -25,6 +25,11 @@ object SparkEntry {
     "kpi_anomalies_dept" -> ((s, d) => Kpi.anomalies(s, d,
       threshold = Kpi.AnomDeptThreshold, limit = Kpi.AnomDeptLimit,
       dept = Some(Kpi.AnomDept))),
+    // Analytics surface beyond the reference's endpoints: month-series
+    // trend (lag), ROLLUP grouping sets, pivot
+    "kpi_trend" -> ((s, d) => Kpi.qTrend(s, d)),
+    "kpi_rollup" -> ((s, d) => Kpi.qRollup(s, d)),
+    "kpi_pivot" -> ((s, d) => Kpi.qPivot(s, d)),
     // ETL half (SURVEY §2.1/§2.2: S1, S4, S5, P2-P5, J6, A6, A7, A8, O3)
     // over the checked-in fixture CSVs.
     "etl_cleanse" -> ((s, _) => Etl.qCleanse(s)),
@@ -34,6 +39,7 @@ object SparkEntry {
     "etl_employee_upsert" -> ((s, _) => Etl.qEmployeeUpsert(s)),
     "etl_fact_upsert" -> ((s, _) => Etl.qFactUpsert(s)),
     "etl_count" -> ((s, _) => Etl.qCount(s)),
+    "etl_snapshot_diff" -> ((s, _) => Etl.qSnapshotDiff(s)),
     // S9 catalog introspection + data-level profiling
     "catalog_columns" -> ((s, _) => Catalog.columns(s)),
     "catalog_profile" -> ((s, d) => Catalog.qProfile(s, d)),
@@ -96,6 +102,9 @@ object SparkEntry {
     "kpi_anomalies_dept" -> Kpi.anomaliesSql(
       threshold = Kpi.AnomDeptThreshold, limit = Kpi.AnomDeptLimit,
       dept = Some(Kpi.AnomDept)),
+    "kpi_trend" -> Kpi.trendSql(),
+    "kpi_rollup" -> Kpi.rollupSql(),
+    "kpi_pivot" -> Kpi.pivotSql(),
     "etl_cleanse" -> Etl.qCleanseSql,
     "etl_dedup_employees" -> Etl.qDedupEmployeesSql,
     "etl_surrogate_keys" -> Etl.qSurrogateKeysSql,
@@ -103,6 +112,7 @@ object SparkEntry {
     "etl_employee_upsert" -> Etl.qEmployeeUpsertSql,
     "etl_fact_upsert" -> Etl.qFactUpsertSql,
     "etl_count" -> Etl.qCountSql,
+    "etl_snapshot_diff" -> Etl.qSnapshotDiffSql,
     "catalog_columns" -> Catalog.columnsSql,
     "catalog_profile" -> Catalog.qProfileSql,
     "dedup_exact" -> Dedup.qExactSql,

@@ -156,6 +156,60 @@ object Etl {
   def qCount(s: SparkSession): DataFrame =
     qFactUpsert(s).agg(count(lit(1)).as("cnt"))
 
+  /** CDC-style snapshot diff: classify each key of old vs new as
+    * added / removed / updated (unchanged rows drop out) — the audit
+    * operator that validates an upsert batch before it merges, and the
+    * change feed a downstream incremental consumer reads. One full-outer
+    * join on the key; value comparison is null-safe per column (<=>,
+    * DuckDB IS DISTINCT FROM). At scale both sides shuffle once on the
+    * key — same cost shape as the merge itself. */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, keys: Seq[String],
+                   valueCols: Seq[String]): DataFrame = {
+    val o = valueCols.foldLeft(old)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
+      .withColumn("__in_old", lit(1))
+    val n = valueCols.foldLeft(neu)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
+      .withColumn("__in_new", lit(1))
+    val changed = valueCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(changed, "updated"))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+
+  /** Declared query: diff the batch-1 fact snapshot against the
+    * post-upsert state — exactly the rows batch 2 added or changed. */
+  def qSnapshotDiff(s: SparkSession): DataFrame = {
+    val c1 = cleanse(readRaw(s, RawCsv))
+    val c2 = cleanse(readRaw(s, UpdateCsv))
+    val before = facts(c1)
+    val after = factUpsert(before, facts(c2))
+    snapshotDiff(before, after, Seq("emp_id", "month"),
+      FactCols.filterNot(Seq("emp_id", "month").contains))
+      .orderBy("emp_id", "month", "change_type")
+  }
+
+  def qSnapshotDiffSql: String = {
+    val vals = FactCols.filterNot(Seq("emp_id", "month").contains)
+    val distinctPred = vals.map(c => s"o.$c IS DISTINCT FROM n.$c").mkString("\n         OR ")
+    s"""WITH $factMergedCtes,
+       |diff AS (
+       |  SELECT COALESCE(o.emp_id, n.emp_id) AS emp_id,
+       |         COALESCE(o.month, n.month) AS month,
+       |         CASE WHEN o.emp_id IS NULL THEN 'added'
+       |              WHEN n.emp_id IS NULL THEN 'removed'
+       |              WHEN $distinctPred THEN 'updated'
+       |         END AS change_type
+       |  FROM fact1 o
+       |  FULL OUTER JOIN merged n ON n.emp_id = o.emp_id AND n.month = o.month)
+       |SELECT emp_id, month, change_type FROM diff
+       |WHERE change_type IS NOT NULL
+       |ORDER BY emp_id, month, change_type""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // DuckDB oracles. Each mirrors the semantics above over read_csv on the
   // same fixture files (all_varchar=true = "raw text in", like the

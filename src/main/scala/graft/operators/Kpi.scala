@@ -215,6 +215,108 @@ object Kpi {
        |FROM agg ORDER BY dept""".stripMargin
 
   // -------------------------------------------------------------------
+  // Engine-surface extensions beyond the reference's five endpoints:
+  // month-series trend (lag window), ROLLUP grouping sets, and a pivot —
+  // the analytics shapes a payroll user reaches for next, each over the
+  // same pushed-range star join.
+  // -------------------------------------------------------------------
+  val TrendMonths: Seq[String] = (1 to 6).map(m => f"1997-$m%02d")
+
+  /** Month-over-month per-dept trend: monthly gross, previous month's
+    * (lag over the dept series), and the exact relative change. One
+    * star-join pass (all months pushed as an OR of ranges), one keyed
+    * agg, one window over the tiny (dept, month) aggregate — the window
+    * input is |depts|×|months| rows, never fact rows. */
+  def trend(s: SparkSession, dir: String, months: Seq[String] = TrendMonths): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.fact(s, dir, months)
+      .groupBy("dept", "month").agg(sum("gross").as("g"))
+    val w = Window.partitionBy("dept").orderBy("month")
+    monthly
+      .withColumn("pg", lag("g", 1).over(w))
+      .select(col("dept"), col("month"), dbl(col("g")).as("gross"),
+        dbl(col("pg")).as("prev_gross"),
+        when(col("pg").isNotNull && dbl(col("pg")) =!= 0.0,
+          (dbl(col("g")) - dbl(col("pg"))) / dbl(col("pg"))).as("mom_change"))
+  }
+
+  def qTrend(s: SparkSession, dir: String): DataFrame =
+    trend(s, dir).orderBy("dept", "month")
+
+  def trendSql(months: Seq[String] = TrendMonths): String = {
+    val pred = months.map(m => inMonthSql("o.o_orderdate", m)).mkString(" OR ")
+    s"""WITH ${factSql(pred)},
+       |monthly AS (SELECT dept, month, SUM(gross) AS g FROM fact GROUP BY dept, month),
+       |lagd AS (
+       |  SELECT dept, month, CAST(g AS DOUBLE) AS gross,
+       |         CAST(lag(g) OVER (PARTITION BY dept ORDER BY month) AS DOUBLE) AS prev_gross
+       |  FROM monthly)
+       |SELECT dept, month, gross, prev_gross,
+       |       CASE WHEN prev_gross IS NOT NULL AND prev_gross <> 0
+       |            THEN (gross - prev_gross) / prev_gross END AS mom_change
+       |FROM lagd ORDER BY dept, month""".stripMargin
+  }
+
+  /** ROLLUP(dept, month): per-(dept, month) sums, per-dept subtotals,
+    * grand total in ONE pass — Spark expands the grouping sets and the
+    * partial aggregation stays map-side combinable, so the rollup costs
+    * one shuffle like the plain agg. gid disambiguates levels exactly as
+    * the engines' shared GROUPING semantics define (bit per column). */
+  def rollup(s: SparkSession, dir: String, m1: String = M1, m2: String = M2): DataFrame = {
+    val f = Tables.fact(s, dir, Seq(m1, m2))
+    // Column args, not string names: Spark 4.1's ambiguous-self-join
+    // detector rejects rollup("dept","month") on a join-derived frame
+    // (string-name grouping resolves through dataset-id metadata that
+    // the rollup expansion duplicates); rollup(col(...)) is equivalent
+    // and resolves cleanly. grouping_id() is an aggregate-context
+    // expression — it must be computed IN the agg, not a later projection.
+    f.rollup(col("dept"), col("month"))
+      .agg(dbl(sum("gross")).as("gross"), dbl(sum("net")).as("net"),
+        count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
+      .select(coalesce(col("dept"), lit("ALL")).as("dept"),
+        coalesce(col("month"), lit("ALL")).as("month"),
+        col("gross"), col("net"), col("n"), col("gid"))
+  }
+
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    rollup(s, dir).orderBy("gid", "dept", "month")
+
+  def rollupSql(m1: String = M1, m2: String = M2): String =
+    s"""WITH ${factSql(s"${inMonthSql("o.o_orderdate", m1)} OR ${inMonthSql("o.o_orderdate", m2)}")}
+       |SELECT COALESCE(dept, 'ALL') AS dept, COALESCE(month, 'ALL') AS month,
+       |       CAST(SUM(gross) AS DOUBLE) AS gross, CAST(SUM(net) AS DOUBLE) AS net,
+       |       COUNT(*) AS n, CAST(GROUPING(dept, month) AS INT) AS gid
+       |FROM fact GROUP BY ROLLUP(dept, month)
+       |ORDER BY gid, dept, month""".stripMargin
+
+  /** Pivot: months as columns (explicit value list — no discovery job,
+    * deterministic column set), dept rows. A dept with no rows in a
+    * month yields NULL, matching the conditional-sum-over-NULL oracle. */
+  def pivot(s: SparkSession, dir: String, months: Seq[(String, String)] = PivotMonths): DataFrame = {
+    val f = Tables.fact(s, dir, months.map(_._1))
+    val p = f.groupBy("dept").pivot("month", months.map(_._1)).agg(dbl(sum("gross")))
+    months.foldLeft(p) { case (d, (m, alias)) => d.withColumnRenamed(m, alias) }
+  }
+
+  /** (month, output column alias): aliased because bare "1997-03" column
+    * names are legal in both engines but easy to mis-quote in SQL. */
+  val PivotMonths: Seq[(String, String)] = Seq(M1 -> "gross_m1", M2 -> "gross_m2")
+
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    pivot(s, dir).orderBy("dept")
+
+  def pivotSql(months: Seq[(String, String)] = PivotMonths): String = {
+    val pred = months.map { case (m, _) => inMonthSql("o.o_orderdate", m) }.mkString(" OR ")
+    val arms = months.map { case (m, alias) =>
+      s"CAST(SUM(CASE WHEN month = '$m' THEN gross END) AS DOUBLE) AS $alias"
+    }.mkString(",\n       ")
+    s"""WITH ${factSql(pred)}
+       |SELECT dept,
+       |       $arms
+       |FROM fact GROUP BY dept ORDER BY dept""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // /kpi/anomalies (corrected second route, src/api.py:201-275): per-dept
   // robust z-score over employee monthly net.
   //   data -> median(net) per dept (A5, EXACT percentile)

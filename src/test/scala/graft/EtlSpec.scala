@@ -98,4 +98,18 @@ class EtlSpec extends SparkSpec {
     val plan = Etl.cleanse(Etl.readRaw(spark, Etl.RawCsv)).queryExecution.executedPlan
     assert(!plan.toString.contains("Exchange"), "no shuffle in a pure projection")
   }
+
+  test("snapshotDiff: added/removed/updated classified, unchanged dropped, nulls equal") {
+    val sp = spark
+    import sp.implicits._
+    val old = Seq(("k1", Some(1.0)), ("k2", None), ("k3", Some(3.0)))
+      .toDF("k", "v")
+    val neu = Seq(("k1", Some(1.0)), ("k2", Some(2.0)), ("k4", Some(4.0)))
+      .toDF("k", "v")
+    val out = Etl.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // k1 unchanged (dropped), k2 NULL->2.0 updated (null-safe compare),
+    // k3 removed, k4 added
+    assert(out == Map("k2" -> "updated", "k3" -> "removed", "k4" -> "added"), s"got $out")
+  }
 }
