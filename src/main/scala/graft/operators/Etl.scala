@@ -169,8 +169,10 @@ object Etl {
       .withColumn("__in_old", lit(1))
     val n = valueCols.foldLeft(neu)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
       .withColumn("__in_new", lit(1))
+    // foldLeft, not reduce: an empty valueCols is the legitimate
+    // presence-only diff (added/removed, nothing ever "updated")
     val changed = valueCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
-      .reduce(_ || _)
+      .foldLeft(lit(false))(_ || _)
     o.join(n, keys, "full_outer")
       .withColumn("change_type",
         when(col("__in_old").isNull, "added")

@@ -106,8 +106,15 @@ object Events {
     propsAgg(Tables.events(s, dir)).orderBy("event_type", "k_bucket")
 
   def qPropsSql: String =
+    // json_valid + TRY_CAST mirror the Spark degradation contract
+    // (malformed JSON / non-integer k -> NULL): DuckDB's bare `->>`
+    // hard-errors on bad JSON where from_json yields NULL, so without
+    // the guard the two faces of this query would diverge on dirty data
     """WITH x AS (
-      |  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+      |  SELECT event_type,
+      |         CASE WHEN json_valid(props)
+      |              THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k
+      |  FROM events)
       |SELECT event_type, k % 10 AS k_bucket, COUNT(*) AS n,
       |       CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(DISTINCT k) AS n_k
       |FROM x GROUP BY 1, 2 ORDER BY event_type, k_bucket""".stripMargin

@@ -112,11 +112,13 @@ object Similarity {
       .crossJoin(broadcast(seeds))
       .withColumn("ccos",
         dot(s)(col("ie"), col("se")).cast("double") / (col("nrm") * col("sn")))
+    // rank-1 argmax as a hash agg (same winner as the row_number window:
+    // cosine desc, cluster asc on ties) — map-side partials, no
+    // per-vector sort; probeCells below keeps the window because it
+    // needs top-NPROBE, not top-1
     val assigned = clusterScores(vecs)
-      .withColumn("arank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cluster").asc)))
-      .filter(col("arank") === 1)
-      .select("vec_id", "cluster")
+      .groupBy("vec_id")
+      .agg(max_by(col("cluster"), struct(col("ccos"), -col("cluster"))).as("cluster"))
     val members = vecs.join(assigned, "vec_id")
     // probes rank the same codebook but keep nprobe cells
     val probeCells = clusterScores(vecs.filter(col("vec_id").isin(probeIds: _*)))

@@ -37,18 +37,20 @@ object Text {
     size(filter(ws, w => w.isin(profile: _*)))
 
   /** Per-doc statistics + a bounded [0,1] quality score (the standard
-    * length/stopword/punctuation gates used for corpus filtering). */
-  def stats(docs: DataFrame): DataFrame = {
+    * length/stopword/punctuation gates used for corpus filtering).
+    * `keep` carries extra input columns through the projection — a
+    * caller needing (stats + source/lang) gets them in the SAME pass
+    * instead of a corpus self-join to reattach them. */
+  def stats(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val t = norm(col("text"))
     val ws = words(col("text"))
-    docs.select(
-        col("doc_id"),
+    docs.select(col("doc_id") +: keep.map(col) ++: Seq(
         length(col("text")).cast("long").as("n_chars"),
         size(ws).cast("long").as("n_words"),
         size(regexp_extract_all(t, lit(TokenPattern), lit(0))).cast("long").as("n_tokens"),
         (length(regexp_replace(t, "[^ ]", "")) + lit(1)).cast("long").as("n_spaces_p1"),
         length(regexp_replace(t, "[^.,;:!?]", "")).cast("long").as("n_punct"),
-        hitCount(ws, Profiles.head._2).cast("long").as("n_stop"))
+        hitCount(ws, Profiles.head._2).cast("long").as("n_stop")): _*)
       .withColumn("avg_word_len",
         (col("n_chars") - col("n_spaces_p1") + lit(1)).cast("double") / col("n_words"))
       .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars"))
@@ -365,7 +367,9 @@ object Text {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source")
       .orderBy(col("quality").desc, col("doc_id").asc)
-    stats(docs).join(docs.select("doc_id", "source"), "doc_id")
+    // `source` rides the stats projection (keep) — one pass, no corpus
+    // self-join to reattach it
+    stats(docs, keep = Seq("source"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("source"), col("rank"), col("doc_id"), col("quality"))

@@ -148,7 +148,11 @@ object Streams {
     * face of [[graft.operators.Dedup.bandIndex]] /
     * [[graft.operators.Dedup.incrementalCandidates]]. The corpus is
     * never re-shingled: per batch the work is |batch| shingling plus one
-    * keyed join against the (bucketed at scale) index.
+    * keyed join against the index. (This parquet index is batch_id-
+    * partitioned, not bucketed — plain parquet carries no bucket
+    * metadata — so the join re-shuffles it per batch; at scale, a
+    * periodic compaction folds the accumulated batch partitions into
+    * the bucketed table whose shuffle-free join LayoutSpec proves.)
     *
     * Effectively-once: both sinks are PARTITIONED BY batch_id and written
     * with dynamic partition overwrite, so a replayed micro-batch
