@@ -48,4 +48,23 @@ object Sinks {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("month").mode("overwrite").parquet(path)
   }
+
+  /** Compact the streaming ingest's batch_id-partitioned band index
+    * (written by [[graft.streaming.Streams.dedupIngest]]) into the
+    * bucketed table whose shuffle-free incremental join LayoutSpec
+    * proves. The maintenance job every continuously-appended layout
+    * needs, doing two things in one pass: folds the accumulated small
+    * batch partitions into `buckets` right-sized files (small-files
+    * bound), and re-establishes the (band, bh) bucket layout so
+    * subsequent batch joins stop re-shuffling the corpus side. Dedup by
+    * the full row: a replayed batch's partition holds rows identical to
+    * the original, and identical (doc_id, band, bh) rows carry no extra
+    * information. */
+  def compactBandIndex(s: SparkSession, indexPath: String, table: String,
+                       buckets: Int = 8): Unit =
+    s.read.parquet(indexPath)
+      .select("doc_id", "band", "bh")
+      .distinct()
+      .write.bucketBy(buckets, "band", "bh").sortBy("band", "bh")
+      .mode("overwrite").saveAsTable(table)
 }

@@ -159,6 +159,17 @@ class StreamingSpec extends SparkSpec {
       val idx = spark.read.parquet(s"$tmp/index")
       assert(idx.select("doc_id").distinct().count() == 4, "index accumulates batches")
       assert(idx.columns.contains("batch_id"), "batch-partitioned for idempotent replay")
+      // the maintenance job: compact the batch partitions into the
+      // bucketed table; contents identical, bucket layout established
+      graft.sources.Sinks.compactBandIndex(spark, s"$tmp/index", "band_index_compacted")
+      try {
+        val compacted = spark.table("band_index_compacted")
+        assert(compacted.count() == idx.select("doc_id", "band", "bh").distinct().count())
+        val catalogTable = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("band_index_compacted"))
+        assert(catalogTable.bucketSpec.exists(_.bucketColumnNames == Seq("band", "bh")),
+          s"compacted table must be bucketed by the join key: ${catalogTable.bucketSpec}")
+      } finally spark.sql("DROP TABLE IF EXISTS band_index_compacted")
     } finally q.stop()
   }
 
