@@ -62,6 +62,30 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: snapshotDiff == driver-side map diff on random keyed snapshots") {
+    val rowGen = for {
+      k <- Gen.choose(0, 15)
+      v <- Gen.option(Gen.choose(0, 3))
+    } yield (k.toString, v)
+    (1 to Cases).foreach { s =>
+      val old = draw(Gen.listOfN(12, rowGen), 200L + s).distinctBy(_._1)
+      val neu = draw(Gen.listOfN(12, rowGen), 300L + s).distinctBy(_._1)
+      val om = old.toMap; val nm = neu.toMap
+      val expect = (om.keySet ++ nm.keySet).flatMap { k =>
+        (om.get(k), nm.get(k)) match {
+          case (None, Some(_)) => Some(k -> "added")
+          case (Some(_), None) => Some(k -> "removed")
+          case (Some(a), Some(b)) if a != b => Some(k -> "updated")
+          case _ => None
+        }
+      }.toMap
+      val got = graft.operators.Etl.snapshotDiff(
+          old.toDF("k", "v"), neu.toDF("k", "v"), Seq("k"), Seq("v"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == expect, s"seed $s: $got != $expect")
+    }
+  }
+
   test("property: saltedJoin == plain join across random salt counts") {
     val rowGen = for {
       k <- Gen.choose(0L, 4L)

@@ -94,6 +94,25 @@ class KpiSpec extends SparkSpec {
     assert(Kpi.summaryOpt(spark, sf, "2099-01").isEmpty)
   }
 
+  test("rollup levels are additive: dept subtotals sum to the grand total") {
+    val rows = graft.operators.Kpi.rollup(spark, sf)
+      .collect().map(r => (r.getInt(5), r.getDouble(2))) // (gid, gross)
+    val detail = rows.filter(_._1 == 0).map(_._2).sum
+    val subtotals = rows.filter(_._1 == 1).map(_._2).sum
+    val grand = rows.filter(_._1 == 3).map(_._2)
+    assert(grand.length == 1)
+    assert(math.abs(detail - grand.head) < 1e-6 && math.abs(subtotals - grand.head) < 1e-6,
+      s"detail=$detail subtotals=$subtotals grand=${grand.head}")
+  }
+
+  test("trend: months push into the orders scan as an OR of ranges") {
+    val q = graft.operators.Kpi.qTrend(spark, sf)
+    val scans = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val orders = scans.find(_.contains("orders")).getOrElse(fail("no orders scan"))
+    assert(orders.contains("PushedFilters: [") && orders.contains("o_orderdate"),
+      s"trend range must reach the scan:\n${orders.take(400)}")
+  }
+
   test("approx headcount: HLL within its configured relative error of exact") {
     val r = Kpi.headcountApprox(spark, sf).head
     assert(r.getAs[Long]("exact") > 0)
