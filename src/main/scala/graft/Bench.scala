@@ -50,15 +50,17 @@ object Bench {
     // intrinsic plan cost. Reps overridable for quick local iteration.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     // failures surface in the JSON, not as silently-fast timings: a
-    // query that throws would otherwise bench at ~0 s and read as a win
+    // query that throws is EXCLUDED from `queries`/`total` (its ~0 s
+    // planning-failure timing would otherwise shrink the headline total
+    // and read as a speedup) and listed in `errors` instead
     val errors = scala.collection.mutable.LinkedHashSet[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try run(fn(spark, sfDir)) catch { case _: Throwable => errors += name }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      if (errors.contains(name)) None else Some(name -> times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -41,10 +41,13 @@ object Cluster {
     * don't need a row).
     *
     * `maxIter` is a RUNAWAY GUARD, not a quality knob: propagation needs
-    * `eccentricity(min-id vertex)` rounds, and exhausting the cap means
-    * the labels are NOT a fixpoint — returning them would silently split
-    * true clusters. We throw instead (the caller either raises the cap
-    * or switches to the O(log n)-round large-star/small-star variant).
+    * `eccentricity(min-id vertex)` rounds. If the cap is hit while
+    * improvements are still outstanding (verified by one final probe
+    * round — the last improvement may legitimately land exactly on the
+    * cap), the labels are NOT a fixpoint and returning them would
+    * silently split true clusters; we throw instead (the caller either
+    * raises the cap or switches to the O(log n)-round
+    * large-star/small-star variant).
     * Superseded label generations are small (one row per clustered doc)
     * and reclaimed by Spark's ContextCleaner once unreferenced —
     * localCheckpoint blocks have no public eager-release API. */
@@ -59,15 +62,17 @@ object Cluster {
       .withColumn("label", col("v"))
       .withColumn("chg", lit(true))
       .localCheckpoint(true)
+    // min over neighbors a of label(a), keyed by b
+    def nbrMin(cur: DataFrame): DataFrame =
+      sym.withColumnRenamed("a", "v")
+        .join(cur.select("v", "label"), "v")
+        .groupBy(col("b").as("v"))
+        .agg(min("label").as("nl"))
     var it = 0
     var done = sym.isEmpty
     while (!done && it < maxIter) {
-      // label(b) <- min(label(b), min over neighbors a of label(a))
-      val nbr = sym.withColumnRenamed("a", "v")
-        .join(labels, "v")
-        .groupBy(col("b").as("v"))
-        .agg(min("label").as("nl"))
-      val next = labels.drop("chg").join(nbr, Seq("v"), "left")
+      // label(b) <- min(label(b), neighbor min)
+      val next = labels.drop("chg").join(nbrMin(labels), Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           (col("nl") < col("label")).as("chg"))
@@ -76,6 +81,12 @@ object Cluster {
       labels = next
       it += 1
     }
+    // fencepost: the LAST improvement may land exactly on round maxIter
+    // with the fixpoint already reached — one probe round distinguishes
+    // "converged on the final round" from "genuinely truncated"
+    if (!done)
+      done = nbrMin(labels).join(labels.select("v", "label"), "v")
+        .filter(col("nl") < col("label")).isEmpty
     require(done, s"connectedComponents did not converge in $maxIter rounds " +
       "(graph deeper than the guard); raise maxIter or use a log-round variant")
     labels.select(col("v").as("doc_id"), col("label").as("canonical_id"))

@@ -103,7 +103,11 @@ object Events {
         countDistinct("k").as("n_k"))
 
   def qProps(s: SparkSession, dir: String): DataFrame =
-    propsAgg(Tables.events(s, dir)).orderBy("event_type", "k_bucket")
+    // explicit NULLS LAST: Spark ASC defaults nulls-first, DuckDB
+    // nulls-last — on dirty props (NULL k_bucket group) the two faces
+    // would otherwise order rows differently
+    propsAgg(Tables.events(s, dir))
+      .orderBy(col("event_type"), col("k_bucket").asc_nulls_last)
 
   def qPropsSql: String =
     // json_valid + TRY_CAST mirror the Spark degradation contract
@@ -117,7 +121,7 @@ object Events {
       |  FROM events)
       |SELECT event_type, k % 10 AS k_bucket, COUNT(*) AS n,
       |       CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(DISTINCT k) AS n_k
-      |FROM x GROUP BY 1, 2 ORDER BY event_type, k_bucket""".stripMargin
+      |FROM x GROUP BY 1, 2 ORDER BY event_type, k_bucket NULLS LAST""".stripMargin
 
   def qSessionsSql: String = {
     val gapUs = SessionGapMin * 60L * 1000000L

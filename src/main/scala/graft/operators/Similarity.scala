@@ -165,6 +165,7 @@ object Similarity {
     // the lineage). MEMORY_AND_DISK: a sample that outgrows memory spills
     // instead of recomputing the scan. Unpersisted before return.
     val cached = vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var centroids = seedCodebook(cached)
     for (_ <- 1 to iters) {
       // argmax as a hash agg, not a window: max_by over (ccos, -cluster)
@@ -198,8 +199,10 @@ object Similarity {
         centroids.join(means.select("cluster"), Seq("cluster"), "left_anti"))
         .localCheckpoint(true)
     }
-    cached.unpersist(false)
     centroids
+    // finally, not after: a training failure must not leak the cached
+    // set (the one block big enough to matter) for the session's life
+    } finally cached.unpersist(false)
   }
 
   /** ANN over the k-means codebook — declared WITHOUT a DuckDB oracle

@@ -43,6 +43,16 @@ class ClusterSpec extends SparkSpec {
     assert(e.getMessage.contains("converge"))
   }
 
+  test("fencepost: last improvement landing exactly on the cap is accepted") {
+    // chain 5-4-3-2-1 needs exactly 4 propagation rounds; with
+    // maxIter = 4 the final round still changes labels but the fixpoint
+    // IS reached — the probe round must accept, not throw
+    val labels = Cluster.connectedComponents(
+      Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("a", "b"), maxIter = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet == Set(1L))
+  }
+
   test("empty edge list yields empty labels, no iteration") {
     assert(Cluster.connectedComponents(
       Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
