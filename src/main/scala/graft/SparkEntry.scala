@@ -62,9 +62,9 @@ object SparkEntry {
     // Similarity search over `embeddings`
     "similar_topk" -> ((s, d) => Similarity.qTopK(s, d)),
     "similar_ann_ivf" -> ((s, d) => Similarity.qIvf(s, d)),
-    // Lloyd-trained codebook ANN — no SQL oracle (iterative training is
-    // not worth mirroring in SQL); driver records the rows-only check,
-    // SimilaritySpec gates recall vs the exact brute-force top-k.
+    // Lloyd-trained codebook ANN — the deterministic fixed-count
+    // training loop UNROLLS into the oracle SQL, so even the iterative
+    // path is hash-gated; SimilaritySpec additionally gates recall.
     "similar_ann_kmeans" -> ((s, d) => Similarity.qIvfKmeans(s, d)),
     // Text analysis over `documents`
     "text_stats" -> ((s, d) => Text.qStats(s, d)),
@@ -126,6 +126,7 @@ object SparkEntry {
     "pipeline_curate" -> Curate.qCurateSql,
     "similar_topk" -> Similarity.qTopKSql,
     "similar_ann_ivf" -> Similarity.qIvfSql,
+    "similar_ann_kmeans" -> Similarity.qIvfKmeansSql(),
     "text_stats" -> Text.qStatsSql,
     "text_langid" -> Text.qLangIdSql,
     "text_fingerprint" -> Text.qFingerprintSql,

@@ -205,10 +205,11 @@ object Similarity {
     } finally cached.unpersist(false)
   }
 
-  /** ANN over the k-means codebook — declared WITHOUT a DuckDB oracle
-    * (mirroring iterative training in SQL buys no additional safety);
-    * the driver records the weaker rows-only check and SimilaritySpec
-    * gates recall against the exact brute-force top-k. */
+  /** ANN over the k-means codebook. The training loop is deterministic
+    * (exact integer arithmetic, fixed iteration count), so its DuckDB
+    * oracle UNROLLS the iterations into CTEs ([[qIvfKmeansSql]]) and the
+    * query is fully hash-gated; SimilaritySpec additionally gates recall
+    * against the exact brute-force top-k. */
   def qIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val vecs = prepared(s, dir)
     ivfTopK(s, dir, codebook = Some(kmeansCodebook(s, vecs)))
@@ -249,16 +250,14 @@ object Similarity {
        |SELECT probe_id, vec_id, cosine, rank FROM ranked
        |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
 
-  def qIvfSql: String = {
-    val seedList = SeedIds.mkString(", ")
-    s"""WITH $ivCte,
-       |seeds AS (
-       |  SELECT vec_id AS cluster, ie AS se, nrm AS sn FROM ivn WHERE vec_id IN ($seedList)),
-       |scoresAll AS (
+  /** The nprobe ANN query CTEs over a codebook CTE named `seedsName` —
+    * shared by the fixed-seed and Lloyd-trained oracles. */
+  private def annCtes(seedsName: String): String =
+    s"""scoresAll AS (
        |  SELECT v.vec_id, s.cluster,
        |         CAST(CAST(list_sum(list_transform(list_zip(v.ie, s.se), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
        |           / (v.nrm * s.sn) AS ccos
-       |  FROM ivn v, seeds s),
+       |  FROM ivn v, $seedsName s),
        |assigned AS (
        |  SELECT vec_id, cluster FROM (
        |    SELECT vec_id, cluster, row_number() OVER (
@@ -282,8 +281,67 @@ object Similarity {
        |  WHERE c.vec_id <> p.probe_id),
        |ranked AS (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
-       |  FROM scored)
-       |SELECT probe_id, vec_id, cosine, rank FROM ranked
+       |  FROM scored)""".stripMargin
+
+  private def annSelect: String =
+    s"""SELECT probe_id, vec_id, cosine, rank FROM ranked
        |WHERE rank <= $TopK ORDER BY probe_id, rank""".stripMargin
+
+  def qIvfSql: String = {
+    val seedList = SeedIds.mkString(", ")
+    s"""WITH $ivCte,
+       |seeds AS (
+       |  SELECT vec_id AS cluster, ie AS se, nrm AS sn FROM ivn WHERE vec_id IN ($seedList)),
+       |${annCtes("seeds")}
+       |$annSelect""".stripMargin
+  }
+
+  /** One unrolled Lloyd iteration as CTEs: assignment (argmax over the
+    * previous codebook), per-dim integral means (`//` in DuckDB
+    * truncates toward zero exactly like Spark's `div` — verified on
+    * negative sums), empty cells keep their previous centroid. */
+  private def lloydIterCtes(i: Int, prev: String): String =
+    s"""scores$i AS (
+       |  SELECT v.vec_id, v.ie, s.cluster,
+       |         CAST(CAST(list_sum(list_transform(list_zip(v.ie, s.se), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+       |           / (v.nrm * s.sn) AS ccos
+       |  FROM ivn v, $prev s),
+       |assign$i AS (
+       |  SELECT vec_id, ie, cluster FROM (
+       |    SELECT vec_id, ie, cluster, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY ccos DESC, cluster ASC) AS arank
+       |    FROM scores$i)
+       |  WHERE arank = 1),
+       |sums$i AS (
+       |  SELECT cluster, t.i AS dim, SUM(ie[CAST(t.i + 1 AS INT)]) AS sm, COUNT(*) AS c
+       |  FROM assign$i, range($EmbedDim) t(i) GROUP BY 1, 2),
+       |means$i AS (
+       |  SELECT cluster, list(CAST(sm // c AS BIGINT) ORDER BY dim) AS se
+       |  FROM sums$i GROUP BY cluster),
+       |mnorm$i AS (
+       |  SELECT cluster, se,
+       |         sqrt(CAST(CAST(list_sum(list_transform(se, x -> x * x)) AS BIGINT) AS DOUBLE)) AS sn
+       |  FROM means$i),
+       |seeds$i AS (
+       |  SELECT cluster, se, sn FROM mnorm$i
+       |  UNION ALL
+       |  SELECT s.cluster, s.se, s.sn FROM $prev s
+       |  WHERE NOT EXISTS (SELECT 1 FROM mnorm$i m WHERE m.cluster = s.cluster))""".stripMargin
+
+  /** Full oracle for the Lloyd-trained ANN: the training loop is
+    * deterministic (exact integer arithmetic, fixed iteration count), so
+    * it UNROLLS into SQL — the iterative path gets the same bit-exact
+    * hash gate as everything else instead of a rows-only check. */
+  def qIvfKmeansSql(iters: Int = 2): String = {
+    val seedList = SeedIds.mkString(", ")
+    val iterCtes = (1 to iters)
+      .map(i => lloydIterCtes(i, if (i == 1) "seeds0" else s"seeds${i - 1}"))
+      .mkString(",\n")
+    s"""WITH $ivCte,
+       |seeds0 AS (
+       |  SELECT vec_id AS cluster, ie AS se, nrm AS sn FROM ivn WHERE vec_id IN ($seedList)),
+       |$iterCtes,
+       |${annCtes(s"seeds$iters")}
+       |$annSelect""".stripMargin
   }
 }
