@@ -32,9 +32,30 @@ object Bench {
     def run(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    // Release leftover storage between queries: the iterative operators
+    // (connected components, Lloyd training, upsert sinks) use eager
+    // localCheckpoint, whose blocks have no public release API and so
+    // pile up in the BlockManager across a 46-query session. Round-3's
+    // bench measured dedup_simhash at 18.6 s mid-run vs 1.65 s isolated —
+    // pure storage-vs-execution memory contention, not plan cost. Every
+    // rep rebuilds its own checkpoints (fn is re-invoked), so sweeping
+    // after the action is safe.
+    def sweep(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+
+    // Optional comma-separated name filter for local iteration on one
+    // query's timing (full runs leave it unset — the driver's JSON must
+    // cover every declared query).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+
     // Warmup: same plan shapes, tiny data — compiles codegen + JITs hot paths.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try run(fn(spark, warmDir)) catch { case _: Throwable => () }
+      sweep()
     }
     // Warm the target-dir file index + footers too: listing and schema
     // reads are one-time session costs that would otherwise be billed to
@@ -54,11 +75,13 @@ object Bench {
     // planning-failure timing would otherwise shrink the headline total
     // and read as a speedup) and listed in `errors` instead
     val errors = scala.collection.mutable.LinkedHashSet[String]()
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+    val results = selected.flatMap { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try run(fn(spark, sfDir)) catch { case _: Throwable => errors += name }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        sweep()
+        dt
       }
       if (errors.contains(name)) None else Some(name -> times.min)
     }
