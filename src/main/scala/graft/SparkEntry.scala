@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Cluster, Curate, Dedup, Etl, Events, Kpi, Multimodal, Sample, Similarity, Text}
+import graft.operators.{Cluster, Curate, Dedup, Etl, Events, Kpi, Multimodal, Sample, Similarity, Text, TimeJoin}
 import graft.sources.Catalog
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -79,6 +79,12 @@ object SparkEntry {
     "events_window_sliding" -> ((s, d) => Events.qSliding(s, d)),
     "events_sessions" -> ((s, d) => Events.qSessions(s, d)),
     "events_props" -> ((s, d) => Events.qProps(s, d)),
+    // Temporal joins beyond built-ins: as-of (point-in-time, union+window
+    // formulation) and interval containment (bin-bucketed equi-join), plus
+    // a value-range rolling window frame
+    "events_asof" -> ((s, d) => TimeJoin.qAsof(s, d)),
+    "events_interval" -> ((s, d) => TimeJoin.qInterval(s, d)),
+    "events_rolling" -> ((s, d) => Events.qRolling(s, d)),
     // Multimodal binary columns (decode kernels stubbed; plumbing real)
     "media_meta" -> ((s, d) => Multimodal.qMediaMeta(s, d)),
     "media_frames" -> ((s, d) => Multimodal.qFrames(s, d)),
@@ -138,6 +144,9 @@ object SparkEntry {
     "events_window_sliding" -> Events.qSlidingSql,
     "events_sessions" -> Events.qSessionsSql,
     "events_props" -> Events.qPropsSql,
+    "events_asof" -> TimeJoin.qAsofSql,
+    "events_interval" -> TimeJoin.qIntervalSql,
+    "events_rolling" -> Events.qRollingSql,
     "media_meta" -> Multimodal.qMediaMetaSql,
     "media_frames" -> Multimodal.qFramesSql,
     "kpi_anomalies_at_scale" -> Kpi.anomaliesSql(),

@@ -123,6 +123,39 @@ object Events {
       |       CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(DISTINCT k) AS n_k
       |FROM x GROUP BY 1, 2 ORDER BY event_type, k_bucket NULLS LAST""".stripMargin
 
+  val RollingMin = 5L
+
+  /** Per-event trailing 5-minute activity for the same user: a
+    * VALUE-RANGE window frame (`RANGE BETWEEN 300s PRECEDING AND CURRENT
+    * ROW` over epoch-µs), not a rows frame — the frame is defined by the
+    * timestamp value, so co-timestamped events all see each other and the
+    * result is deterministic under ties with no tiebreak column needed.
+    * One shuffle on user_id; the frame is evaluated incrementally by
+    * WindowExec (running add/remove), not rebuilt per row. */
+  def rolling(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rangeUs = RollingMin * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-rangeUs, 0)
+    events.select(col("event_id"), col("user_id"), col("ts"),
+      count(lit(1)).over(w).as("n_5min"),
+      dbl(sum(dec(col("value"))).over(w)).as("sum_5min"))
+  }
+
+  def qRolling(s: SparkSession, dir: String): DataFrame =
+    rolling(Tables.events(s, dir)).orderBy("event_id")
+
+  def qRollingSql: String = {
+    val rangeUs = RollingMin * 60L * 1000000L
+    s"""SELECT event_id, user_id, ts,
+       |       COUNT(*) OVER w AS n_5min,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_5min
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |             RANGE BETWEEN $rangeUs PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+  }
+
   def qSessionsSql: String = {
     val gapUs = SessionGapMin * 60L * 1000000L
     s"""WITH lagd AS (
