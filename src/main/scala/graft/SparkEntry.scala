@@ -28,6 +28,7 @@ object SparkEntry {
     // Analytics surface beyond the reference's endpoints: month-series
     // trend (lag), ROLLUP grouping sets, pivot
     "kpi_trend" -> ((s, d) => Kpi.qTrend(s, d)),
+    "kpi_moving_avg" -> ((s, d) => Kpi.qMovingAvg(s, d)),
     "kpi_rollup" -> ((s, d) => Kpi.qRollup(s, d)),
     "kpi_pivot" -> ((s, d) => Kpi.qPivot(s, d)),
     // ETL half (SURVEY §2.1/§2.2: S1, S4, S5, P2-P5, J6, A6, A7, A8, O3)
@@ -74,6 +75,9 @@ object SparkEntry {
     "text_vocab" -> ((s, d) => Text.qVocab(s, d)),
     "text_bm25" -> ((s, d) => Text.qBm25(s, d)),
     "text_top_by_source" -> ((s, d) => Text.qTopBySource(s, d)),
+    "text_deciles" -> ((s, d) => Text.qDeciles(s, d)),
+    // Skew-salted join gated against the plain-join oracle
+    "join_salted" -> ((s, d) => operators.Skew.qSalted(s, d)),
     // Event-time windows + sessionization over `events`
     "events_window" -> ((s, d) => Events.qTumbling(s, d)),
     "events_window_sliding" -> ((s, d) => Events.qSliding(s, d)),
@@ -109,6 +113,7 @@ object SparkEntry {
       threshold = Kpi.AnomDeptThreshold, limit = Kpi.AnomDeptLimit,
       dept = Some(Kpi.AnomDept)),
     "kpi_trend" -> Kpi.trendSql(),
+    "kpi_moving_avg" -> Kpi.movingAvgSql(),
     "kpi_rollup" -> Kpi.rollupSql(),
     "kpi_pivot" -> Kpi.pivotSql(),
     "etl_cleanse" -> Etl.qCleanseSql,
@@ -140,6 +145,8 @@ object SparkEntry {
     "text_vocab" -> Text.qVocabSql,
     "text_bm25" -> Text.qBm25Sql,
     "text_top_by_source" -> Text.qTopBySourceSql,
+    "text_deciles" -> Text.qDecilesSql,
+    "join_salted" -> operators.Skew.qSaltedSql,
     "events_window" -> Events.qTumblingSql,
     "events_window_sliding" -> Events.qSlidingSql,
     "events_sessions" -> Events.qSessionsSql,

@@ -257,6 +257,40 @@ object Kpi {
        |FROM lagd ORDER BY dept, month""".stripMargin
   }
 
+  /** Trailing 3-month moving aggregate over the company month series — a
+    * ROWS-frame window on top of the one-shuffle monthly agg. The frame
+    * sums stay in exact decimal (order-free) and only the final
+    * projection casts to double, so the ratio is one deterministic IEEE
+    * division in both engines. The ungrouped window runs on the
+    * months-sized aggregate (single partition by design — dim-sized, like
+    * the dept surrogate-key window). */
+  def movingAvg(s: SparkSession, dir: String, months: Seq[String] = TrendMonths): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.fact(s, dir, months)
+      .groupBy("month").agg(sum("gross").as("g"))
+    val w3 = Window.orderBy("month").rowsBetween(-2, 0)
+    monthly.select(col("month"), dbl(col("g")).as("gross"),
+        dbl(sum("g").over(w3)).as("gross_3m"),
+        count(lit(1)).over(w3).as("n_3m"))
+      .withColumn("gross_3m_avg", col("gross_3m") / col("n_3m"))
+  }
+
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame =
+    movingAvg(s, dir).orderBy("month")
+
+  def movingAvgSql(months: Seq[String] = TrendMonths): String = {
+    val pred = months.map(m => inMonthSql("o.o_orderdate", m)).mkString(" OR ")
+    s"""WITH ${factSql(pred)},
+       |monthly AS (SELECT month, SUM(gross) AS g FROM fact GROUP BY month)
+       |SELECT month, CAST(g AS DOUBLE) AS gross,
+       |       CAST(SUM(g) OVER w AS DOUBLE) AS gross_3m,
+       |       COUNT(*) OVER w AS n_3m,
+       |       CAST(SUM(g) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS gross_3m_avg
+       |FROM monthly
+       |WINDOW w AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |ORDER BY month""".stripMargin
+  }
+
   /** ROLLUP(dept, month): per-(dept, month) sums, per-dept subtotals,
     * grand total in ONE pass — Spark expands the grouping sets and the
     * partial aggregation stays map-side combinable, so the rollup costs

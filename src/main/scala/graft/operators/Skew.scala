@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Num.{dbl, dec}
+import graft.sources.Tables
 
 /** Skew mitigation for keyed joins — the manual lever for when a handful
   * of hot keys would pin a 100 TB shuffle onto a few reducers.
@@ -45,4 +47,24 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Declared query gating the salted join's SEMANTICS against a plain
+    * join oracle: lineitem (big, salted) ⋈ orders (replicated) on the
+    * order key, aggregated per priority. The oracle is the unsalted
+    * join — identical results is the whole point of the operator. */
+  def qSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+    saltedJoin(li, ord, "o_orderkey", salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  def qSaltedSql: String =
+    """SELECT o.o_orderpriority, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 }

@@ -101,6 +101,44 @@ object Text {
        |       $qualityArmsSql AS quality
        |FROM base ORDER BY doc_id""".stripMargin
 
+  /** Per-source quality deciles (ntile) — the bucketing step a curation
+    * pipeline uses to mix training data by quality band ("drop the
+    * bottom 2 deciles, upsample the top 1"). The ntile order carries a
+    * doc_id tiebreak so bucket boundaries are total-order deterministic;
+    * the per-bucket stats are min/max (order-free), never an avg of
+    * doubles. One shuffle on source + the dim-sized final agg. */
+  def deciles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = stats(docs, keep = Seq("source"))
+    val w = Window.partitionBy("source").orderBy(col("quality"), col("doc_id"))
+    st.withColumn("decile", ntile(10).over(w))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n"),
+        min("quality").as("min_q"), max("quality").as("max_q"))
+  }
+
+  def qDeciles(s: SparkSession, dir: String): DataFrame =
+    deciles(Tables.balanced(Tables.documents(s, dir))).orderBy("source", "decile")
+
+  def qDecilesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text,
+       |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, source,
+       |         ${qualityCountsSql("t")}
+       |  FROM d),
+       |q AS (SELECT doc_id, source, $qualityArmsSql AS quality FROM base),
+       |t AS (SELECT source, quality,
+       |             ntile(10) OVER (PARTITION BY source
+       |                             ORDER BY quality, doc_id) AS decile
+       |      FROM q)
+       |SELECT source, decile, COUNT(*) AS n,
+       |       MIN(quality) AS min_q, MAX(quality) AS max_q
+       |FROM t GROUP BY source, decile
+       |ORDER BY source, decile""".stripMargin
+
   /** Stopword-profile language scores + deterministic argmax (ties break
     * in profile declaration order). */
   def langId(docs: DataFrame): DataFrame = {

@@ -141,6 +141,38 @@ object Streams {
       }
       .start()
 
+  val AttributionWindowMin = 30L
+
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks in the preceding 30 minutes (inclusive of the
+    * purchase instant) — streaming click attribution, the canonical
+    * two-unbounded-sides join.
+    *
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time distance, which is exactly what Spark needs to reason
+    * about state eviction: a buffered click is droppable once the
+    * purchase-side watermark passes click_ts + 30 min, a buffered
+    * purchase once the click-side watermark passes purchase_ts. State is
+    * therefore O(rate × window), not O(stream). Inner join: late or
+    * unmatched rows simply never pair (left-outer would emit
+    * null-padded rows on watermark expiry — same plan, different
+    * `joinType`). */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", WatermarkDelay)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", WatermarkDelay)
+    p.join(c, expr(
+      s"""c_user = p_user AND
+         |click_ts <= purchase_ts AND
+         |click_ts >= purchase_ts - INTERVAL $AttributionWindowMin MINUTES""".stripMargin))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"), col("value"))
+  }
+
   /** Streaming incremental near-dup dedup: each micro-batch of documents
     * is shingled to its LSH band signature, matched against the
     * PERSISTED corpus band index (hits = candidate near-dups of anything

@@ -119,6 +119,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases pair with in-window clicks only") {
+    val clicks = MemoryStream[Event](spark)
+    val purchases = MemoryStream[Event](spark)
+    val q = Streams.clickAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        Event(10, ts(0), 1L, "click", 0.0),   // 25 min before -> in window
+        Event(11, ts(-40), 1L, "click", 0.0), // 65 min before -> outside
+        Event(12, ts(25), 1L, "click", 0.0),  // exactly at purchase -> in
+        Event(13, ts(10), 2L, "click", 0.0))  // other user -> no pair
+      purchases.addData(Event(20, ts(25), 1L, "purchase", 5.0))
+      q.processAllAvailable()
+      // the click side can arrive arbitrarily later than the purchase —
+      // both sides buffer in state until the watermark clears them
+      clicks.addData(Event(14, ts(20), 1L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT purchase_id, click_id FROM attrib")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((20L, 10L), (20L, 12L), (20L, 14L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming keyed upsert via foreachBatch: last write wins across batches") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val stream = MemoryStream[Event](spark)
