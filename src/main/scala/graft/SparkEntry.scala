@@ -30,6 +30,8 @@ object SparkEntry {
     "kpi_trend" -> ((s, d) => Kpi.qTrend(s, d)),
     "kpi_moving_avg" -> ((s, d) => Kpi.qMovingAvg(s, d)),
     "kpi_rollup" -> ((s, d) => Kpi.qRollup(s, d)),
+    "kpi_cube" -> ((s, d) => Kpi.qCube(s, d)),
+    "kpi_quartiles" -> ((s, d) => Kpi.qQuartiles(s, d)),
     "kpi_pivot" -> ((s, d) => Kpi.qPivot(s, d)),
     // ETL half (SURVEY §2.1/§2.2: S1, S4, S5, P2-P5, J6, A6, A7, A8, O3)
     // over the checked-in fixture CSVs.
@@ -76,6 +78,7 @@ object SparkEntry {
     "text_bm25" -> ((s, d) => Text.qBm25(s, d)),
     "text_top_by_source" -> ((s, d) => Text.qTopBySource(s, d)),
     "text_deciles" -> ((s, d) => Text.qDeciles(s, d)),
+    "text_vocab_setops" -> ((s, d) => Text.qVocabSetOps(s, d)),
     // Skew-salted join gated against the plain-join oracle
     "join_salted" -> ((s, d) => operators.Skew.qSalted(s, d)),
     // Event-time windows + sessionization over `events`
@@ -115,6 +118,8 @@ object SparkEntry {
     "kpi_trend" -> Kpi.trendSql(),
     "kpi_moving_avg" -> Kpi.movingAvgSql(),
     "kpi_rollup" -> Kpi.rollupSql(),
+    "kpi_cube" -> Kpi.cubeSql(),
+    "kpi_quartiles" -> Kpi.quartilesSql(),
     "kpi_pivot" -> Kpi.pivotSql(),
     "etl_cleanse" -> Etl.qCleanseSql,
     "etl_dedup_employees" -> Etl.qDedupEmployeesSql,
@@ -146,6 +151,7 @@ object SparkEntry {
     "text_bm25" -> Text.qBm25Sql,
     "text_top_by_source" -> Text.qTopBySourceSql,
     "text_deciles" -> Text.qDecilesSql,
+    "text_vocab_setops" -> Text.qVocabSetOpsSql,
     "join_salted" -> operators.Skew.qSaltedSql,
     "events_window" -> Events.qTumblingSql,
     "events_window_sliding" -> Events.qSlidingSql,

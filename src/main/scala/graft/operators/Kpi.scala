@@ -323,6 +323,66 @@ object Kpi {
        |FROM fact GROUP BY ROLLUP(dept, month)
        |ORDER BY gid, dept, month""".stripMargin
 
+  /** CUBE(dept, month): all four grouping sets — (dept,month), dept
+    * subtotals, month subtotals, grand total — in one pass. Same
+    * one-shuffle expansion as [[rollup]]; the month-subtotal level is
+    * what CUBE adds over ROLLUP. */
+  def cube(s: SparkSession, dir: String, m1: String = M1, m2: String = M2): DataFrame = {
+    val f = Tables.fact(s, dir, Seq(m1, m2))
+    f.cube(col("dept"), col("month"))
+      .agg(dbl(sum("gross")).as("gross"), dbl(sum("net")).as("net"),
+        count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
+      .select(coalesce(col("dept"), lit("ALL")).as("dept"),
+        coalesce(col("month"), lit("ALL")).as("month"),
+        col("gross"), col("net"), col("n"), col("gid"))
+  }
+
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    cube(s, dir).orderBy("gid", "dept", "month")
+
+  def cubeSql(m1: String = M1, m2: String = M2): String =
+    s"""WITH ${factSql(s"${inMonthSql("o.o_orderdate", m1)} OR ${inMonthSql("o.o_orderdate", m2)}")}
+       |SELECT COALESCE(dept, 'ALL') AS dept, COALESCE(month, 'ALL') AS month,
+       |       CAST(SUM(gross) AS DOUBLE) AS gross, CAST(SUM(net) AS DOUBLE) AS net,
+       |       COUNT(*) AS n, CAST(GROUPING(dept, month) AS INT) AS gid
+       |FROM fact GROUP BY CUBE(dept, month)
+       |ORDER BY gid, dept, month""".stripMargin
+
+  val Quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)
+
+  /** Exact multi-quantile per dept: ONE percentile aggregate evaluating
+    * all four cut points over a single sort of each group's values —
+    * not four separate aggregates. Input is cast to double BEFORE the
+    * aggregate so both engines interpolate over identical IEEE values.
+    * The oracle deliberately uses the opposite formulation (four scalar
+    * quantile_cont aggregates + UNION ALL unpivot) — agreeing results
+    * check the interpolation semantics, not a shared code path. */
+  def quartiles(s: SparkSession, dir: String, m: String = M1): DataFrame = {
+    val f = Tables.fact(s, dir, Seq(m))
+    val ps = Quantiles
+    f.groupBy("dept")
+      .agg(expr(s"percentile(CAST(net AS DOUBLE), array(${ps.mkString(", ")}))").as("qs"))
+      .select(col("dept"), posexplode(col("qs")))
+      .select(col("dept"),
+        element_at(typedLit(ps), col("pos") + 1).as("p"),
+        col("col").as("net_q"))
+  }
+
+  def qQuartiles(s: SparkSession, dir: String): DataFrame =
+    quartiles(s, dir).orderBy("dept", "p")
+
+  def quartilesSql(m: String = M1): String = {
+    val aggs = Quantiles.zipWithIndex.map { case (p, i) =>
+      s"quantile_cont(CAST(net AS DOUBLE), $p) AS q$i" }.mkString(", ")
+    val arms = Quantiles.zipWithIndex.map { case (p, i) =>
+      s"SELECT dept, CAST($p AS DOUBLE) AS p, q$i AS net_q FROM q" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${factSql(inMonthSql("o.o_orderdate", m))},
+       |q AS (SELECT dept, $aggs FROM fact GROUP BY dept)
+       |$arms
+       |ORDER BY dept, p""".stripMargin
+  }
+
   /** Pivot: months as columns (explicit value list — no discovery job,
     * deterministic column set), dept rows. A dept with no rows in a
     * month yields NULL, matching the conditional-sum-over-NULL oracle. */

@@ -101,6 +101,41 @@ object Text {
        |       $qualityArmsSql AS quality
        |FROM base ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary set algebra between two sub-corpora: INTERSECT (shared
+    * words) and both EXCEPT directions (source-exclusive words) — the
+    * set-operation surface (Spark `intersect`/`except` = hash-distinct
+    * semi/anti shuffles) applied to the vocab-overlap question a corpus
+    * mixer actually asks. Each arm is a keyed distinct over exploded
+    * words: one shuffle per arm, map-side combinable, never an
+    * all-pairs. */
+  def vocabSetOps(docs: DataFrame, srcA: String, srcB: String): DataFrame = {
+    def vocab(src: String) = docs.filter(col("source") === src)
+      .select(explode(words(col("text"))).as("w"))
+    val a = vocab(srcA)
+    val b = vocab(srcB)
+    a.intersect(b).withColumn("op", lit("both"))
+      .unionByName(a.except(b).withColumn("op", lit("a_only")))
+      .unionByName(b.except(a).withColumn("op", lit("b_only")))
+  }
+
+  def qVocabSetOps(s: SparkSession, dir: String): DataFrame =
+    vocabSetOps(Tables.balanced(Tables.documents(s, dir)), "src0", "src1")
+      .orderBy("op", "w")
+
+  def qVocabSetOpsSql: String =
+    """WITH v AS (
+      |  SELECT source, unnest(string_split(
+      |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents WHERE source IN ('src0', 'src1')),
+      |a AS (SELECT DISTINCT w FROM v WHERE source = 'src0'),
+      |b AS (SELECT DISTINCT w FROM v WHERE source = 'src1')
+      |SELECT w, 'both' AS op FROM (SELECT w FROM a INTERSECT SELECT w FROM b)
+      |UNION ALL
+      |SELECT w, 'a_only' AS op FROM (SELECT w FROM a EXCEPT SELECT w FROM b)
+      |UNION ALL
+      |SELECT w, 'b_only' AS op FROM (SELECT w FROM b EXCEPT SELECT w FROM a)
+      |ORDER BY op, w""".stripMargin
+
   /** Per-source quality deciles (ntile) — the bucketing step a curation
     * pipeline uses to mix training data by quality band ("drop the
     * bottom 2 deciles, upsample the top 1"). The ntile order carries a
