@@ -111,7 +111,16 @@ class PlanAuditSpec extends SparkSpec {
       // (ReusedExchange dedupes at runtime) and the tiny df/n/weight
       // stages — only 2 carry data volume (tf agg, per-doc score agg)
       "sample_stratified" -> 1, "media_frames" -> 1,
-      "text_vocab" -> 3, "text_bm25" -> 8)
+      "text_vocab" -> 3, "text_bm25" -> 8,
+      // round-4 additions: asof/rolling = keyed window + presentation
+      // sort; interval = two join sides + sort; moving_avg/cube/
+      // quartiles = one agg + sort; deciles = source window + agg +
+      // sort; salted = salted join + agg; setops = 2 distincts + 2
+      // join sides + sort (the single-pass full-outer form — three
+      // literal set-op passes measured 10)
+      "events_asof" -> 2, "events_rolling" -> 2, "events_interval" -> 3,
+      "kpi_moving_avg" -> 2, "kpi_cube" -> 2, "kpi_quartiles" -> 2,
+      "text_deciles" -> 3, "join_salted" -> 2, "text_vocab_setops" -> 5)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
