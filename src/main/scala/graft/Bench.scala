@@ -50,6 +50,15 @@ object Bench {
     // cover every declared query).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // A typo'd name would silently bench nothing — fail fast and list the
+    // valid names instead of emitting an empty-looking JSON.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not declared in SparkEntry.queries: " +
+          s"${unknown.mkString(", ")}; valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      System.err.println(s"bench: restricted to ${names.toSeq.sorted.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
 
     // Warmup: same plan shapes, tiny data — compiles codegen + JITs hot paths.

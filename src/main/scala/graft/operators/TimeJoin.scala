@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import graft.functions.Num.{dbl, dec}
 import graft.sources.Tables
 
@@ -46,6 +47,16 @@ object TimeJoin {
                leftTime: String, rightTime: String,
                leftTie: String, rightTie: String,
                rightPayload: Seq[String], prefix: String): DataFrame = {
+    // The greatest-tie-wins rule rides on cast("long"); a non-integral tie
+    // column (e.g. a string id) would silently cast to NULL and make the
+    // documented determinism vanish — reject it loudly instead.
+    def requireIntegral(df: DataFrame, c: String, side: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"asOfJoin $side tie column '$c' must be an integral type, got $dt")
+    }
+    requireIntegral(left, leftTie, "left")
+    requireIntegral(right, rightTie, "right")
     val payloadCols = (rightTime +: rightPayload).distinct
     val rStruct = struct(payloadCols.map(col): _*)
     val rStructType = right.select(rStruct).schema.head.dataType
@@ -90,6 +101,7 @@ object TimeJoin {
   def intervalJoin(intervals: DataFrame, points: DataFrame, key: Seq[String],
                    startUs: Column, endUs: Column, tUs: Column,
                    binUs: Long): DataFrame = {
+    require(binUs > 0, s"intervalJoin binUs must be positive, got $binUs")
     // integral `div`, never `/`: epoch-µs values near 2^53 would truncate
     // wrong under double division (same discipline as Tables.events)
     val iv = intervals

@@ -53,7 +53,29 @@ class TimeJoinSpec extends SparkSpec {
     assert(asof.size === 5)
   }
 
+  test("asOfJoin rejects non-integral tie columns instead of NULLing them") {
+    val badLeft = trades.withColumn("sid", col("event_id").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      TimeJoin.asOfJoin(badLeft, quotes, Seq("k"), "ts", "ts",
+        leftTie = "sid", rightTie = "event_id",
+        rightPayload = Seq("px"), prefix = "q_")
+    }
+    assert(e.getMessage.contains("tie column"))
+  }
+
   // --- interval --------------------------------------------------------
+
+  test("intervalJoin rejects non-positive bin widths") {
+    val iv = Seq(("i1", "u", 100L, 200L)).toDF("iv_id", "k", "s_us", "e_us")
+    val pts = Seq(("u", 100L)).toDF("k", "t_us")
+    Seq(0L, -100L).foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        TimeJoin.intervalJoin(iv, pts, Seq("k"),
+          col("s_us"), col("e_us"), col("t_us"), binUs = bad)
+      }
+      assert(e.getMessage.contains("binUs"))
+    }
+  }
 
   test("intervalJoin: half-open [start, end), bin-spanning, empty dropped") {
     val iv = Seq(
