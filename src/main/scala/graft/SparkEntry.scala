@@ -33,6 +33,9 @@ object SparkEntry {
     "kpi_cube" -> ((s, d) => Kpi.qCube(s, d)),
     "kpi_quartiles" -> ((s, d) => Kpi.qQuartiles(s, d)),
     "kpi_pivot" -> ((s, d) => Kpi.qPivot(s, d)),
+    // Cohort retention matrix (first-active-month cohorts over the
+    // distinct-reduced activity set)
+    "kpi_retention" -> ((s, d) => Kpi.qRetention(s, d)),
     // ETL half (SURVEY §2.1/§2.2: S1, S4, S5, P2-P5, J6, A6, A7, A8, O3)
     // over the checked-in fixture CSVs.
     "etl_cleanse" -> ((s, _) => Etl.qCleanse(s)),
@@ -46,6 +49,10 @@ object SparkEntry {
     // S9 catalog introspection + data-level profiling
     "catalog_columns" -> ((s, _) => Catalog.columns(s)),
     "catalog_profile" -> ((s, d) => Catalog.qProfile(s, d)),
+    // Orderless per-partition fingerprint (cross-engine data validation)
+    // + equi-width value histogram (integer-exact bucket math)
+    "catalog_checksum" -> ((s, d) => Catalog.qChecksum(s, d)),
+    "catalog_histogram" -> ((s, d) => Catalog.qHistogram(s, d)),
     // Training-data dedup family over `documents`
     "dedup_exact" -> ((s, d) => Dedup.qExact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.qMinhash(s, d)),
@@ -79,6 +86,7 @@ object SparkEntry {
     "text_top_by_source" -> ((s, d) => Text.qTopBySource(s, d)),
     "text_deciles" -> ((s, d) => Text.qDeciles(s, d)),
     "text_vocab_setops" -> ((s, d) => Text.qVocabSetOps(s, d)),
+    "text_bigrams" -> ((s, d) => Text.qBigrams(s, d)),
     // Skew-salted join gated against the plain-join oracle
     "join_salted" -> ((s, d) => operators.Skew.qSalted(s, d)),
     // Event-time windows + sessionization over `events`
@@ -92,6 +100,8 @@ object SparkEntry {
     "events_asof" -> ((s, d) => TimeJoin.qAsof(s, d)),
     "events_interval" -> ((s, d) => TimeJoin.qInterval(s, d)),
     "events_rolling" -> ((s, d) => Events.qRolling(s, d)),
+    // Ordered-sequence funnel in one window pass
+    "events_funnel" -> ((s, d) => Events.qFunnel(s, d)),
     // Multimodal binary columns (decode kernels stubbed; plumbing real)
     "media_meta" -> ((s, d) => Multimodal.qMediaMeta(s, d)),
     "media_frames" -> ((s, d) => Multimodal.qFrames(s, d)),
@@ -121,6 +131,7 @@ object SparkEntry {
     "kpi_cube" -> Kpi.cubeSql(),
     "kpi_quartiles" -> Kpi.quartilesSql(),
     "kpi_pivot" -> Kpi.pivotSql(),
+    "kpi_retention" -> Kpi.retentionSql(),
     "etl_cleanse" -> Etl.qCleanseSql,
     "etl_dedup_employees" -> Etl.qDedupEmployeesSql,
     "etl_surrogate_keys" -> Etl.qSurrogateKeysSql,
@@ -131,6 +142,8 @@ object SparkEntry {
     "etl_snapshot_diff" -> Etl.qSnapshotDiffSql,
     "catalog_columns" -> Catalog.columnsSql,
     "catalog_profile" -> Catalog.qProfileSql,
+    "catalog_checksum" -> Catalog.qChecksumSql,
+    "catalog_histogram" -> Catalog.qHistogramSql,
     "dedup_exact" -> Dedup.qExactSql,
     "dedup_minhash" -> Dedup.qMinhashSql,
     "dedup_jaccard" -> Dedup.qJaccardSql,
@@ -152,6 +165,7 @@ object SparkEntry {
     "text_top_by_source" -> Text.qTopBySourceSql,
     "text_deciles" -> Text.qDecilesSql,
     "text_vocab_setops" -> Text.qVocabSetOpsSql,
+    "text_bigrams" -> Text.qBigramsSql,
     "join_salted" -> operators.Skew.qSaltedSql,
     "events_window" -> Events.qTumblingSql,
     "events_window_sliding" -> Events.qSlidingSql,
@@ -160,6 +174,7 @@ object SparkEntry {
     "events_asof" -> TimeJoin.qAsofSql,
     "events_interval" -> TimeJoin.qIntervalSql,
     "events_rolling" -> Events.qRollingSql,
+    "events_funnel" -> Events.qFunnelSql,
     "media_meta" -> Multimodal.qMediaMetaSql,
     "media_frames" -> Multimodal.qFramesSql,
     "kpi_anomalies_at_scale" -> Kpi.anomaliesSql(),

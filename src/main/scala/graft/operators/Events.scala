@@ -156,6 +156,89 @@ object Events {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** Ordered-sequence funnel: signup -> click -> purchase per user, each
+    * stage strictly after a completed earlier stage. The sequential
+    * dependency ("a click counts only after a signup") is resolved in ONE
+    * window pass: all three running-min columns share the same
+    * (partition, ordering), so Spark plans a single sort + WindowExec —
+    * one shuffle on user_id total, and the per-user aggregate that
+    * follows reuses that partitioning. The naive formulation (three
+    * chained filtered aggregates with join-backs) costs 3 keyed shuffles
+    * and 3 joins for identical output.
+    *
+    * Strictly-after is the frame [unboundedPreceding, -1] over rows
+    * ordered by (epoch-µs, event_id): a click co-timestamped with its
+    * signup qualifies iff its event_id is greater — deterministic under
+    * ties in both engines. */
+  val FunnelStages: Seq[String] = Seq("signup", "click", "purchase")
+
+  def funnel(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = events
+      .filter(col("event_type").isin(FunnelStages: _*))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("s_us", when(col("event_type") === "signup", col("us")))
+      .withColumn("s1p", min("s_us").over(wPrev))
+      .withColumn("c_us",
+        when(col("event_type") === "click" && col("s1p").isNotNull, col("us")))
+      .withColumn("c1p", min("c_us").over(wPrev))
+      .withColumn("p_us",
+        when(col("event_type") === "purchase" && col("c1p").isNotNull, col("us")))
+    val perUser = staged.groupBy("user_id")
+      .agg(min("s_us").as("t1"), min("c_us").as("t2"), min("p_us").as("t3"))
+    perUser.agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      .select(expr(
+        """stack(3,
+          |  1, 'signup',   n1, CAST(NULL AS DOUBLE),
+          |  2, 'click',    n2, CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END,
+          |  3, 'purchase', n3, CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 END
+          |) AS (stage, stage_name, n_users, conversion)""".stripMargin))
+  }
+
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(s, dir)).orderBy("stage")
+
+  def qFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+      |         CASE WHEN event_type = 'signup' THEN epoch_us(ts) END AS s_us
+      |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+      |s1 AS (
+      |  SELECT *, MIN(s_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s1p
+      |  FROM e),
+      |c1 AS (
+      |  SELECT *, CASE WHEN event_type = 'click' AND s1p IS NOT NULL
+      |                 THEN us END AS c_us
+      |  FROM s1),
+      |c2 AS (
+      |  SELECT *, MIN(c_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c1p
+      |  FROM c1),
+      |p1 AS (
+      |  SELECT *, CASE WHEN event_type = 'purchase' AND c1p IS NOT NULL
+      |                 THEN us END AS p_us
+      |  FROM c2),
+      |u AS (
+      |  SELECT user_id, MIN(s_us) AS t1, MIN(c_us) AS t2, MIN(p_us) AS t3
+      |  FROM p1 GROUP BY user_id),
+      |tot AS (
+      |  SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3 FROM u)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage, 'signup' AS stage_name, n1 AS n_users,
+      |         CAST(NULL AS DOUBLE) AS conversion FROM tot
+      |  UNION ALL
+      |  SELECT 2, 'click', n2,
+      |         CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END FROM tot
+      |  UNION ALL
+      |  SELECT 3, 'purchase', n3,
+      |         CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 END FROM tot)
+      |ORDER BY stage""".stripMargin
+
   def qSessionsSql: String = {
     val gapUs = SessionGapMin * 60L * 1000000L
     s"""WITH lagd AS (

@@ -291,6 +291,81 @@ object Kpi {
        |ORDER BY month""".stripMargin
   }
 
+  /** Cohort retention over the analysis window: each employee (customer)
+    * joins the cohort of their first active month in the window; each
+    * (cohort, month) cell counts how many of that cohort are active that
+    * month, with the rate as a fraction of cohort size. The classic
+    * retention-matrix query, built scale-first:
+    *
+    *   - the month window pushes to the orders scan as OR'd ranges (no
+    *     derived-column filter);
+    *   - the raw fact shuffles EXACTLY ONCE: one emp-keyed aggregate
+    *     yields both the cohort (min month) and the active-month set —
+    *     `collect_set` state is bounded by |window months| (≤12), so the
+    *     partials combine map-side and per-group memory is O(1). The
+    *     naive shape (DISTINCT, then a min-agg, then a self-join to
+    *     attach cohorts) shuffles the reduced set two more times for
+    *     identical output;
+    *   - cohort sizes fall out of the matrix itself (the months_since=0
+    *     cell IS the cohort size — every cohort has one by construction),
+    *     read back with a window over the |months|²-sized cells, never a
+    *     third aggregate + join.
+    *
+    * months_since is pure integer month arithmetic (y*12+m), exact in
+    * both engines; the rate is one IEEE division of exact longs. */
+  def retention(s: SparkSession, dir: String, months: Seq[String] = TrendMonths): DataFrame =
+    retentionFrom(Tables.orders(s, dir), months)
+
+  def retentionFrom(o: DataFrame, months: Seq[String] = TrendMonths): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def mIdx(c: Column): Column =
+      substring(c, 1, 4).cast("int") * 12 + substring(c, 6, 2).cast("int")
+    val perEmp = o
+      .filter(months.map(m => Tables.inMonth(o("o_orderdate"), m)).reduce(_ || _))
+      .select(col("o_custkey").as("emp_id"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .groupBy("emp_id")
+      .agg(min("month").as("cohort_month"), collect_set("month").as("months"))
+    val cells = perEmp
+      .select(col("cohort_month"), explode(col("months")).as("month"))
+      .groupBy("cohort_month", "month").agg(count(lit(1)).as("n_active"))
+    cells
+      .withColumn("months_since", mIdx(col("month")) - mIdx(col("cohort_month")))
+      .withColumn("cohort_size",
+        max(when(col("months_since") === 0, col("n_active")))
+          .over(Window.partitionBy("cohort_month")))
+      .select(col("cohort_month"), col("months_since"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+  }
+
+  def qRetention(s: SparkSession, dir: String): DataFrame =
+    retention(s, dir).orderBy("cohort_month", "months_since")
+
+  def retentionSql(months: Seq[String] = TrendMonths): String = {
+    val pred = months.map(m => inMonthSql("o_orderdate", m)).mkString(" OR ")
+    s"""WITH active AS (
+       |  SELECT DISTINCT o_custkey AS emp_id,
+       |         strftime(o_orderdate, '%Y-%m') AS month
+       |  FROM orders WHERE $pred),
+       |cohort AS (
+       |  SELECT emp_id, MIN(month) AS cohort_month FROM active GROUP BY emp_id),
+       |sizes AS (
+       |  SELECT cohort_month, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_month),
+       |cells AS (
+       |  SELECT c.cohort_month, a.month, COUNT(*) AS n_active
+       |  FROM active a JOIN cohort c USING (emp_id)
+       |  GROUP BY c.cohort_month, a.month)
+       |SELECT cohort_month,
+       |       (CAST(substr(month, 1, 4) AS INT) * 12 + CAST(substr(month, 6, 2) AS INT))
+       |       - (CAST(substr(cohort_month, 1, 4) AS INT) * 12 + CAST(substr(cohort_month, 6, 2) AS INT))
+       |         AS months_since,
+       |       n_active, cohort_size,
+       |       CAST(n_active AS DOUBLE) / cohort_size AS retention
+       |FROM cells JOIN sizes USING (cohort_month)
+       |ORDER BY cohort_month, months_since""".stripMargin
+  }
+
   /** ROLLUP(dept, month): per-(dept, month) sums, per-dept subtotals,
     * grand total in ONE pass — Spark expands the grouping sets and the
     * partial aggregation stays map-side combinable, so the rollup costs

@@ -364,6 +364,60 @@ object Text {
        |FROM w GROUP BY token
        |ORDER BY n_occur DESC, token ASC LIMIT $VocabK""".stripMargin
 
+  val BigramK = 30
+
+  /** Top-k bigram collocations with next-word probability — the n-gram
+    * statistic a corpus language-model pass computes (boilerplate
+    * detection, collocation mining, next-token baselines). Adjacent
+    * pairs are built ARRAY-SIDE (zip the token array with its own tail)
+    * before the explode, so the pairing is per-row and codegen'd — never
+    * a positional self-join of the exploded corpus, which would shuffle
+    * |tokens| rows twice at 100 TB. Unigram counts reattach on the keyed
+    * bigram aggregate (AQE broadcasts the small side at test scale; at
+    * corpus scale both sides hash-partition on w1, which is the plan you
+    * want). p_next = one IEEE division of two exact longs — no float Σ,
+    * no transcendentals (same discipline as BM25 below). */
+  def bigrams(docs: DataFrame, k: Int = BigramK): DataFrame = {
+    val ws = words(col("text"))
+    val pairs = docs.select(col("doc_id"), explode(
+        filter(
+          zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          p => p.getField("w2").isNotNull)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = docs.select(explode(ws).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    pairs.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("n_docs"))
+      .join(uni, "w1")
+      .select(col("w1"), col("w2"), col("n"), col("n_docs"),
+        (col("n").cast("double") / col("c1")).as("p_next"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def qBigrams(s: SparkSession, dir: String): DataFrame =
+    bigrams(Tables.balanced(Tables.documents(s, dir)))
+
+  def qBigramsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(
+       |           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+       |  FROM d, unnest(range(1, len(ws))) AS t(i)),
+       |uni AS (
+       |  SELECT unnest(ws) AS w1 FROM d),
+       |uc AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY w1),
+       |bg AS (
+       |  SELECT w1, w2, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM pairs GROUP BY w1, w2)
+       |SELECT bg.w1, bg.w2, bg.n, bg.n_docs,
+       |       CAST(bg.n AS DOUBLE) / uc.c1 AS p_next
+       |FROM bg JOIN uc USING (w1)
+       |ORDER BY n DESC, w1 ASC, w2 ASC LIMIT $BigramK""".stripMargin
+
   // -------------------------------------------------------------------
   // BM25-style keyword retrieval (quantized integer weights)
   // -------------------------------------------------------------------

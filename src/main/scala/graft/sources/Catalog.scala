@@ -64,6 +64,104 @@ object Catalog {
     s"SELECT * FROM (\n$arms\n) ORDER BY col_name"
   }
 
+  /** Orderless per-partition table fingerprint — the cross-engine data
+    * validation primitive: after any migration/backfill/merge, comparing
+    * (n_rows, sum_hash, xor_hash) per month partition pinpoints exactly
+    * which partitions diverge without moving data between systems. Every
+    * ingredient is deliberately order-independent and engine-portable:
+    * the row hash is the md5-based 60-bit int ([[graft.functions.Hashes]]),
+    * doubles enter the canonical string as exact integer CENTS (decimal
+    * scale-up, never double→string formatting), the timestamp as an
+    * explicit-format string, and the two combiners (exact decimal SUM,
+    * BIT_XOR) commute — so the fingerprint is invariant to partitioning,
+    * task order, and engine. One scan, one keyed shuffle on month;
+    * partials combine map-side. */
+  def checksum(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Num.dec
+    val canon = concat_ws("|",
+      col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+      col("o_orderstatus"),
+      (dec(col("o_totalprice")) * lit(10000)).cast("long").cast("string"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+      col("o_orderpriority"))
+    orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        graft.functions.Hashes.hash60(canon).as("h"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast("decimal(38,0)")).as("sum_hash"),
+        expr("bit_xor(h)").as("xor_hash"))
+  }
+
+  def qChecksum(s: SparkSession, dir: String): DataFrame =
+    checksum(Tables.orders(s, dir)).orderBy("month")
+
+  def qChecksumSql: String =
+    """WITH rows_h AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |         CAST('0x' || substr(md5(concat_ws('|',
+      |           o_orderkey, o_custkey, o_orderstatus,
+      |           CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT),
+      |           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+      |           o_orderpriority)), 1, 15) AS BIGINT) AS h
+      |  FROM orders)
+      |SELECT month, COUNT(*) AS n_rows,
+      |       CAST(SUM(h) AS DECIMAL(38,0)) AS sum_hash,
+      |       BIT_XOR(h) AS xor_hash
+      |FROM rows_h GROUP BY month ORDER BY month""".stripMargin
+
+  val HistBuckets = 20
+
+  /** Equi-width histogram of a money column with data-driven bounds —
+    * the profiling companion to [[profile]]'s min/max: distribution
+    * shape, not just range. Two stages: a tiny min/max aggregate, then
+    * one scan with the 1-row bounds broadcast onto it — never a
+    * per-bucket rescan. All bucket math is INTEGER (floor to whole
+    * units, ceil-divided width): identical arithmetic in both engines,
+    * no float boundary flips. Empty buckets are absent (same contract
+    * both sides); sums are exact decimal until the final cast. */
+  def histogram(df: DataFrame, valueCol: String, buckets: Int = HistBuckets): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Num.{dbl, dec}
+    val v = floor(dec(col(valueCol))).cast("long")
+    // integral `div`, never `/`: Column./ is true division (double) and
+    // a float boundary flip would move edge rows across buckets
+    val bounds = df.agg(min(v).as("lo"), (max(v) + 1).as("hi"))
+      .select(col("lo"), expr(s"(hi - lo + ${buckets - 1}) div $buckets").as("w"))
+    df.select(v.as("fv"), dec(col(valueCol)).as("dv"))
+      .join(broadcast(bounds))
+      .select(expr("(fv - lo) div w").as("bucket"),
+        col("lo"), col("w"), col("dv"))
+      .groupBy("bucket", "lo", "w")
+      .agg(count(lit(1)).as("n"), dbl(sum(col("dv"))).as("sum_value"))
+      .select(col("bucket").cast("int").as("bucket"),
+        (col("lo") + col("bucket") * col("w")).as("bucket_lo"),
+        (col("lo") + (col("bucket") + 1) * col("w")).as("bucket_hi"),
+        col("n"), col("sum_value"))
+  }
+
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    histogram(Tables.orders(s, dir), "o_totalprice").orderBy("bucket")
+
+  def qHistogramSql: String =
+    s"""WITH vals AS (
+       |  SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(18,4))) AS BIGINT) AS fv,
+       |         CAST(o_totalprice AS DECIMAL(18,4)) AS dv
+       |  FROM orders),
+       |bounds AS (
+       |  SELECT MIN(fv) AS lo,
+       |         (MAX(fv) + 1 - MIN(fv) + $HistBuckets - 1) // $HistBuckets AS w
+       |  FROM vals),
+       |bucketed AS (
+       |  SELECT (fv - lo) // w AS bucket, lo, w, dv FROM vals, bounds)
+       |SELECT CAST(bucket AS INT) AS bucket,
+       |       lo + bucket * w AS bucket_lo,
+       |       lo + (bucket + 1) * w AS bucket_hi,
+       |       COUNT(*) AS n,
+       |       CAST(SUM(dv) AS DOUBLE) AS sum_value
+       |FROM bucketed GROUP BY bucket, lo, w ORDER BY bucket""".stripMargin
+
   def columnsSql: String = {
     val names = Schemas.byName.keys.toSeq.sorted.map(n => s"'$n'").mkString(", ")
     s"""SELECT table_name, column_name, CAST(ordinal_position AS INT) AS ordinal

@@ -1,0 +1,62 @@
+package graft
+
+import graft.sources.Catalog
+import org.apache.spark.sql.DataFrame
+
+/** Data-validation operators: the orderless partition fingerprint and the
+  * integer-exact equi-width histogram. The fingerprint's contract is
+  * INVARIANCE (same rows => same checksum, regardless of partitioning or
+  * order) plus SENSITIVITY (one changed value flips exactly its
+  * partition's fingerprint); the histogram's is exact integer bucket
+  * edges with no float boundary drift. */
+class CatalogSpec extends SparkSpec {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  private def ordersFx: DataFrame = Seq(
+    (1L, 10L, "O", 100.50, ts("1997-03-05"), "1-URGENT"),
+    (2L, 11L, "F", 200.25, ts("1997-03-20"), "2-HIGH"),
+    (3L, 12L, "O", 300.00, ts("1997-04-01"), "3-MEDIUM"),
+    (4L, 10L, "F", 400.75, ts("1997-04-28"), "2-HIGH"),
+  ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+
+  private def fp(df: DataFrame): Map[String, (Long, BigDecimal, Long)] =
+    Catalog.checksum(df).collect().map(r => r.getString(0) ->
+      ((r.getLong(1), BigDecimal(r.getDecimal(2)), r.getLong(3)))).toMap
+
+  test("checksum is invariant to partitioning and row order") {
+    val base = fp(ordersFx)
+    assert(base.keySet === Set("1997-03", "1997-04"))
+    assert(fp(ordersFx.repartition(7)) === base)
+    assert(fp(ordersFx.orderBy($"o_orderkey".desc)) === base)
+  }
+
+  test("checksum pinpoints the changed partition and only it") {
+    import org.apache.spark.sql.functions._
+    val base = fp(ordersFx)
+    val tweaked = fp(ordersFx.withColumn("o_totalprice",
+      when($"o_orderkey" === 3L, 300.01).otherwise($"o_totalprice")))
+    assert(tweaked("1997-03") === base("1997-03"), "untouched month must hold")
+    assert(tweaked("1997-04")._1 === base("1997-04")._1, "row count unchanged")
+    assert(tweaked("1997-04")._2 !== base("1997-04")._2, "sum_hash must flip")
+  }
+
+  test("histogram: integer edges, floor bucketing, exact sums") {
+    val vals = (0 until 100).map(i => i.toDouble).toDF("v")
+    val out = Catalog.histogram(vals, "v").orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // lo=0, hi=100, width=5 -> 20 full buckets of 5 values each
+    assert(out.length === 20)
+    assert(out.head === ((0, 0L, 5L, 5L, 10.0)))       // 0+1+2+3+4
+    assert(out.last === ((19, 95L, 100L, 5L, 485.0)))  // 95+..+99
+  }
+
+  test("histogram: a constant column collapses to one bucket, not a crash") {
+    val out = Catalog.histogram(Seq(42.0, 42.0, 42.0).toDF("v"), "v").collect()
+    assert(out.length === 1 && out.head.getLong(3) === 3L)
+  }
+}

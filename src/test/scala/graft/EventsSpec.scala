@@ -25,4 +25,32 @@ class EventsSpec extends SparkSpec {
     assert(out.contains(("click", 7L, 2L)), s"got $out")
     assert(out.count(_._2 == null) == 2, s"null buckets per type: $out")
   }
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("funnel: stages require strict order; co-timestamped rows break ties by event_id") {
+    val events = Seq(
+      // u1: clean signup -> click -> purchase
+      (101L, 1L, ts(100), "signup"), (102L, 1L, ts(200), "click"),
+      (103L, 1L, ts(300), "purchase"),
+      // u2: click BEFORE signup never qualifies; purchase without a
+      // qualifying click doesn't either -> reaches signup only
+      (201L, 2L, ts(100), "click"), (202L, 2L, ts(200), "signup"),
+      (203L, 2L, ts(300), "purchase"),
+      // u3: all three co-timestamped — event_id order is the tiebreak, so
+      // click(302) sees signup(301) and purchase(303) sees click(302)
+      (301L, 3L, ts(100), "signup"), (302L, 3L, ts(100), "click"),
+      (303L, 3L, ts(100), "purchase"),
+      // u4: purchase only -> reaches nothing
+      (401L, 4L, ts(500), "purchase"),
+      // u5: purchase between signup and click doesn't count; the later one does
+      (501L, 5L, ts(100), "signup"), (502L, 5L, ts(150), "purchase"),
+      (503L, 5L, ts(200), "click"), (504L, 5L, ts(300), "purchase"),
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.funnel(events).orderBy("stage")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toList
+    assert(out === List((1, "signup", 4L, null), (2, "click", 3L, 0.75),
+      (3, "purchase", 3L, 1.0)), s"got $out")
+  }
 }

@@ -119,4 +119,30 @@ class KpiSpec extends SparkSpec {
     assert(r.getAs[Double]("rel_err") <= 0.05,
       s"approx=${r.getAs[Long]("approx")} exact=${r.getAs[Long]("exact")}")
   }
+
+  test("retention: window-scoped cohorts, dup orders collapse, exact matrix") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      // cust 1: active 01, 02, 03 (01 twice — distinct must collapse it)
+      (1L, ts("2024-01-05")), (1L, ts("2024-01-20")),
+      (1L, ts("2024-02-10")), (1L, ts("2024-03-15")),
+      // cust 2: active 01, 03 (skips 02)
+      (2L, ts("2024-01-09")), (2L, ts("2024-03-02")),
+      // cust 3: first in 02, never again
+      (3L, ts("2024-02-14")),
+      // cust 4: a PRE-WINDOW order must not define the cohort
+      (4L, ts("2023-12-30")), (4L, ts("2024-02-20")), (4L, ts("2024-03-21")),
+    ).toDF("o_custkey", "o_orderdate")
+    val out = Kpi.retentionFrom(orders, Seq("2024-01", "2024-02", "2024-03"))
+      .orderBy("cohort_month", "months_since")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toList
+    assert(out === List(
+      ("2024-01", 0, 2L, 2L, 1.0),   // custs 1,2
+      ("2024-01", 1, 1L, 2L, 0.5),   // cust 1
+      ("2024-01", 2, 2L, 2L, 1.0),   // custs 1,2
+      ("2024-02", 0, 2L, 2L, 1.0),   // custs 3,4
+      ("2024-02", 1, 1L, 2L, 0.5),   // cust 4
+    ), s"got $out")
+  }
 }

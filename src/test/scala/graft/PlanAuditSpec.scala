@@ -120,7 +120,15 @@ class PlanAuditSpec extends SparkSpec {
       // literal set-op passes measured 10)
       "events_asof" -> 2, "events_rolling" -> 2, "events_interval" -> 3,
       "kpi_moving_avg" -> 2, "kpi_cube" -> 2, "kpi_quartiles" -> 2,
-      "text_deciles" -> 3, "join_salted" -> 2, "text_vocab_setops" -> 5)
+      "text_deciles" -> 3, "join_salted" -> 2, "text_vocab_setops" -> 5,
+      // round-5 additions: funnel = ONE user_id window shuffle (+ tiny
+      // 3-row sort); checksum = month agg + sort; histogram = bucket
+      // agg + sort (the bounds agg is a tiny global); retention = the
+      // single emp-keyed fact shuffle + cells agg + dim-sized
+      // cohort-size window + sort; bigrams = 2 explode-agg branches +
+      // the count-distinct expansion (uni side broadcasts)
+      "events_funnel" -> 2, "catalog_checksum" -> 2,
+      "catalog_histogram" -> 3, "kpi_retention" -> 4, "text_bigrams" -> 5)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e

@@ -108,4 +108,20 @@ class TextSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("bigrams: hand-computed pairs, doc counts, and next-word probability") {
+    val docs = Seq(
+      (1L, "a b a b"),    // pairs: (a,b) (b,a) (a,b); unigrams a=2 b=2
+      (2L, "a b c"),      // pairs: (a,b) (b,c);      unigrams a=1 b=1 c=1
+      (3L, "solo"),       // one token -> no pairs, still counts a unigram
+    ).toDF("doc_id", "text")
+    val out = Text.bigrams(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toList
+    assert(out === List(
+      ("a", "b", 3L, 2L, 1.0),        // 3 of a's 3 occurrences precede b
+      ("b", "a", 1L, 1L, 1.0 / 3),
+      ("b", "c", 1L, 1L, 1.0 / 3),
+    ), s"got $out")
+  }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Subset verify for fast local iteration: dump only the named queries
+  * (plus their oracle SQL) so `tools/check.py <sfDir> <outDir> <names>`
+  * can gate one operator without a full 60-query Verify pass.
+  *
+  * Usage: Test/runMain graft.VerifySubset <sfDir> <outDir> name [name ...]
+  */
+object VerifySubset {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: VerifySubset <sfDir> <outDir> <query> [query ...]")
+    val (sfDir, outDir, names) = (args(0), args(1), args.drop(2).toSeq)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"not declared in SparkEntry.queries: ${unknown.mkString(", ")}")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$n")
+      println(f"PROBE $n done ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = names.filter(SparkEntry.oracleSql.contains)
+      .map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}
