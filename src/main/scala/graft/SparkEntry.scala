@@ -36,6 +36,11 @@ object SparkEntry {
     // Cohort retention matrix (first-active-month cohorts over the
     // distinct-reduced activity set)
     "kpi_retention" -> ((s, d) => Kpi.qRetention(s, d)),
+    // Robust aggregation: per-dept p05/p95 winsorized totals (discrete
+    // order statistics — the clamp stays in exact decimal)
+    "kpi_winsorize" -> ((s, d) => Kpi.qWinsorize(s, d)),
+    // LEFT ANTI join surfaced as analytics (inactive customers per dept)
+    "join_anti" -> ((s, d) => Kpi.qInactive(s, d)),
     // ETL half (SURVEY §2.1/§2.2: S1, S4, S5, P2-P5, J6, A6, A7, A8, O3)
     // over the checked-in fixture CSVs.
     "etl_cleanse" -> ((s, _) => Etl.qCleanse(s)),
@@ -61,6 +66,9 @@ object SparkEntry {
     "dedup_embed" -> ((s, d) => Dedup.qEmbed(s, d)),
     // Incremental: new batch vs persisted corpus band index
     "dedup_incremental" -> ((s, d) => Dedup.qIncremental(s, d)),
+    // Edit-distance fuzzy entity matching (deletion-neighborhood
+    // blocking, levenshtein-verified)
+    "dedup_fuzzy" -> ((s, d) => Dedup.qFuzzy(s, d)),
     // Cluster formation over the verified near-dup pairs (connected
     // components via iterative min-label propagation)
     "dedup_clusters" -> ((s, d) => Cluster.qClusters(s, d)),
@@ -132,6 +140,8 @@ object SparkEntry {
     "kpi_quartiles" -> Kpi.quartilesSql(),
     "kpi_pivot" -> Kpi.pivotSql(),
     "kpi_retention" -> Kpi.retentionSql(),
+    "kpi_winsorize" -> Kpi.winsorizeSql(),
+    "join_anti" -> Kpi.inactiveSql(),
     "etl_cleanse" -> Etl.qCleanseSql,
     "etl_dedup_employees" -> Etl.qDedupEmployeesSql,
     "etl_surrogate_keys" -> Etl.qSurrogateKeysSql,
@@ -150,6 +160,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.qSimhashSql,
     "dedup_embed" -> Dedup.qEmbedSql,
     "dedup_incremental" -> Dedup.qIncrementalSql,
+    "dedup_fuzzy" -> Dedup.qFuzzySql,
     "dedup_clusters" -> Cluster.qClustersSql,
     "sample_stratified" -> Sample.qSampleSql,
     "pipeline_curate" -> Curate.qCurateSql,

@@ -222,6 +222,88 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // Edit-distance fuzzy matching (deletion-neighborhood blocking)
+  // -------------------------------------------------------------------
+  val FuzzyK = 20
+
+  /** Single-deletion neighborhood of a string: the string itself plus
+    * every variant with one character removed. Two strings within edit
+    * distance 1 ALWAYS share a key (substitution: both delete the
+    * differing position; insert/delete: the longer one's deletion hits
+    * the shorter one's identity) — so the equi-join on keys is a
+    * lossless candidate generator for d<=1, the FastSS blocking
+    * scheme. */
+  def deletionKeys(c: Column): Column =
+    array_union(array(c),
+      transform(sequence(lit(1), length(c)), i =>
+        concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c) - i))))
+
+  /** Fuzzy self-match of an (id, name) table at edit distance <= 1 —
+    * the entity-resolution primitive (near-identical names from typos /
+    * id drift), built scale-first:
+    *
+    *   - candidates come ONLY from the deletion-key equi-join — ~|name|
+    *     keys per row, bucket-bounded pair cost, never the all-pairs
+    *     or prefix-block quadratic blowup;
+    *   - `levenshtein` verifies candidates exactly (identical across
+    *     engines), so blocking is recall-lossless AND precision-exact;
+    *   - output aggregates to per-entity neighbor stats (the pair list
+    *     at corpus scale is itself huge; the per-entity rollup is what
+    *     a resolution pipeline consumes).
+    */
+  def fuzzyNeighbors(entities: DataFrame, idCol: String, nameCol: String): DataFrame = {
+    // two steps: explode in the same select as the `name` alias would
+    // read as a lateral alias reference when nameCol == "name"
+    val keyed = entities.select(col(idCol).as("id"), col(nameCol).as("name"))
+      .withColumn("k", explode(deletionKeys(col("name"))))
+    val pairs = keyed.as("x").join(keyed.as("y"),
+        col("x.k") === col("y.k") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("x.name").as("an"),
+        col("y.id").as("b"), col("y.name").as("bn"))
+      .distinct()
+      .filter(levenshtein(col("an"), col("bn")) <= 1)
+    pairs.select(col("a").as("id"), col("bn").as("nn"))
+      .unionByName(pairs.select(col("b").as("id"), col("an").as("nn")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_neighbors"), min("nn").as("nearest_name"))
+  }
+
+  /** Declared query: supplier-name fuzzy neighbors (TPC-H names differ
+    * by single digits — a dense d=1 graph), top-k entities by neighbor
+    * count with a deterministic id tiebreak. */
+  def qFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+    fuzzyNeighbors(sup, "s_suppkey", "s_name")
+      .join(sup.select(col("s_suppkey").as("id"), col("s_name")), "id")
+      .select(col("id").as("s_suppkey"), col("s_name"),
+        col("n_neighbors"), col("nearest_name"))
+      .orderBy(col("n_neighbors").desc, col("s_suppkey"))
+      .limit(FuzzyK)
+  }
+
+  def qFuzzySql: String =
+    s"""WITH keyed AS (
+       |  SELECT s_suppkey AS id, s_name AS name, t.k
+       |  FROM supplier, unnest(list_append(
+       |    list_transform(range(1, len(s_name) + 1),
+       |      i -> substr(s_name, 1, i - 1) || substr(s_name, i + 1)),
+       |    s_name)) AS t(k)),
+       |pairs AS (
+       |  SELECT DISTINCT x.id AS a, x.name AS an, y.id AS b, y.name AS bn
+       |  FROM keyed x JOIN keyed y ON x.k = y.k AND x.id < y.id),
+       |ok AS (SELECT * FROM pairs WHERE levenshtein(an, bn) <= 1),
+       |nbrs AS (
+       |  SELECT a AS id, bn AS nn FROM ok
+       |  UNION ALL
+       |  SELECT b AS id, an AS nn FROM ok),
+       |agg AS (
+       |  SELECT id, COUNT(*) AS n_neighbors, MIN(nn) AS nearest_name
+       |  FROM nbrs GROUP BY id)
+       |SELECT s.s_suppkey, s.s_name, a.n_neighbors, a.nearest_name
+       |FROM agg a JOIN supplier s ON s.s_suppkey = a.id
+       |ORDER BY n_neighbors DESC, s_suppkey LIMIT $FuzzyK""".stripMargin
+
+  // -------------------------------------------------------------------
   // SimHash (60-bit) + chunk-LSH hamming candidates
   // -------------------------------------------------------------------
 

@@ -366,6 +366,87 @@ object Kpi {
        |ORDER BY cohort_month, months_since""".stripMargin
   }
 
+  val WinsorLo = 0.05
+  val WinsorHi = 0.95
+
+  /** Per-dept winsorized totals: net clamped to the dept's [p05, p95]
+    * before summing — the robust-aggregation companion to the anomalies
+    * MAD pipeline (outliers bounded instead of reported). The
+    * percentiles are DISCRETE order statistics (`percentile_disc`), not
+    * interpolated: the boundary is an actual data value, so the clamp
+    * and the sums stay in exact decimal end to end — no
+    * double-interpolation enters the additive path, and the final cast
+    * to double is the only boundary (same discipline as every money
+    * aggregate here). Tiny per-dept bounds broadcast back onto the
+    * fact; one keyed shuffle each side. */
+  def winsorize(s: SparkSession, dir: String, m: String = M1,
+                pLo: Double = WinsorLo, pHi: Double = WinsorHi): DataFrame =
+    winsorizeFrom(Tables.fact(s, dir, Seq(m)), pLo, pHi)
+
+  def winsorizeFrom(fact: DataFrame, pLo: Double = WinsorLo,
+                    pHi: Double = WinsorHi): DataFrame = {
+    val f = fact.select(col("dept"), col("net"))
+    val bounds = f.groupBy("dept").agg(
+      expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY net)").as("lo"),
+      expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY net)").as("hi"))
+    f.join(broadcast(bounds), "dept")
+      .withColumn("wnet", greatest(least(col("net"), col("hi")), col("lo")))
+      .groupBy("dept")
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(col("net"))).as("sum_net"),
+        dbl(sum(col("wnet"))).as("sum_winsorized"),
+        dbl(min(col("lo"))).as("p05"), dbl(min(col("hi"))).as("p95"))
+  }
+
+  def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    winsorize(s, dir).orderBy("dept")
+
+  def winsorizeSql(m: String = M1, pLo: Double = WinsorLo,
+                   pHi: Double = WinsorHi): String =
+    s"""WITH ${factSql(inMonthSql("o.o_orderdate", m))},
+       |b AS (
+       |  SELECT dept, quantile_disc(net, $pLo) AS lo, quantile_disc(net, $pHi) AS hi
+       |  FROM fact GROUP BY dept)
+       |SELECT f.dept, COUNT(*) AS n,
+       |       CAST(SUM(f.net) AS DOUBLE) AS sum_net,
+       |       CAST(SUM(GREATEST(LEAST(f.net, b.hi), b.lo)) AS DOUBLE) AS sum_winsorized,
+       |       CAST(MIN(b.lo) AS DOUBLE) AS p05, CAST(MIN(b.hi) AS DOUBLE) AS p95
+       |FROM fact f JOIN b USING (dept)
+       |GROUP BY f.dept ORDER BY dept""".stripMargin
+
+  /** Inactive-customer report: employees (customers) with NO fact row in
+    * the month — the LEFT ANTI join surfaced as analytics (it is also
+    * the upsert path's conflict-detection shape, Merge.insertIfAbsent).
+    * The anti join's right side is just the month's distinct keys —
+    * column-pruned to one column at the scan, aggregated per dept so
+    * the output stays dim-sized. At test scale AQE broadcasts the key
+    * set; at 100 TB both sides hash-partition on the key, which is the
+    * plan an anti join wants. */
+  def inactive(s: SparkSession, dir: String, m: String = M1): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val activeKeys = o.filter(Tables.inMonth(o("o_orderdate"), m))
+      .select(col("o_custkey").as("c_custkey"))
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    c.join(activeKeys, Seq("c_custkey"), "left_anti")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("dept"))
+      .agg(count(lit(1)).as("n_inactive"),
+        dbl(sum(dec(col("c_acctbal")))).as("sum_acctbal"))
+  }
+
+  def qInactive(s: SparkSession, dir: String): DataFrame =
+    inactive(s, dir).orderBy("dept")
+
+  def inactiveSql(m: String = M1): String =
+    s"""SELECT n.n_name AS dept, COUNT(*) AS n_inactive,
+       |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+       |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM orders o
+       |  WHERE o.o_custkey = c.c_custkey AND ${inMonthSql("o.o_orderdate", m)})
+       |GROUP BY n.n_name ORDER BY dept""".stripMargin
+
   /** ROLLUP(dept, month): per-(dept, month) sums, per-dept subtotals,
     * grand total in ONE pass — Spark expands the grouping sets and the
     * partial aggregation stays map-side combinable, so the rollup costs

@@ -136,4 +136,29 @@ class DedupSpec extends SparkSpec {
     assert(candidates < allPairs / 4,
       s"banding must prune ($candidates of $allPairs pairs)")
   }
+
+  test("fuzzy: deletion-neighborhood finds sub/ins/identical at d<=1") {
+    val sp2 = spark
+    import sp2.implicits._
+    val ents = Seq(
+      (1L, "ab"),   // d1 to "ac" (sub), "abc" (ins), d0 to id 5
+      (2L, "ac"),
+      (3L, "abc"),
+      (4L, "xyz"),  // no neighbors
+      (5L, "ab"),   // identical-name duplicate
+    ).toDF("id", "name")
+    val out = Dedup.fuzzyNeighbors(ents, "id", "name")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // 1,2,3,5 are pairwise within d<=1 ("ac"~"abc" inserts b; "ac"~"ab" subs)
+    assert(out === Map(
+      1L -> ((3L, "ab")), 2L -> ((3L, "ab")),
+      3L -> ((3L, "ab")), 5L -> ((3L, "ab"))), s"got $out")
+  }
+
+  test("fuzzy: distance-2 strings never pair, even when plausible-looking") {
+    val sp2 = spark
+    import sp2.implicits._
+    val ents = Seq((1L, "abcd"), (2L, "abef"), (3L, "wxyz")).toDF("id", "name")
+    assert(Dedup.fuzzyNeighbors(ents, "id", "name").isEmpty)
+  }
 }

@@ -145,4 +145,19 @@ class KpiSpec extends SparkSpec {
       ("2024-02", 1, 1L, 2L, 0.5),   // cust 4
     ), s"got $out")
   }
+
+  test("winsorize: discrete order-statistic bounds, exact clamped sums") {
+    import org.apache.spark.sql.functions._
+    // dept X: nets 1..20 -> p05 = 1st value (cume_dist 0.05), p95 = 19th;
+    // clamping only caps 20 -> 19, so the winsorized sum drops by exactly 1
+    val f = (1 to 20).map(i => ("X", BigDecimal(i)))
+      .toDF("dept", "net")
+      .withColumn("net", col("net").cast("decimal(18,4)"))
+    val r = Kpi.winsorizeFrom(f).collect().head
+    assert(r.getString(0) === "X" && r.getLong(1) === 20L)
+    assert(r.getDouble(2) === 210.0, "raw sum")
+    assert(r.getDouble(3) === 209.0, "winsorized: only the max is clamped")
+    assert(r.getDouble(4) === 1.0 && r.getDouble(5) === 19.0,
+      s"discrete bounds, got p05=${r.getDouble(4)} p95=${r.getDouble(5)}")
+  }
 }

@@ -128,7 +128,11 @@ class PlanAuditSpec extends SparkSpec {
       // cohort-size window + sort; bigrams = 2 explode-agg branches +
       // the count-distinct expansion (uni side broadcasts)
       "events_funnel" -> 2, "catalog_checksum" -> 2,
-      "catalog_histogram" -> 3, "kpi_retention" -> 4, "text_bigrams" -> 5)
+      "catalog_histogram" -> 3, "kpi_retention" -> 4, "text_bigrams" -> 5,
+      // winsorize = bounds agg + clamped agg + sort (bounds broadcast
+      // back); anti = anti-join key shuffle + agg/sort; fuzzy = the
+      // deletion-key self-join + neighbor agg + top-k
+      "kpi_winsorize" -> 3, "join_anti" -> 2, "dedup_fuzzy" -> 3)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
