@@ -172,11 +172,16 @@ object Events {
     * ties in both engines. */
   val FunnelStages: Seq[String] = Seq("signup", "click", "purchase")
 
-  def funnel(events: DataFrame): DataFrame = {
+  /** Per-user earliest stage times (epoch-µs): t1 = first signup, t2 =
+    * first click strictly after a signup, t3 = first purchase strictly
+    * after a qualifying click. The streaming dual
+    * ([[graft.streaming.Streams.funnelStages]]) reproduces exactly these
+    * stage hits from buffered state; StreamingSpec pins the equivalence. */
+  def funnelUsers(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wPrev = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val staged = events
+    events
       .filter(col("event_type").isin(FunnelStages: _*))
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("us"), col("event_type"))
@@ -187,8 +192,12 @@ object Events {
       .withColumn("c1p", min("c_us").over(wPrev))
       .withColumn("p_us",
         when(col("event_type") === "purchase" && col("c1p").isNotNull, col("us")))
-    val perUser = staged.groupBy("user_id")
+      .groupBy("user_id")
       .agg(min("s_us").as("t1"), min("c_us").as("t2"), min("p_us").as("t3"))
+  }
+
+  def funnel(events: DataFrame): DataFrame = {
+    val perUser = funnelUsers(events)
     perUser.agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
         count(col("t3")).as("n3"))
       .select(expr(

@@ -141,6 +141,71 @@ object Streams {
       }
       .start()
 
+  case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long],
+                         buf: List[(Long, Long, String)])
+  case class StageHit(user_id: Long, stage: Int, ts: java.sql.Timestamp)
+
+  /** Streaming funnel: the stateful dual of
+    * [[graft.operators.Events.funnelUsers]] — per-user earliest
+    * signup -> click-after-signup -> purchase-after-click stage hits,
+    * EXACT under out-of-order delivery. Naive fold-in-arrival-order
+    * funnels silently drop a click whose signup is delivered later; here
+    * events buffer in keyed state until the watermark passes them, then
+    * finalize in (event-time, event_id) order through the same
+    * strictly-after state machine the batch window evaluates. The
+    * trade is the same one Spark's stream-stream join makes: exactness
+    * under reordering costs a buffer bounded by rate × watermark —
+    * which the watermark then evicts, so state per user is O(in-flight
+    * events), dropping to O(1) (three stage times) once the funnel
+    * completes and the buffer drains (fully-converted users remove
+    * their state entirely).
+    *
+    * Emission: Append-mode stage transitions (one row per user-stage,
+    * at most three per user, emitted exactly when finalized). */
+  def funnelStages(events: Dataset[Event]): Dataset[StageHit] = {
+    import events.sparkSession.implicits._
+    val stages = graft.operators.Events.FunnelStages.toSet
+    events
+      .filter(e => stages(e.event_type))
+      .withWatermark("ts", WatermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val st0 = state.getOption.getOrElse(FunnelState(None, None, None, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val buf = st0.buf ++ batch.map(e => (e.ts.getTime, e.event_id, e.event_type))
+          // finalize only what the watermark has sealed: nothing earlier
+          // can still arrive, so sorted processing is total-order correct
+          val (ready, pending) = buf.partition(_._1 <= wm)
+          var (t1, t2, t3) = (st0.t1, st0.t2, st0.t3)
+          val hits = scala.collection.mutable.ListBuffer.empty[StageHit]
+          ready.sortBy(r => (r._1, r._2)).foreach { case (t, _, tp) =>
+            def hit(stage: Int, set: Long => Unit): Unit = {
+              set(t); hits += StageHit(userId, stage, new java.sql.Timestamp(t))
+            }
+            tp match {
+              case "signup" if t1.isEmpty => hit(1, x => t1 = Some(x))
+              case "click" if t1.nonEmpty && t2.isEmpty => hit(2, x => t2 = Some(x))
+              case "purchase" if t2.nonEmpty && t3.isEmpty => hit(3, x => t3 = Some(x))
+              case _ => ()
+            }
+          }
+          if (t3.nonEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(FunnelState(t1, t2, t3, pending))
+            // wake when the watermark seals the oldest pending event (or
+            // just past the current watermark if none buffered yet)
+            val wake = pending.map(_._1) match {
+              case Nil => wm + 1L
+              case ps => math.max(ps.min, wm + 1L)
+            }
+            state.setTimeoutTimestamp(wake)
+          }
+          hits.iterator
+      }
+  }
+
   val AttributionWindowMin = 30L
 
   /** Stream-stream interval join: each purchase matched to the same

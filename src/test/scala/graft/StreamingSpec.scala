@@ -197,6 +197,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: exact under out-of-order delivery, watermark-gated emission") {
+    val stream = MemoryStream[Event](spark)
+    val q = Streams.funnelStages(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_hits")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1 delivered OUT OF ORDER: the click arrives before its signup. A
+      // fold-in-arrival-order funnel would disqualify the click; the
+      // buffered machine must not.
+      stream.addData(
+        Event(12, ts(10), 1L, "click", 1.0),
+        Event(11, ts(0), 1L, "signup", 0.0),
+        Event(13, ts(20), 1L, "purchase", 5.0))
+      q.processAllAvailable()
+      // far-future signups advance the watermark (2h delay) past u1's
+      // events, sealing and finalizing them; u2's own events stay ahead
+      // of the watermark and must NOT emit yet
+      stream.addData(Event(21, ts(600), 2L, "signup", 0.0))
+      q.processAllAvailable()
+      stream.addData(Event(22, ts(610), 2L, "signup", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM funnel_hits").as[Streams.StageHit]
+        .collect().map(h => (h.user_id, h.stage, h.ts)).toSet
+      assert(got === Set((1L, 1, ts(0)), (1L, 2, ts(10)), (1L, 3, ts(20))),
+        s"got $got")
+
+      // batch window formulation agrees on the same events
+      val batch = graft.operators.Events.funnelUsers(Seq(
+        (12L, ts(10), 1L, "click", 1.0), (11L, ts(0), 1L, "signup", 0.0),
+        (13L, ts(20), 1L, "purchase", 5.0),
+      ).toDF("event_id", "ts", "user_id", "event_type", "value")).collect().head
+      assert(batch.getLong(1) === ts(0).getTime * 1000L &&
+        batch.getLong(2) === ts(10).getTime * 1000L &&
+        batch.getLong(3) === ts(20).getTime * 1000L,
+        "stream stage hits == batch funnelUsers times")
+    } finally q.stop()
+  }
+
   test("deployment shape: readStream -> windows -> parquet sink starts and stops clean") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val q = Streams.fileStreamQuery(spark, sf, s"$tmp/ckpt", s"$tmp/out")
