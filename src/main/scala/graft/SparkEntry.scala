@@ -51,6 +51,9 @@ object SparkEntry {
     "etl_fact_upsert" -> ((s, _) => Etl.qFactUpsert(s)),
     "etl_count" -> ((s, _) => Etl.qCount(s)),
     "etl_snapshot_diff" -> ((s, _) => Etl.qSnapshotDiff(s)),
+    // SCD Type-2 versioned-dimension maintenance (close + reopen in one
+    // full-outer pass)
+    "etl_scd2" -> ((s, _) => Etl.qScd2(s)),
     // S9 catalog introspection + data-level profiling
     "catalog_columns" -> ((s, _) => Catalog.columns(s)),
     "catalog_profile" -> ((s, d) => Catalog.qProfile(s, d)),
@@ -95,6 +98,7 @@ object SparkEntry {
     "text_deciles" -> ((s, d) => Text.qDeciles(s, d)),
     "text_vocab_setops" -> ((s, d) => Text.qVocabSetOps(s, d)),
     "text_bigrams" -> ((s, d) => Text.qBigrams(s, d)),
+    "text_tfidf" -> ((s, d) => Text.qTfidf(s, d)),
     // Skew-salted join gated against the plain-join oracle
     "join_salted" -> ((s, d) => operators.Skew.qSalted(s, d)),
     // Event-time windows + sessionization over `events`
@@ -150,6 +154,7 @@ object SparkEntry {
     "etl_fact_upsert" -> Etl.qFactUpsertSql,
     "etl_count" -> Etl.qCountSql,
     "etl_snapshot_diff" -> Etl.qSnapshotDiffSql,
+    "etl_scd2" -> Etl.qScd2Sql,
     "catalog_columns" -> Catalog.columnsSql,
     "catalog_profile" -> Catalog.qProfileSql,
     "catalog_checksum" -> Catalog.qChecksumSql,
@@ -177,6 +182,7 @@ object SparkEntry {
     "text_deciles" -> Text.qDecilesSql,
     "text_vocab_setops" -> Text.qVocabSetOpsSql,
     "text_bigrams" -> Text.qBigramsSql,
+    "text_tfidf" -> Text.qTfidfSql,
     "join_salted" -> operators.Skew.qSaltedSql,
     "events_window" -> Events.qTumblingSql,
     "events_window_sliding" -> Events.qSlidingSql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Schemas
@@ -192,6 +192,98 @@ object Etl {
     snapshotDiff(before, after, Seq("emp_id", "month"),
       FactCols.filterNot(Seq("emp_id", "month").contains))
       .orderBy("emp_id", "month", "change_type")
+  }
+
+  val Scd2D1 = "2025-06-01"
+  val Scd2D2 = "2025-07-01"
+  val EmpAttrs: Seq[String] = Seq("dept", "job_grade", "location")
+
+  /** SCD Type-2 apply — the versioned-dimension maintenance step a
+    * warehouse runs on every snapshot: current rows whose attributes
+    * changed are CLOSED (valid_to = asOf) and re-inserted as the new
+    * current version; brand-new keys open their first version; history
+    * rows pass through untouched. `closeMissing` selects full-snapshot
+    * semantics (a key absent from the snapshot is closed) vs delta-feed
+    * semantics (absent = unchanged, the default here — the update batch
+    * is incremental).
+    *
+    * Shape: ONE full-outer join of current ⋈ snapshot on the keys, each
+    * row fanning out to its 0-2 output versions through an array+explode
+    * (no per-branch re-join or re-scan); history is a disjoint union.
+    * Attribute comparison is null-safe (`<=>`), mirroring the oracle's
+    * IS NOT DISTINCT FROM. */
+  def scd2Apply(dim: DataFrame, snapshot: DataFrame, keys: Seq[String],
+                attrs: Seq[String], asOf: String,
+                closeMissing: Boolean = false): DataFrame = {
+    val cur = dim.filter(col("is_current"))
+    val hist = dim.filter(!col("is_current"))
+    val o = attrs.foldLeft(cur)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
+      .withColumn("__in_old", lit(1))
+    val n = attrs.foldLeft(snapshot.select((keys ++ attrs).map(col): _*))(
+        (d, c) => d.withColumnRenamed(c, s"__n_$c"))
+      .withColumn("__in_new", lit(1))
+    val same = attrs.map(c => col(s"__o_$c") <=> col(s"__n_$c")).reduce(_ && _)
+    val inOld = col("__in_old").isNotNull
+    val inNew = col("__in_new").isNotNull
+    def ver(pre: String, vf: Column, vt: Column, curFlag: Boolean): Column =
+      struct(attrs.map(c => col(s"__${pre}_$c").as(c)) ++ Seq(
+        vf.as("valid_from"), vt.as("valid_to"),
+        lit(curFlag).as("is_current")): _*)
+    val arms = array(
+      // survives as-is: attrs equal, or absent from a delta feed
+      when(inOld && ((inNew && same) || (!inNew && lit(!closeMissing))),
+        ver("o", col("valid_from"), col("valid_to"), curFlag = true)),
+      // closed: superseded by a changed version, or missing from a full snapshot
+      when(inOld && ((inNew && !same) || (!inNew && lit(closeMissing))),
+        ver("o", col("valid_from"), lit(asOf), curFlag = false)),
+      // opened: brand-new key, or the changed version
+      when(inNew && (!inOld || !same),
+        ver("n", lit(asOf), lit(null).cast("string"), curFlag = true)))
+    val outCols = attrs ++ Seq("valid_from", "valid_to", "is_current")
+    o.join(n, keys, "full_outer")
+      .select(keys.map(col) :+
+        explode(filter(arms, a => a.isNotNull)).as("__v"): _*)
+      .select(keys.map(col) ++ outCols.map(f => col(s"__v.$f").as(f)): _*)
+      .unionByName(hist.select((keys ++ outCols).map(col): _*))
+  }
+
+  /** Declared query: batch-1 employees become dim version 1 (current as
+    * of D1); the update batch applies as a delta snapshot at D2. */
+  def qScd2(s: SparkSession): DataFrame = {
+    val dim0 = employees(cleanse(readRaw(s, RawCsv)))
+      .withColumn("valid_from", lit(Scd2D1))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+    val snap = employees(cleanse(readRaw(s, UpdateCsv)))
+    scd2Apply(dim0, snap, Seq("emp_id"), EmpAttrs, Scd2D2)
+      .orderBy("emp_id", "valid_from", "is_current")
+  }
+
+  def qScd2Sql: String = {
+    val sameP = EmpAttrs.map(c => s"e1.$c IS NOT DISTINCT FROM e2.$c").mkString(" AND ")
+    val oAttrs = EmpAttrs.map(c => s"o_$c AS $c").mkString(", ")
+    val nAttrs = EmpAttrs.map(c => s"n_$c AS $c").mkString(", ")
+    val jCols = EmpAttrs.map(c => s"e1.$c AS o_$c, e2.$c AS n_$c").mkString(", ")
+    s"""WITH ${cleanCte("clean1", RawCsv)},
+       |${empCte("emp1", "clean1")},
+       |${cleanCte("clean2", UpdateCsv)},
+       |${empCte("emp2", "clean2")},
+       |j AS (
+       |  SELECT COALESCE(e1.emp_id, e2.emp_id) AS emp_id, $jCols,
+       |         e1.emp_id IS NOT NULL AS in_old,
+       |         e2.emp_id IS NOT NULL AS in_new,
+       |         ($sameP) AS same
+       |  FROM emp1 e1 FULL OUTER JOIN emp2 e2 ON e2.emp_id = e1.emp_id)
+       |SELECT emp_id, $oAttrs, '$Scd2D1' AS valid_from,
+       |       CAST(NULL AS VARCHAR) AS valid_to, true AS is_current
+       |FROM j WHERE in_old AND ((in_new AND same) OR NOT in_new)
+       |UNION ALL
+       |SELECT emp_id, $oAttrs, '$Scd2D1', '$Scd2D2', false
+       |FROM j WHERE in_old AND in_new AND NOT same
+       |UNION ALL
+       |SELECT emp_id, $nAttrs, '$Scd2D2', NULL, true
+       |FROM j WHERE in_new AND (NOT in_old OR NOT same)
+       |ORDER BY emp_id, valid_from, is_current""".stripMargin
   }
 
   def qSnapshotDiffSql: String = {

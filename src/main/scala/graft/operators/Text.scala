@@ -364,6 +364,67 @@ object Text {
        |FROM w GROUP BY token
        |ORDER BY n_occur DESC, token ASC LIMIT $VocabK""".stripMargin
 
+  val TfidfPerDoc = 3
+
+  /** Per-document keyword extraction: the top-k tokens by TF-IDF — the
+    * corpus-tagging pass (topic keys, index terms) that complements
+    * [[bm25]]'s per-QUERY retrieval. Same exactness discipline: idf is
+    * the QUANTIZED INTEGER weight (integral div, no `ln`, no float Σ),
+    * so scores are exact int64 and the per-doc ranking is
+    * engine/order-independent with a token tiebreak. The per-doc top-k
+    * runs as a rank window with a pushed limit (`WindowGroupLimit`
+    * keeps k rows per doc per partition BEFORE the shuffle — O(k)
+    * memory per doc at corpus scale, like every top-k here). The
+    * df/corpus-size weight table is query-sized relative to the tf
+    * pairs and joins keyed on token. */
+  def tfidf(docs: DataFrame, k: Int = TfidfPerDoc): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = df.crossJoin(broadcast(n))
+      .withColumn("w",
+        least(expr(s"($WQuant * (2 * n_docs + 1)) div (2 * df + 1)"), lit(WCap)))
+      .select("token", "df", "w")
+    val rank = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    // the weight table is |vocab| rows — dimension-sized relative to the
+    // corpus (same call as bm25's weight broadcast); beyond the broadcast
+    // threshold the right plan is the keyed token join AQE would pick
+    tf.join(broadcast(w), "token")
+      .withColumn("score", col("tf") * col("w"))
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+  }
+
+  def qTfidf(s: SparkSession, dir: String): DataFrame =
+    tfidf(Tables.balanced(Tables.documents(s, dir)))
+      .orderBy("doc_id", "rank")
+
+  def qTfidfSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM d),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT COUNT(*) AS n_docs FROM d),
+       |w AS (
+       |  SELECT token, df,
+       |         LEAST(($WQuant * (2 * n_docs + 1)) // (2 * df + 1), $WCap) AS w
+       |  FROM df, n),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf, w.df, tf.tf * w.w AS score,
+       |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+       |           ORDER BY tf.tf * w.w DESC, tf.token ASC) AS INT) AS rank
+       |  FROM tf JOIN w USING (token))
+       |SELECT doc_id, rank, token, tf, df, score
+       |FROM scored WHERE rank <= $TfidfPerDoc
+       |ORDER BY doc_id, rank""".stripMargin
+
   val BigramK = 30
 
   /** Top-k bigram collocations with next-word probability — the n-gram

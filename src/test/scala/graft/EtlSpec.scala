@@ -112,4 +112,49 @@ class EtlSpec extends SparkSpec {
     // k3 removed, k4 added
     assert(out == Map("k2" -> "updated", "k3" -> "removed", "k4" -> "added"), s"got $out")
   }
+
+  private def scd2Fixture = {
+    // current: A unchanged, B will change, C absent from snapshot;
+    // one closed HISTORY row for B that must pass through untouched
+    val dim = Seq(
+      ("A", "x", "d0", null, true),
+      ("B", "y", "d0", null, true),
+      ("C", "z", "d0", null, true),
+      ("B", "old", "d-1", "d0", false),
+    ).toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val snap = Seq(("A", "x"), ("B", "y2"), ("D", "w")).toDF("k", "attr")
+    (dim, snap)
+  }
+
+  private def scd2Rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getBoolean(4))).toSet
+
+  test("scd2: close+reopen changed, open new, keep delta-absent, pass history") {
+    val (dim, snap) = scd2Fixture
+    val out = scd2Rows(Etl.scd2Apply(dim, snap, Seq("k"), Seq("attr"), "d1"))
+    assert(out === Set(
+      ("A", "x", "d0", null, true),       // unchanged
+      ("B", "y", "d0", "d1", false),      // closed
+      ("B", "y2", "d1", null, true),      // reopened
+      ("B", "old", "d-1", "d0", false),   // history untouched
+      ("C", "z", "d0", null, true),       // delta feed: absent = unchanged
+      ("D", "w", "d1", null, true),       // new key
+    ), s"got $out")
+  }
+
+  test("scd2: full-snapshot semantics close keys missing from the snapshot") {
+    val (dim, snap) = scd2Fixture
+    val out = scd2Rows(Etl.scd2Apply(dim, snap, Seq("k"), Seq("attr"), "d1",
+      closeMissing = true))
+    assert(out.contains(("C", "z", "d0", "d1", false)) &&
+      !out.exists(r => r._1 == "C" && r._5), s"C must close, got $out")
+  }
+
+  test("scd2: idempotent — re-applying the same snapshot is a no-op") {
+    val (dim, snap) = scd2Fixture
+    val once = Etl.scd2Apply(dim, snap, Seq("k"), Seq("attr"), "d1")
+    val twice = Etl.scd2Apply(once, snap, Seq("k"), Seq("attr"), "d2")
+    assert(scd2Rows(twice) === scd2Rows(once), "second apply changes nothing")
+  }
 }

@@ -58,7 +58,8 @@ class PlanAuditSpec extends SparkSpec {
     // keeps only k rows per probe per partition — without it, every
     // candidate row would be shuffled and sorted per probe, which is the
     // difference between O(k) and O(candidates) memory per group at scale.
-    Seq("similar_topk", "similar_ann_ivf", "text_top_by_source").foreach { name =>
+    Seq("similar_topk", "similar_ann_ivf", "text_top_by_source",
+        "text_tfidf").foreach { name =>
       val plan = executed(name).toString
       assert(plan.contains("WindowGroupLimit"),
         s"$name: expected WindowGroupLimit rank pushdown:\n${plan.take(1500)}")
@@ -132,7 +133,12 @@ class PlanAuditSpec extends SparkSpec {
       // winsorize = bounds agg + clamped agg + sort (bounds broadcast
       // back); anti = anti-join key shuffle + agg/sort; fuzzy = the
       // deletion-key self-join + neighbor agg + top-k
-      "kpi_winsorize" -> 3, "join_anti" -> 2, "dedup_fuzzy" -> 3)
+      "kpi_winsorize" -> 3, "join_anti" -> 2, "dedup_fuzzy" -> 3,
+      // scd2 = full-outer join sides + sort; tfidf counts its tf subtree
+      // in BOTH the weight and score branches plus the n-docs scan
+      // (ReusedExchange dedupes at runtime, as the jaccard test proves) —
+      // the data-carrying shuffles are tf agg, df agg, doc window
+      "etl_scd2" -> 3, "text_tfidf" -> 9)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e

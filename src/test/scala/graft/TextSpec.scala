@@ -109,6 +109,23 @@ class TextSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("tfidf: rare tokens outrank common ones per doc; exact integer scores") {
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common common common"),
+      (3L, "common other"),
+    ).toDF("doc_id", "text")
+    val out = Text.tfidf(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toList
+      .sortBy(r => (r._1, r._2))
+    // doc 1: "rare" (df=1) outranks "common" (df=3) despite tf 1 vs 2:
+    // w(rare) = (10000*7) div 3 = 23333 > 2 * w(common) = 2*(70000 div 7)
+    assert(out === List(
+      (1L, 1, "rare"), (1L, 2, "common"),
+      (2L, 1, "common"),
+      (3L, 1, "other"), (3L, 2, "common")), s"got $out")
+  }
+
   test("bigrams: hand-computed pairs, doc counts, and next-word probability") {
     val docs = Seq(
       (1L, "a b a b"),    // pairs: (a,b) (b,a) (a,b); unigrams a=2 b=2
