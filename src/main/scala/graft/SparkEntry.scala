@@ -41,6 +41,10 @@ object SparkEntry {
     "kpi_winsorize" -> ((s, d) => Kpi.qWinsorize(s, d)),
     // LEFT ANTI join surfaced as analytics (inactive customers per dept)
     "join_anti" -> ((s, d) => Kpi.qInactive(s, d)),
+    // LEFT SEMI dual: active-employee roster (existence-only join)
+    "join_semi" -> ((s, d) => Kpi.qSemi(s, d)),
+    // Month-spine gap-fill with order-free forward fill
+    "kpi_gapfill" -> ((s, d) => Kpi.qGapFill(s, d)),
     // ETL half (SURVEY §2.1/§2.2: S1, S4, S5, P2-P5, J6, A6, A7, A8, O3)
     // over the checked-in fixture CSVs.
     "etl_cleanse" -> ((s, _) => Etl.qCleanse(s)),
@@ -99,6 +103,10 @@ object SparkEntry {
     "text_vocab_setops" -> ((s, d) => Text.qVocabSetOps(s, d)),
     "text_bigrams" -> ((s, d) => Text.qBigrams(s, d)),
     "text_tfidf" -> ((s, d) => Text.qTfidf(s, d)),
+    // PII scrubbing (RE2-safe rule set, redaction fingerprint) and
+    // token-budget training-shard packing
+    "text_scrub" -> ((s, d) => Text.qScrub(s, d)),
+    "pipeline_pack" -> ((s, d) => Text.qPack(s, d)),
     // Skew-salted join gated against the plain-join oracle
     "join_salted" -> ((s, d) => operators.Skew.qSalted(s, d)),
     // Event-time windows + sessionization over `events`
@@ -146,6 +154,8 @@ object SparkEntry {
     "kpi_retention" -> Kpi.retentionSql(),
     "kpi_winsorize" -> Kpi.winsorizeSql(),
     "join_anti" -> Kpi.inactiveSql(),
+    "join_semi" -> Kpi.semiSql(),
+    "kpi_gapfill" -> Kpi.gapFillSql(),
     "etl_cleanse" -> Etl.qCleanseSql,
     "etl_dedup_employees" -> Etl.qDedupEmployeesSql,
     "etl_surrogate_keys" -> Etl.qSurrogateKeysSql,
@@ -183,6 +193,8 @@ object SparkEntry {
     "text_vocab_setops" -> Text.qVocabSetOpsSql,
     "text_bigrams" -> Text.qBigramsSql,
     "text_tfidf" -> Text.qTfidfSql,
+    "text_scrub" -> Text.qScrubSql,
+    "pipeline_pack" -> Text.qPackSql,
     "join_salted" -> operators.Skew.qSaltedSql,
     "events_window" -> Events.qTumblingSql,
     "events_window_sliding" -> Events.qSlidingSql,

@@ -664,4 +664,118 @@ object Kpi {
        |WHERE z IS NULL OR ABS(z) >= $threshold
        |ORDER BY COALESCE(ABS(z), 0) DESC, emp_id ASC""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Time-series gap-fill + forward fill, and the semi-join activity roster
+  // -------------------------------------------------------------------
+  val GapFillDept = "NATION_7"
+  val GapFillMonths: Seq[String] = (1 to 12).map(m => f"1996-$m%02d")
+
+  /** Month-spine gap-fill with forward fill: every employee of `dept` gets
+    * a row for EVERY month of the window; months with no activity carry
+    * the last observed monthly net forward (leading gaps stay NULL), with
+    * `is_gap` flagging filled rows. The resample/fill-forward primitive a
+    * time-series consumer (feature store, trend model) needs before any
+    * per-entity window runs.
+    *
+    * Shape for scale: the spine is GENERATED — each dim row explodes to
+    * |months| rows in the projection; no fact shuffle builds it. The fact
+    * scans once (month range pushed) into a (emp, month) agg; spine ⋈
+    * monthly is an equi-join on the same key the fill window partitions
+    * by, so the join's shuffle is reused by the window sort. Forward fill
+    * itself is the order-free two-window form — a running COUNT of
+    * non-null observations names each fill group, and the group's single
+    * observation propagates with an unordered per-group MAX — identical
+    * semantics in any engine, no IGNORE NULLS dialect dependence. */
+  /** Order-free forward fill of `value` along `ord` within `key`: a
+    * running COUNT of non-null observations names each fill group (the
+    * group starts AT an observation), and the group's single observation
+    * propagates with an unordered whole-group MAX. Rows before the first
+    * observation keep NULL. No IGNORE NULLS, no last_value frame
+    * subtleties — both windows mean the same thing in every engine. */
+  def forwardFill(df: DataFrame, key: String, ord: String,
+                  value: String, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__ff_grp",
+        count(col(value)).over(Window.partitionBy(key).orderBy(ord)))
+      .withColumn(out,
+        max(col(value)).over(Window.partitionBy(col(key), col("__ff_grp"))))
+      .drop("__ff_grp")
+  }
+
+  def gapFill(s: SparkSession, dir: String, dept: String = GapFillDept,
+              months: Seq[String] = GapFillMonths): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir).filter(col("n_name") === dept)
+    val spine = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(c("c_custkey").as("emp_id"),
+        explode(array(months.map(lit): _*)).as("month"))
+    val monthly = Tables.fact(s, dir, months)
+      .filter(col("dept") === dept)
+      .groupBy("emp_id", "month").agg(sum("net").as("net_m"))
+    val joined = spine.join(monthly, Seq("emp_id", "month"), "left")
+    forwardFill(joined, "emp_id", "month", "net_m", "net_fill")
+      .select(col("emp_id"), col("month"), dbl(col("net_m")).as("net"),
+        dbl(col("net_fill")).as("net_filled"), col("net_m").isNull.as("is_gap"))
+  }
+
+  def qGapFill(s: SparkSession, dir: String): DataFrame =
+    gapFill(s, dir).orderBy("emp_id", "month")
+
+  def gapFillSql(dept: String = GapFillDept,
+                 months: Seq[String] = GapFillMonths): String = {
+    val pred = months.map(m => inMonthSql("o.o_orderdate", m)).mkString(" OR ")
+    val monthList = months.map(Tables.sqlLit).mkString(", ")
+    s"""WITH ${factSql(pred)},
+       |spine AS (
+       |  SELECT c.c_custkey AS emp_id, m.month
+       |  FROM customer c
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  CROSS JOIN (SELECT unnest([$monthList]) AS month) m
+       |  WHERE n.n_name = ${Tables.sqlLit(dept)}),
+       |monthly AS (
+       |  SELECT emp_id, month, SUM(net) AS net_m
+       |  FROM fact WHERE dept = ${Tables.sqlLit(dept)} GROUP BY emp_id, month),
+       |j AS (
+       |  SELECT s.emp_id, s.month, m.net_m,
+       |         COUNT(m.net_m) OVER (PARTITION BY s.emp_id ORDER BY s.month) AS grp
+       |  FROM spine s LEFT JOIN monthly m
+       |    ON m.emp_id = s.emp_id AND m.month = s.month)
+       |SELECT emp_id, month, CAST(net_m AS DOUBLE) AS net,
+       |       CAST(MAX(net_m) OVER (PARTITION BY emp_id, grp) AS DOUBLE) AS net_filled,
+       |       net_m IS NULL AS is_gap
+       |FROM j ORDER BY emp_id, month""".stripMargin
+  }
+
+  /** Active-employee roster per dept for one month: a LEFT SEMI join —
+    * "has at least one order this month", existence only, never a fact
+    * row duplicated into the output (the dual of [[inactive]]'s anti
+    * join; together they complete the join-type family). The month range
+    * pushes into the orders scan, so the semi join's build side is the
+    * month's slice, not the table; the probe side (customer) flows
+    * through at most once per row. Counting happens on the dim after the
+    * semi join — no fact-sized agg. */
+  def activeByDept(s: SparkSession, dir: String, m: String = M1): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val o = Tables.orders(s, dir)
+    val om = o.filter(Tables.inMonth(o("o_orderdate"), m))
+    c.join(om, c("c_custkey") === om("o_custkey"), "left_semi")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("dept"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  def qSemi(s: SparkSession, dir: String): DataFrame =
+    activeByDept(s, dir).orderBy("dept")
+
+  def semiSql(m: String = M1): String =
+    s"""SELECT n.n_name AS dept, COUNT(*) AS n_active
+       |FROM customer c
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |WHERE EXISTS (
+       |  SELECT 1 FROM orders o
+       |  WHERE o.o_custkey = c.c_custkey AND ${inMonthSql("o.o_orderdate", m)})
+       |GROUP BY n.n_name
+       |ORDER BY dept""".stripMargin
 }

@@ -603,4 +603,106 @@ object Text {
       |             w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % $RollM)),
       |         (acc, x) -> (acc * $RollB + x) % $RollM) AS fp_rolling
       |FROM d ORDER BY doc_id""".stripMargin
+
+  /** PII / sensitive-pattern scrubbing rules: (name, RE2-safe regex,
+    * replacement tag). Patterns restrict themselves to the regex subset
+    * with identical semantics in Java regex and RE2/DuckDB — character
+    * classes, bounded repetition, alternation; no backreferences or
+    * lookaround. Applied in declaration order (a later pattern sees the
+    * earlier patterns' tags). The trailing `entity` rule is the class
+    * that actually occurs in the synthetic corpus, so the corpus gate
+    * exercises real replacements, not just zero-count parity. */
+  val ScrubRules: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("entity", "\\b(customer|supplier)\\b", "<ENTITY>"))
+
+  /** Redact every rule match and report per-rule hit counts plus the
+    * fingerprint of the scrubbed text — the pre-training privacy pass a
+    * corpus pipeline runs before anything leaves the raw zone. One
+    * narrow projection per row (count + replace chain), no shuffle until
+    * the caller's sort: at 100 TB this is a pure map stage that scales
+    * with input splits. The md5 fingerprint lets a verifier spot-check
+    * redaction equivalence across engines/runs without shipping the
+    * scrubbed text itself. */
+  def scrub(docs: DataFrame, rules: Seq[(String, String, String)] = ScrubRules): DataFrame = {
+    val t = norm(col("text"))
+    val counts = rules.map { case (name, re, _) =>
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long").as(s"n_$name")
+    }
+    val scrubbed = rules.foldLeft(t) { case (c, (_, re, tag)) =>
+      regexp_replace(c, lit(re), lit(tag))
+    }
+    docs.select(col("doc_id") +: counts :+
+      md5(scrubbed).as("scrub_fp") :+
+      length(scrubbed).cast("long").as("scrub_len"): _*)
+  }
+
+  def qScrub(s: SparkSession, dir: String): DataFrame =
+    scrub(Tables.balanced(Tables.documents(s, dir))).orderBy("doc_id")
+
+  def qScrubSql: String = {
+    val counts = ScrubRules.map { case (name, re, _) =>
+      s"len(regexp_extract_all(t, '$re')) AS n_$name"
+    }.mkString(",\n       |       ")
+    val scrubbed = ScrubRules.foldLeft("t") { case (c, (_, re, tag)) =>
+      s"regexp_replace($c, '$re', '$tag', 'g')"
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |       $counts,
+       |       md5($scrubbed) AS scrub_fp,
+       |       CAST(length($scrubbed) AS BIGINT) AS scrub_len
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  val PackBudget = 512L
+
+  /** Token-budget shard packing: stream each source's documents in
+    * doc_id order and cut a new shard every `budget` tokens — the
+    * context-window packing step that turns a curated corpus into
+    * training shards. A document lands in the shard containing its FIRST
+    * token (documents may straddle shard boundaries; the reported
+    * `n_tokens` per shard counts whole documents assigned to it).
+    *
+    * Packing is inherently sequential WITHIN a stream — each cut depends
+    * on the running total — so the parallel unit is the source: one
+    * shuffle partitions by source, the per-source running SUM window
+    * orders by doc_id, and the integral `div` that names the shard keeps
+    * every engine's cut identical (no float accumulation drift). The
+    * shard agg that follows reuses dim-sized data (sources × shards
+    * rows). At 100 TB with few huge sources the same shape runs with a
+    * composite stream key ((source, day), (source, bucket), ...) —
+    * the window never needs to see more than one stream's rows. */
+  def pack(docs: DataFrame, budget: Long = PackBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy("source").orderBy("doc_id")
+    docs.select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(bySrc))
+      .withColumn("shard", expr(s"(cum - n_tok) div $budget"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
+  def qPack(s: SparkSession, dir: String): DataFrame =
+    pack(Tables.balanced(Tables.documents(s, dir))).orderBy("source", "shard")
+
+  def qPackSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_tok,
+       |         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+       |  FROM d)
+       |SELECT source, CAST((cum - n_tok) // $PackBudget AS BIGINT) AS shard,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY source, shard
+       |ORDER BY source, shard""".stripMargin
 }

@@ -160,4 +160,19 @@ class KpiSpec extends SparkSpec {
     assert(r.getDouble(4) === 1.0 && r.getDouble(5) === 19.0,
       s"discrete bounds, got p05=${r.getDouble(4)} p95=${r.getDouble(5)}")
   }
+
+  test("forwardFill: leading gap stays NULL, observations restart groups, fill carries") {
+    // key A over t1..t5: null, 10, null, null, 20 -> null, 10, 10, 10, 20
+    // key B over t1..t2: null, null                -> stays all-null
+    val f = Seq(
+      ("A", "t1", None), ("A", "t2", Some(10.0)), ("A", "t3", None),
+      ("A", "t4", None), ("A", "t5", Some(20.0)),
+      ("B", "t1", None), ("B", "t2", None),
+    ).toDF("k", "t", "v")
+    val out = Kpi.forwardFill(f, "k", "t", "v", "filled")
+      .orderBy("k", "t")
+      .collect().map(r => Option(r.getAs[java.lang.Double]("filled")).map(_.doubleValue))
+    assert(out.toSeq == Seq(None, Some(10.0), Some(10.0), Some(10.0), Some(20.0),
+      None, None), s"got ${out.toSeq}")
+  }
 }
