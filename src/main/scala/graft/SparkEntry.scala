@@ -107,6 +107,17 @@ object SparkEntry {
     // token-budget training-shard packing
     "text_scrub" -> ((s, d) => Text.qScrub(s, d)),
     "pipeline_pack" -> ((s, d) => Text.qPack(s, d)),
+    // Exact heavy hitters via per-partition Misra-Gries candidates +
+    // broadcast verify (never shuffles a non-candidate token)
+    "text_heavy" -> ((s, d) => operators.Heavy.qHeavy(s, d)),
+    // Benchmark decontamination: train-vs-eval k-gram overlap report
+    "pipeline_decontam" -> ((s, d) => operators.Decontam.qReport(s, d)),
+    // Deterministic train/val/test split manifest (salted-hash assignment)
+    "pipeline_split" -> ((s, d) => Sample.qSplit(s, d)),
+    // Per-dept exact least-squares trend slope (closed form, int/decimal sums)
+    "kpi_slope" -> ((s, d) => Kpi.qSlope(s, d)),
+    // Declarative expectations audit (fused per-table rule aggregates + FK anti-join)
+    "catalog_audit" -> ((s, d) => sources.Catalog.qAudit(s, d)),
     // Skew-salted join gated against the plain-join oracle
     "join_salted" -> ((s, d) => operators.Skew.qSalted(s, d)),
     // Event-time windows + sessionization over `events`
@@ -195,6 +206,11 @@ object SparkEntry {
     "text_tfidf" -> Text.qTfidfSql,
     "text_scrub" -> Text.qScrubSql,
     "pipeline_pack" -> Text.qPackSql,
+    "text_heavy" -> operators.Heavy.qHeavySql,
+    "pipeline_decontam" -> operators.Decontam.qReportSql,
+    "pipeline_split" -> Sample.qSplitSql,
+    "kpi_slope" -> Kpi.slopeSql(),
+    "catalog_audit" -> sources.Catalog.qAuditSql,
     "join_salted" -> operators.Skew.qSaltedSql,
     "events_window" -> Events.qTumblingSql,
     "events_window_sliding" -> Events.qSlidingSql,

@@ -77,13 +77,13 @@ object Dedup {
     *    whole pipeline (at real scale the scan is already multi-split and
     *    the rebalance is a cheap pre-explosion shuffle of the small side).
     */
-  def shingles(docs: DataFrame): DataFrame = {
+  def shingles(docs: DataFrame, k: Int = ShingleK): DataFrame = {
     val w = Tables.balanced(docs)
       .select(col("doc_id"), split(normText(col("text")), " ").as("__w"))
     val wc = col("__w")
-    val shArr = when(size(wc) >= ShingleK,
-        transform(sequence(lit(0), size(wc) - ShingleK),
-          i => concat_ws(" ", (0 until ShingleK).map(j => element_at(wc, i + lit(j + 1))): _*)))
+    val shArr = when(size(wc) >= k,
+        transform(sequence(lit(0), size(wc) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(wc, i + lit(j + 1))): _*)))
       .otherwise(array(concat_ws(" ", wc)))
     w.select(col("doc_id"), explode(shArr).as("sh"))
   }

@@ -778,4 +778,66 @@ object Kpi {
        |  WHERE o.o_custkey = c.c_custkey AND ${inMonthSql("o.o_orderdate", m)})
        |GROUP BY n.n_name
        |ORDER BY dept""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Per-dept exact least-squares trend slope
+  // -------------------------------------------------------------------
+  /** Per-dept linear trend of monthly net over a month window: the exact
+    * least-squares slope/intercept from the closed form
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`, x = month ordinal.
+    *
+    * Numerics for cross-engine determinism: every Σ is EXACT — x, n, Σx,
+    * Σx² are int64; Σy, Σxy carry the fact's decimal money type (x is a
+    * small int, so x·y stays decimal) — and floating point enters only
+    * at the final division, one CAST-to-double each of numerator and
+    * denominator. `regr_slope`-style running-double accumulation would
+    * be partition-order-dependent; this form is not. Shape: the fact
+    * scans once (month range pushed) into a (dept, month) agg; the
+    * regression itself runs on dept×months rows — dim-sized. A
+    * single-month dept has a zero denominator → NULL slope (nullif),
+    * mirrored exactly in the oracle. */
+  def slopeFrom(monthly: DataFrame): DataFrame = {
+    val x = (substring(col("month"), 6, 2).cast("int") - 1).cast("long")
+    val g = monthly
+      .select(col("dept"), x.as("x"), col("y"))
+      .groupBy("dept")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum("y").as("sy"), sum(col("y") * col("x")).as("sxy"))
+    val den = nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0L))
+    val slope = dbl(col("n") * col("sxy") - col("sx") * col("sy")) / dbl(den)
+    g.withColumn("slope", slope)
+      .withColumn("intercept",
+        (dbl(col("sy")) - col("slope") * dbl(col("sx"))) / dbl(col("n")))
+      .select(col("dept"), col("n").as("n_months"), col("slope"), col("intercept"))
+  }
+
+  def slope(s: SparkSession, dir: String, months: Seq[String] = TrendMonths): DataFrame =
+    slopeFrom(Tables.fact(s, dir, months)
+      .groupBy("dept", "month").agg(sum("net").as("y")))
+
+  def qSlope(s: SparkSession, dir: String): DataFrame =
+    slope(s, dir).orderBy("dept")
+
+  def slopeSql(months: Seq[String] = TrendMonths): String = {
+    val pred = months.map(m => inMonthSql("o.o_orderdate", m)).mkString(" OR ")
+    s"""WITH ${factSql(pred)},
+       |monthly AS (
+       |  SELECT dept, month, SUM(net) AS y FROM fact GROUP BY dept, month),
+       |g AS (
+       |  SELECT dept, COUNT(*) AS n,
+       |         SUM(x) AS sx, SUM(x * x) AS sxx, SUM(y) AS sy, SUM(y * x) AS sxy
+       |  FROM (SELECT dept, CAST(CAST(substr(month, 6, 2) AS INTEGER) - 1 AS BIGINT) AS x, y
+       |        FROM monthly)
+       |  GROUP BY dept),
+       |r AS (
+       |  SELECT dept, n,
+       |         CAST(n * sxy - sx * sy AS DOUBLE)
+       |           / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS slope,
+       |         CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+       |  FROM g)
+       |SELECT dept, n AS n_months, slope,
+       |       (syd - slope * sxd) / CAST(n AS DOUBLE) AS intercept
+       |FROM r ORDER BY dept""".stripMargin
+  }
 }

@@ -77,4 +77,65 @@ object Sample {
        |FROM b JOIN rates USING (lang)
        |WHERE bucket < rate
        |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Deterministic train/val/test split
+  // -------------------------------------------------------------------
+  /** Split salt: a row's split assignment must not correlate with its
+    * sampling bucket — the same key hashed under [[Salt]] and SplitSalt
+    * gives independent decisions. */
+  val SplitSalt = "split:"
+  val SplitDenom = 100L
+  /** Cumulative upper bounds out of [[SplitDenom]]: train 80%, val 10%,
+    * test 10%. */
+  val SplitBounds: Seq[(String, Long)] = Seq("train" -> 80L, "val" -> 90L, "test" -> SplitDenom)
+
+  /** Stable split bucket under the split-specific salt. */
+  def splitBucket(key: Column): Column =
+    pmod(graft.functions.Hashes.hash60(concat(lit(SplitSalt), key.cast("string"))),
+      lit(SplitDenom))
+
+  /** Assign every row a train/val/test split by key hash — the holdout
+    * carve-up a training pipeline does exactly once, and must never
+    * leak: assignment is a pure function of the key, so reruns, retries,
+    * engine swaps, and incremental corpus additions keep every existing
+    * row's split fixed (a new doc never moves an old doc across the
+    * boundary — the property that protects eval integrity). Narrow
+    * projection, no shuffle. */
+  def assignSplit(df: DataFrame, key: Column): DataFrame = {
+    val b = splitBucket(key)
+    val expr = SplitBounds.init.foldRight(lit(SplitBounds.last._1)) {
+      case ((name, hi), rest) => when(b < hi, name).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Per-(source, split) manifest: doc + token counts. The report a
+    * pipeline materializes next to the split so mixture drift is visible
+    * per source; one corpus scan, one dim-sized agg. */
+  def splitManifest(docs: DataFrame): DataFrame = {
+    val toks = split(graft.functions.Hashes.normText(col("text")), " ")
+    assignSplit(docs, col("doc_id"))
+      .select(col("source"), col("split"), size(toks).cast("long").as("n_tok"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+  }
+
+  def qSplit(s: SparkSession, dir: String): DataFrame =
+    splitManifest(Tables.documents(s, dir)).orderBy("source", "split")
+
+  def qSplitSql: String = {
+    val cases = SplitBounds.init
+      .map { case (name, hi) => s"WHEN b < $hi THEN '$name'" }
+      .mkString(" ")
+    s"""WITH d AS (
+       |  SELECT source,
+       |         CAST('0x' || substr(md5('$SplitSalt' || doc_id), 1, 15) AS BIGINT) % $SplitDenom AS b,
+       |         CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+       |  FROM documents)
+       |SELECT source, CASE $cases ELSE '${SplitBounds.last._1}' END AS split,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |FROM d GROUP BY source, split
+       |ORDER BY source, split""".stripMargin
+  }
 }

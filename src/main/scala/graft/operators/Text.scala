@@ -705,4 +705,60 @@ object Text {
        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY source, shard
        |ORDER BY source, shard""".stripMargin
+
+  val RepK = 3 // word-3-grams for the within-doc repetition signal
+
+  /** Within-document repetition (the Gopher-rules quality gate family):
+    * fraction of a doc's word-[[RepK]]-grams that are repeats of an
+    * earlier gram in the SAME doc — boilerplate, listicles, and decoding
+    * loops score high; prose scores near zero. Everything happens inside
+    * one row's projection (gram array built once with the
+    * element_at-not-slice shape from Dedup.shingles, distinct-counted
+    * array-side): NO explode, NO shuffle — at 100 TB this runs at scan
+    * speed next to [[stats]]' other per-doc gates. A doc too short for a
+    * single gram reports 0 repetition, not NULL. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val grams = when(size(ws) >= RepK,
+        transform(sequence(lit(0), size(ws) - RepK),
+          i => concat_ws(" ", (0 until RepK).map(j => element_at(ws, i + lit(j + 1))): _*)))
+      .otherwise(array())
+    docs
+      .select(col("doc_id"), grams.as("__g"))
+      .select(col("doc_id"),
+        size(col("__g")).cast("long").as("n_grams"),
+        size(array_distinct(col("__g"))).cast("long").as("n_distinct"))
+      .withColumn("dup_ratio",
+        when(col("n_grams") > 0,
+          (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("repetitive", col("dup_ratio") > 0.2)
+  }
+
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    repetition(Tables.documents(s, dir)).orderBy("doc_id")
+
+  def qRepetitionSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(ws) >= $RepK
+       |              THEN list_transform(range(1, len(ws) - $RepK + 2),
+       |                                  i -> array_to_string(ws[i:i+${RepK - 1}], ' '))
+       |              ELSE [] END AS grams
+       |  FROM d),
+       |c AS (
+       |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+       |         CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+       |  FROM g)
+       |SELECT doc_id, n_grams, n_distinct,
+       |       CASE WHEN n_grams > 0
+       |            THEN CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       |            ELSE 0.0 END AS dup_ratio,
+       |       CASE WHEN n_grams > 0
+       |            THEN CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       |            ELSE 0.0 END > 0.2 AS repetitive
+       |FROM c ORDER BY doc_id""".stripMargin
 }

@@ -169,4 +169,92 @@ object Catalog {
        |WHERE table_name IN ($names)
        |ORDER BY table_name, ordinal""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Rule-based data-quality audit
+  // -------------------------------------------------------------------
+  /** Accepted event types — `error` is deliberately NOT accepted: an
+    * expectations audit that never fires proves nothing, and the error
+    * events are exactly the rows a pipeline quarantines. */
+  val AcceptedEventTypes: Seq[String] = Seq("click", "signup", "view", "purchase")
+
+  /** Declarative expectations audit (the Deequ/dbt-tests shape): each
+    * rule yields (rule, n_checked, n_violations, pass). Execution cost
+    * is what matters at 100 TB: all of a table's predicate rules fold
+    * into ONE single-pass aggregate over that table (conditional counts,
+    * map-side combined — adding a rule adds a column, not a scan), then
+    * a row-per-rule explode of the 1-row result. The only rule that
+    * cannot fuse is referential integrity: the FK anti-join is its own
+    * keyed join (shuffle bounded by the two key columns; at scale the
+    * dim side broadcasts or the join runs on the bucketed layout). */
+  def audit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def viol(pred: org.apache.spark.sql.Column) = count(when(pred, 1))
+    def unpack(agg: DataFrame, rules: Seq[String]): DataFrame =
+      agg.select(explode(array(rules.map(r => struct(
+          lit(r).as("rule"), col("n").as("n_checked"),
+          col(s"v_$r").as("n_violations"))): _*)).as("r"))
+        .select(col("r.rule"), col("r.n_checked"), col("r.n_violations"))
+
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val e = Tables.events(s, dir)
+    val d = Tables.documents(s, dir)
+
+    val ordersAgg = o.agg(count(lit(1)).as("n"),
+      (count(lit(1)) - count_distinct(col("o_orderkey"))).as("v_orders_pk_unique"),
+      viol(col("o_totalprice").isNull || col("o_totalprice") <= 0)
+        .as("v_orders_totalprice_positive"))
+    val custAgg = c.agg(count(lit(1)).as("n"),
+      viol(col("c_acctbal") < 0).as("v_customer_acctbal_nonneg"))
+    val eventsAgg = e.agg(count(lit(1)).as("n"),
+      viol(!col("event_type").isin(AcceptedEventTypes: _*)).as("v_events_type_accepted"),
+      viol(col("value").isNull || col("value") <= 0).as("v_events_value_positive"))
+    val docsAgg = d.agg(count(lit(1)).as("n"),
+      viol(col("text").isNull || length(trim(col("text"))) === 0)
+        .as("v_documents_text_nonempty"))
+    val fkRow = o.agg(count(lit(1)).as("n"))
+      .crossJoin(o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v")))
+      .select(lit("orders_fk_customer").as("rule"),
+        col("n").as("n_checked"), col("v").as("n_violations"))
+
+    unpack(ordersAgg, Seq("orders_pk_unique", "orders_totalprice_positive"))
+      .unionAll(unpack(custAgg, Seq("customer_acctbal_nonneg")))
+      .unionAll(unpack(eventsAgg, Seq("events_type_accepted", "events_value_positive")))
+      .unionAll(unpack(docsAgg, Seq("documents_text_nonempty")))
+      .unionAll(fkRow)
+      .withColumn("pass", col("n_violations") === 0)
+  }
+
+  def qAudit(s: SparkSession, dir: String): DataFrame =
+    audit(s, dir).orderBy("rule")
+
+  def qAuditSql: String = {
+    val accepted = AcceptedEventTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH r AS (
+       |  SELECT 'orders_pk_unique' AS rule, COUNT(*) AS n_checked,
+       |         COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations FROM orders
+       |  UNION ALL
+       |  SELECT 'orders_totalprice_positive', COUNT(*),
+       |         COUNT(*) FILTER (o_totalprice IS NULL OR o_totalprice <= 0) FROM orders
+       |  UNION ALL
+       |  SELECT 'customer_acctbal_nonneg', COUNT(*),
+       |         COUNT(*) FILTER (c_acctbal < 0) FROM customer
+       |  UNION ALL
+       |  SELECT 'events_type_accepted', COUNT(*),
+       |         COUNT(*) FILTER (event_type NOT IN ($accepted)) FROM events
+       |  UNION ALL
+       |  SELECT 'events_value_positive', COUNT(*),
+       |         COUNT(*) FILTER (value IS NULL OR value <= 0) FROM events
+       |  UNION ALL
+       |  SELECT 'documents_text_nonempty', COUNT(*),
+       |         COUNT(*) FILTER (text IS NULL OR length(trim(text)) = 0) FROM documents
+       |  UNION ALL
+       |  SELECT 'orders_fk_customer', (SELECT COUNT(*) FROM orders),
+       |         COUNT(*) FROM orders o
+       |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+       |SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+       |FROM r ORDER BY rule""".stripMargin
+  }
 }

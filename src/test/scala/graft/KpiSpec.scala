@@ -175,4 +175,18 @@ class KpiSpec extends SparkSpec {
     assert(out.toSeq == Seq(None, Some(10.0), Some(10.0), Some(10.0), Some(20.0),
       None, None), s"got ${out.toSeq}")
   }
+
+  test("slopeFrom: hand-computed least squares; single-month dept -> NULL slope") {
+    import org.apache.spark.sql.functions._
+    // dept A: y = 100 + 50x at x=0,1,2 (months 01..03) -> slope 50, intercept 100
+    // dept B: one month -> zero denominator -> NULL slope and intercept
+    val monthly = Seq(
+      ("A", "1996-01", BigDecimal(100)), ("A", "1996-02", BigDecimal(150)),
+      ("A", "1996-03", BigDecimal(200)), ("B", "1996-05", BigDecimal(77)),
+    ).toDF("dept", "month", "y").withColumn("y", col("y").cast("decimal(18,4)"))
+    val out = Kpi.slopeFrom(monthly).orderBy("dept").collect()
+    assert(out(0).getString(0) === "A" && out(0).getLong(1) === 3L)
+    assert(out(0).getDouble(2) === 50.0 && out(0).getDouble(3) === 100.0)
+    assert(out(1).getString(0) === "B" && out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
 }

@@ -138,7 +138,20 @@ class PlanAuditSpec extends SparkSpec {
       // in BOTH the weight and score branches plus the n-docs scan
       // (ReusedExchange dedupes at runtime, as the jaccard test proves) —
       // the data-carrying shuffles are tf agg, df agg, doc window
-      "etl_scd2" -> 3, "text_tfidf" -> 9)
+      "etl_scd2" -> 3, "text_tfidf" -> 9,
+      // round-5 fourth/fifth batches (measured, graft.ProbeShuffles):
+      // semi = anti's dual (join keys + agg/sort); gapfill = monthly agg
+      // + spine join + fill window reusing the join's emp partitioning +
+      // sort; scrub/split = local-only balance or agg + sort; pack =
+      // source window + shard agg + sort; heavy = checkpointed summary
+      // scan + candidate distinct + verify agg + sort (the corpus-side
+      // joins are broadcasts); decontam = shingle joins + two-level
+      // dedup agg + sort (bench side broadcasts); slope = monthly agg +
+      // dept agg + sort; audit = one tiny global agg per table + the FK
+      // anti-join sides + sort — every exchange is rule-table-sized
+      "join_semi" -> 2, "kpi_gapfill" -> 4, "text_scrub" -> 2,
+      "pipeline_pack" -> 3, "text_heavy" -> 5, "pipeline_decontam" -> 6,
+      "pipeline_split" -> 2, "kpi_slope" -> 3, "catalog_audit" -> 7)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e

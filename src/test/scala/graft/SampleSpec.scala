@@ -47,4 +47,32 @@ class SampleSpec extends SparkSpec {
     assert(b.forall(x => x >= 0 && x < Sample.Denom))
     assert(b.distinct.length > 100, "buckets spread, not degenerate")
   }
+
+  test("assignSplit: total coverage, rough proportions, growth never moves a row") {
+    val n = 2000
+    val ids = (0 until n).map(_.toLong).toDF("doc_id")
+    val out = Sample.assignSplit(ids, col("doc_id"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum === n.toLong, "every row assigned exactly one split")
+    assert(out("train") > n * 7 / 10 && out("train") < n * 9 / 10, s"train share off: $out")
+    assert(out.keySet === Set("train", "val", "test"))
+    // stability: assignment over the first half is a restriction of the full map
+    val half = Sample.assignSplit((0 until n / 2).map(_.toLong).toDF("doc_id"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = Sample.assignSplit(ids, col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    half.foreach { case (id, s) => assert(full(id) === s, s"doc $id moved splits") }
+  }
+
+  test("split and sample salts decorrelate: both-selected rate is the product, not the overlap") {
+    // A doc's sampling bucket must not predict its split; check 'train'
+    // share among sampled docs tracks the global train share.
+    val n = 4000
+    val d = (0 until n).map(i => (i.toLong, "en")).toDF("doc_id", "lang")
+    val sampled = Sample.applyRates(d, Seq("en" -> 5000))
+    val trainShare = Sample.assignSplit(sampled, col("doc_id"))
+      .filter(col("split") === "train").count().toDouble / sampled.count()
+    assert(trainShare > 0.7 && trainShare < 0.9, s"correlated salts? share=$trainShare")
+  }
 }
