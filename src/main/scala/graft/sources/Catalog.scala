@@ -72,10 +72,20 @@ object Catalog {
     * the row hash is the md5-based 60-bit int ([[graft.functions.Hashes]]),
     * doubles enter the canonical string as exact integer CENTS (decimal
     * scale-up, never double→string formatting), the timestamp as an
-    * explicit-format string, and the two combiners (exact decimal SUM,
+    * explicit-format string, and the two combiners (modular SUM,
     * BIT_XOR) commute — so the fingerprint is invariant to partitioning,
     * task order, and engine. One scan, one keyed shuffle on month;
-    * partials combine map-side. */
+    * partials combine map-side. The sum rides exact DECIMAL(38,0)
+    * internally but lands as `% 2^61` in int64: every output column is
+    * then plain BIGINT, so any fetch path (arrow, pandas, duckdb) yields
+    * the identical native type — a DECIMAL(38,0) OUTPUT column
+    * round-trips as Decimal/float/str depending on the reader and broke
+    * the r05 driver compare even though the values matched
+    * (CORRECTNESS_r05: rows+schema ok, hash mismatch; tools/check.py's
+    * str() compare passed on the same dump). */
+  /** 2^61: modulus keeping the commutative hash-sum in signed int64. */
+  val Mod61 = 2305843009213693952L
+
   def checksum(orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.Num.dec
@@ -90,7 +100,9 @@ object Catalog {
         graft.functions.Hashes.hash60(canon).as("h"))
       .groupBy("month")
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("h").cast("decimal(38,0)")).as("sum_hash"),
+        // exact decimal partial sums, one final mod back into int64
+        (sum(col("h").cast("decimal(38,0)")) % lit(Mod61))
+          .cast("long").as("sum_hash"),
         expr("bit_xor(h)").as("xor_hash"))
   }
 
@@ -107,7 +119,7 @@ object Catalog {
       |           o_orderpriority)), 1, 15) AS BIGINT) AS h
       |  FROM orders)
       |SELECT month, COUNT(*) AS n_rows,
-      |       CAST(SUM(h) AS DECIMAL(38,0)) AS sum_hash,
+      |       CAST(SUM(h) % 2305843009213693952 AS BIGINT) AS sum_hash,
       |       BIT_XOR(h) AS xor_hash
       |FROM rows_h GROUP BY month ORDER BY month""".stripMargin
 
