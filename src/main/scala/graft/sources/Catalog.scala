@@ -64,6 +64,9 @@ object Catalog {
     s"SELECT * FROM (\n$arms\n) ORDER BY col_name"
   }
 
+  /** 2^61: modulus keeping the commutative hash-sum in signed int64. */
+  val Mod61 = 2305843009213693952L
+
   /** Orderless per-partition table fingerprint — the cross-engine data
     * validation primitive: after any migration/backfill/merge, comparing
     * (n_rows, sum_hash, xor_hash) per month partition pinpoints exactly
@@ -83,9 +86,6 @@ object Catalog {
     * the r05 driver compare even though the values matched
     * (CORRECTNESS_r05: rows+schema ok, hash mismatch; tools/check.py's
     * str() compare passed on the same dump). */
-  /** 2^61: modulus keeping the commutative hash-sum in signed int64. */
-  val Mod61 = 2305843009213693952L
-
   def checksum(orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.Num.dec
