@@ -143,6 +143,11 @@ object SparkEntry {
     // Same anomalies semantics via the spillable sort-based exact median
     // (SURVEY §7.2 scale path) — same oracle, different physical plan.
     "kpi_anomalies_at_scale" -> ((s, d) => Kpi.anomalies(s, d, scalableMedian = true)),
+    // Within-doc n-gram repetition ratio (Gopher quality-gate family)
+    "text_repetition" -> ((s, d) => Text.qRepetition(s, d)),
+    // Cross-document span dedup (C4 three-sentence-span rule over word
+    // chunks): keep the globally-first occurrence, rebuild doc text
+    "text_linedup" -> ((s, d) => Text.qLineDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -223,5 +228,7 @@ object SparkEntry {
     "media_meta" -> Multimodal.qMediaMetaSql,
     "media_frames" -> Multimodal.qFramesSql,
     "kpi_anomalies_at_scale" -> Kpi.anomaliesSql(),
+    "text_repetition" -> Text.qRepetitionSql,
+    "text_linedup" -> Text.qLineDedupSql,
   )
 }

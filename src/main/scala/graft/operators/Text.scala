@@ -738,6 +738,88 @@ object Text {
   def qRepetition(s: SparkSession, dir: String): DataFrame =
     repetition(Tables.documents(s, dir)).orderBy("doc_id")
 
+  /** Non-overlapping word-chunk width for cross-document span dedup: the
+    * C4 span unit (three sentences in the paper) scaled to this corpus's
+    * sentence-free word-stream texts. */
+  val LineW = 4
+
+  /** Cross-document span dedup (the C4 recipe — Raffel et al. 2020 §2.2's
+    * "three-sentence span" rule — re-expressed over word chunks): cut every
+    * doc into non-overlapping [[LineW]]-word chunks, keep only the
+    * globally FIRST occurrence of each distinct chunk value (first =
+    * minimum (doc_id, idx) position — deterministic in both engines, no
+    * file-order dependence), and reconstruct each doc's text from its
+    * surviving chunks in order. Boilerplate shared across documents
+    * (headers, license blocks, navigation chrome) survives exactly once
+    * corpus-wide instead of once per page.
+    *
+    * Scale shape: TWO keyed shuffles and nothing else — (1) a
+    * partition-only window `min(key) over (partition by chunk)` assigns
+    * each chunk group its keeper in ONE pass (vs groupBy+self-join = two
+    * shuffles of the exploded frame plus a join); (2) the per-doc
+    * regroup that reassembles the text. The exploded frame is ~|words|/W
+    * rows of W-word strings, so the shuffle payload is the corpus itself
+    * ×1 — no quadratic pair set, no broadcast of an unbounded keeper
+    * list. Docs whose every chunk first appeared elsewhere remain in the
+    * output with empty text (left join back onto the per-doc chunk
+    * counts), matching C4's keep-the-document behavior. */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col("doc_id"), words(col("text")).as("__ws"))
+      .withColumn("n_chunks",
+        ceil(size(col("__ws")).cast("double") / LineW).cast("int"))
+    val chunks = base.select(col("doc_id"), col("n_chunks"),
+      posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+        i => array_join(slice(col("__ws"), i * LineW + 1, lit(LineW)), " ")))
+        .as(Seq("idx", "chunk")))
+    // globally-first occurrence: doc_id*1e6+idx is unique (idx < 1e6 —
+    // a 4M-word doc would overflow; assert at scale) and orders by
+    // (doc_id, idx) lexicographically
+    val key = col("doc_id") * lit(1000000L) + col("idx")
+    val kept = chunks.withColumn("__k", key)
+      .withColumn("__keeper", min(col("__k")).over(Window.partitionBy("chunk")))
+      .filter(col("__k") === col("__keeper"))
+    val agg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            s => s.getField("chunk")), " ").as("text_dedup"))
+    base.select(col("doc_id"), col("n_chunks").cast("long").as("n_chunks"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    lineDedup(Tables.documents(s, dir)).orderBy("doc_id")
+
+  def qLineDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, CAST(ceil(len(ws) / $LineW.0) AS BIGINT) AS n_chunks, ws FROM d),
+       |ch AS (
+       |  SELECT doc_id, n_chunks, CAST(i AS INT) AS idx,
+       |         array_to_string(ws[i*$LineW+1 : i*$LineW+$LineW], ' ') AS chunk
+       |  FROM base, unnest(range(0, n_chunks)) AS t(i)),
+       |k AS (
+       |  SELECT *, doc_id*1000000 + idx AS key,
+       |         MIN(doc_id*1000000 + idx) OVER (PARTITION BY chunk) AS keeper
+       |  FROM ch),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |         string_agg(chunk, ' ' ORDER BY idx) AS text_dedup
+       |  FROM k WHERE key = keeper GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_chunks,
+       |       COALESCE(a.n_kept, 0) AS n_kept,
+       |       b.n_chunks - COALESCE(a.n_kept, 0) AS n_removed,
+       |       COALESCE(a.text_dedup, '') AS text_dedup
+       |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
   def qRepetitionSql: String =
     s"""WITH d AS (
        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws

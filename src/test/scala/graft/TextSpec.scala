@@ -141,4 +141,37 @@ class TextSpec extends SparkSpec {
       ("b", "c", 1L, 1L, 1.0 / 3),
     ), s"got $out")
   }
+
+  test("linedup: globally-first keeper, order-preserving rebuild, empty survivors") {
+    // LineW=4. doc 1: chunks ["a b c d", "e f g h"]; doc 2 repeats doc 1's
+    // first chunk then has its own; doc 3 is ENTIRELY doc-1 chunks -> kept
+    // empty, not dropped; doc 4 repeats its own chunk within the doc.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "e f g h a b c d"),
+      (4L, "p q r s p q r s"),
+    ).toDF("doc_id", "text")
+    val out = Text.lineDedup(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toList
+    assert(out === List(
+      (1L, 2L, 2L, 0L, "a b c d e f g h"),
+      (2L, 2L, 1L, 1L, "x y z w"),
+      (3L, 2L, 0L, 2L, ""),
+      (4L, 2L, 1L, 1L, "p q r s"),
+    ), s"got $out")
+  }
+
+  test("linedup: ragged tail chunk is its own unit and dedups as one") {
+    // 5 words -> chunks ["a b c d", "e"]; the 1-word tail of doc 1 equals
+    // doc 2's tail -> doc 2 keeps only its distinct head
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "v w x y e"),
+    ).toDF("doc_id", "text")
+    val out = Text.lineDedup(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getString(4))).toList
+    assert(out === List((1L, 0L, "a b c d e"), (2L, 1L, "v w x y")), s"got $out")
+  }
 }
