@@ -148,6 +148,9 @@ object SparkEntry {
     // Cross-document span dedup (C4 three-sentence-span rule over word
     // chunks): keep the globally-first occurrence, rebuild doc text
     "text_linedup" -> ((s, d) => Text.qLineDedup(s, d)),
+    // CDC-log apply: last-write-wins + delete tombstones via a
+    // map-side-combinable max(struct) aggregate, no window
+    "events_cdc" -> ((s, d) => Events.qCdc(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -230,5 +233,6 @@ object SparkEntry {
     "kpi_anomalies_at_scale" -> Kpi.anomaliesSql(),
     "text_repetition" -> Text.qRepetitionSql,
     "text_linedup" -> Text.qLineDedupSql,
+    "events_cdc" -> Events.qCdcSql,
   )
 }

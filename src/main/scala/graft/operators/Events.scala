@@ -248,6 +248,63 @@ object Events {
       |         CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 END FROM tot)
       |ORDER BY stage""".stripMargin
 
+  /** CDC-log apply: read `events` as a change-data-capture stream on
+    * user entities (signup = insert, click/view/purchase = value update,
+    * error = delete tombstone) and materialize the final state — the
+    * batch half of every warehouse's MERGE-from-binlog path, and the
+    * semantics the reference's keyed upsert (`/root/reference/src/etl.py:36-46`)
+    * degenerates to when the log carries only upserts.
+    *
+    * Last-write-wins is computed with a commutative `max(struct(ts,
+    * event_id, op, value))` AGGREGATE, not a `row_number` window: the
+    * aggregate combines map-side, so each partition contributes one
+    * candidate row per key to the shuffle, where the window would
+    * shuffle and sort the ENTIRE log. At a 100 TB log with a bounded key
+    * space, that is the difference between shuffling |keys| rows and
+    * shuffling |log| rows. A key whose LAST op is a tombstone is absent
+    * from the final state; a re-insert after a delete correctly
+    * resurrects it (the tombstone loses the max). event_id breaks ts
+    * ties identically in both engines. */
+  def cdcApply(events: DataFrame): DataFrame = {
+    val op = when(col("event_type") === "signup", "I")
+      .when(col("event_type") === "error", "D").otherwise("U")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        op.as("op"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ops"),
+        sum(when(col("op") === "D", 1).otherwise(0)).as("n_deletes"),
+        max(struct(col("ts"), col("event_id"), col("op"), col("value")))
+          .as("last"))
+      .filter(col("last.op") =!= "D")
+      .select(col("user_id"), col("last.ts").as("last_ts"),
+        col("last.value").as("last_value"), col("n_ops"),
+        col("n_deletes"))
+  }
+
+  def qCdc(s: SparkSession, dir: String): DataFrame =
+    cdcApply(Tables.events(s, dir)).orderBy("user_id")
+
+  def qCdcSql: String =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN event_type = 'signup' THEN 'I'
+      |              WHEN event_type = 'error' THEN 'D'
+      |              ELSE 'U' END AS op
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS n_ops,
+      |         SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id) AS n_deletes
+      |  FROM c)
+      |SELECT user_id, ts AS last_ts, value AS last_value,
+      |       CAST(n_ops AS BIGINT) AS n_ops,
+      |       CAST(n_deletes AS BIGINT) AS n_deletes
+      |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin
+
   def qSessionsSql: String = {
     val gapUs = SessionGapMin * 60L * 1000000L
     s"""WITH lagd AS (

@@ -53,4 +53,30 @@ class EventsSpec extends SparkSpec {
     assert(out === List((1, "signup", 4L, null), (2, "click", 3L, 0.75),
       (3, "purchase", 3L, 1.0)), s"got $out")
   }
+
+  test("cdc apply: last-write-wins, tombstone removal, resurrection after delete") {
+    val events = Seq(
+      // u1: insert then two updates -> final value is the LAST update's
+      (101L, 1L, ts(100), "signup", 1.0),
+      (102L, 1L, ts(200), "click", 2.0),
+      (103L, 1L, ts(300), "purchase", 3.0),
+      // u2: updated then deleted -> absent from final state
+      (201L, 2L, ts(100), "signup", 9.0),
+      (202L, 2L, ts(200), "error", 0.0),
+      // u3: deleted then RE-INSERTED -> present with the re-insert value
+      (301L, 3L, ts(100), "error", 0.0),
+      (302L, 3L, ts(200), "signup", 7.5),
+      // u4: co-timestamped update and delete -> event_id breaks the tie,
+      // delete (402) is later -> absent
+      (401L, 4L, ts(100), "view", 4.0),
+      (402L, 4L, ts(100), "error", 0.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.cdcApply(events).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getDouble(2), r.getLong(3), r.getLong(4))).toList
+    assert(out === List(
+      (1L, 300L, 3.0, 3L, 0L),
+      (3L, 200L, 7.5, 2L, 1L),
+    ), s"got $out")
+  }
 }
