@@ -151,6 +151,9 @@ object SparkEntry {
     // CDC-log apply: last-write-wins + delete tombstones via a
     // map-side-combinable max(struct) aggregate, no window
     "events_cdc" -> ((s, d) => Events.qCdc(s, d)),
+    // Source-weighted epoch resampling (the "2.5 epochs of wiki" mixture
+    // step): hash-deterministic fractional epochs, zero shuffles
+    "pipeline_epochs" -> ((s, d) => Sample.qEpochs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -234,5 +237,6 @@ object SparkEntry {
     "text_repetition" -> Text.qRepetitionSql,
     "text_linedup" -> Text.qLineDedupSql,
     "events_cdc" -> Events.qCdcSql,
+    "pipeline_epochs" -> Sample.qEpochsSql,
   )
 }

@@ -138,4 +138,72 @@ object Sample {
        |FROM d GROUP BY source, split
        |ORDER BY source, split""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Source-weighted epoch resampling (data-mixture epoching)
+  // -------------------------------------------------------------------
+  /** Per-source epoch weights in CENTI-EPOCHS (250 = 2.5 epochs, 40 =
+    * a 40% single partial epoch). Sources not listed run one epoch. */
+  val EpochWeights: Seq[(String, Int)] = Seq(
+    "src0" -> 250, "src1" -> 200, "src2" -> 130, "src3" -> 40)
+  val DefaultEpochWeight = 100
+  /** Epoch salt: the partial-epoch keep decision must not correlate with
+    * the sampling or split buckets of the same doc. */
+  val EpochSalt = "epoch:"
+
+  /** Materialize the training-mixture epoch roster: each doc appears
+    * once per full epoch its source is weighted for, plus one more copy
+    * with probability = the fractional epoch, decided by the same
+    * salted-hash bucket machinery as [[applyRates]] (deterministic,
+    * rerun/retry-stable, engine-portable — a rand() here would re-deal
+    * the mixture on every stage retry). This is the "2.5 epochs of
+    * Wikipedia, 0.4 epochs of CommonCrawl" recipe step every LLM
+    * pretraining run materializes before shard-packing.
+    *
+    * Scale shape: ZERO shuffles — a broadcast join of the dim-sized
+    * weight config, a per-row bucket hash, and an explode whose output
+    * is exactly the Σ w_s·|docs_s| rows the training run will read.
+    * The guarded `when(copies > 0, ...)` matters: Spark's `sequence(0,
+    * copies-1)` with copies = 0 would count DOWN ([0,-1]), silently
+    * duplicating dropped docs instead of dropping them. */
+  def epochs(docs: DataFrame, weights: Seq[(String, Int)] = EpochWeights): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = coalesce(col("weight"), lit(DefaultEpochWeight))
+    // centi-epoch split: full epochs + fractional remainder, all integer
+    val full = floor(w.cast("long") / lit(100L)).cast("int")
+    val fracThreshold = (w.cast("long") % 100L) * (Denom / 100L)
+    val b = pmod(
+      graft.functions.Hashes.hash60(concat(lit(EpochSalt), col("doc_id").cast("string"))),
+      lit(Denom))
+    val copies = full + when(b < fracThreshold, 1).otherwise(0)
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(weights.toDF("source", "weight")), Seq("source"), "left")
+      .withColumn("__copies", copies)
+      .select(col("doc_id"), col("source"),
+        explode(when(col("__copies") > 0,
+          sequence(lit(0), col("__copies") - 1)).otherwise(array().cast("array<int>")))
+          .as("epoch"))
+  }
+
+  def qEpochs(s: SparkSession, dir: String): DataFrame =
+    epochs(Tables.documents(s, dir)).orderBy("doc_id", "epoch")
+
+  def qEpochsSql: String = {
+    val weightsValues = EpochWeights.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+    s"""WITH weights(source, weight) AS (VALUES $weightsValues),
+       |d AS (
+       |  SELECT doc_id, d.source,
+       |         COALESCE(w.weight, $DefaultEpochWeight) AS wt,
+       |         CAST('0x' || substr(md5('$EpochSalt' || doc_id), 1, 15) AS BIGINT) % $Denom AS b
+       |  FROM documents d LEFT JOIN weights w ON d.source = w.source),
+       |c AS (
+       |  SELECT doc_id, source,
+       |         wt // 100 + CASE WHEN b < (wt % 100) * ${Denom / 100L}
+       |                          THEN 1 ELSE 0 END AS copies
+       |  FROM d)
+       |SELECT doc_id, source, CAST(i AS INT) AS epoch
+       |FROM c, unnest(range(0, copies)) AS t(i)
+       |ORDER BY doc_id, epoch""".stripMargin
+  }
 }

@@ -75,4 +75,35 @@ class SampleSpec extends SparkSpec {
       .filter(col("split") === "train").count().toDouble / sampled.count()
     assert(trainShare > 0.7 && trainShare < 0.9, s"correlated salts? share=$trainShare")
   }
+
+  test("epochs: full copies always present, fractional copy hash-gated, zero-weight drops") {
+    val docs = (0 until 1000).map(i => (i.toLong, s"s${i % 4}"))
+      .toDF("doc_id", "source")
+      .withColumn("text", org.apache.spark.sql.functions.lit("x"))
+    val weights = Seq("s0" -> 250, "s1" -> 100, "s2" -> 40, "s3" -> 0)
+    val out = Sample.epochs(docs, weights)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // s0: 250 docs × (2 + ~0.5) ≈ 625; s1: exactly 250 (one epoch each);
+    // s2: ~40% of 250 ≈ 100; s3: dropped entirely
+    assert(bySrc("s1") === 250L, s"got $bySrc")
+    assert(!bySrc.contains("s3"), s"zero-weight source present: $bySrc")
+    assert(bySrc("s0") > 250 * 2 && bySrc("s0") < 250 * 3, s"got $bySrc")
+    assert(bySrc("s2") > 25 && bySrc("s2") < 250, s"got $bySrc")
+    // every s0 doc has epochs 0 and 1 (full part is unconditional), and
+    // any epoch-2 copy implies epochs 0 and 1 exist for that doc
+    val s0 = out.filter(col("source") === "s0")
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.collect_set("epoch").as("es"))
+      .collect().map(_.getSeq[Int](1).sorted.toList)
+    assert(s0.forall(es => es.startsWith(List(0, 1))), "missing full epochs")
+    assert(s0.exists(_ == List(0, 1, 2)) && s0.exists(_ == List(0, 1)),
+      "fractional epoch should split s0 docs into 2- and 3-copy groups")
+  }
+
+  test("epochs: unlisted source defaults to exactly one epoch") {
+    val docs = Seq((1L, "unknown_src"), (2L, "unknown_src")).toDF("doc_id", "source")
+    val out = Sample.epochs(docs, Seq("other" -> 200))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toList.sorted
+    assert(out === List((1L, 0), (2L, 0)), s"got $out")
+  }
 }
