@@ -154,6 +154,9 @@ object SparkEntry {
     // Source-weighted epoch resampling (the "2.5 epochs of wiki" mixture
     // step): hash-deterministic fractional epochs, zero shuffles
     "pipeline_epochs" -> ((s, d) => Sample.qEpochs(s, d)),
+    // Corpus-bigram-LM fluency scoring with integer-exact surprisal bits
+    // (the perplexity-filter shape, made hash-gate deterministic)
+    "text_perplexity" -> ((s, d) => Text.qPerplexity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -238,5 +241,6 @@ object SparkEntry {
     "text_linedup" -> Text.qLineDedupSql,
     "events_cdc" -> Events.qCdcSql,
     "pipeline_epochs" -> Sample.qEpochsSql,
+    "text_perplexity" -> Text.qPerplexitySql,
   )
 }

@@ -820,6 +820,79 @@ object Text {
        |       COALESCE(a.text_dedup, '') AS text_dedup
        |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Flag docs whose average surprisal exceeds this many bits. */
+  val LowFluencyBits = 9.0
+
+  /** Corpus-bigram-LM fluency scoring (the CCNet/Gopher "perplexity
+    * filter" shape): train an add-one-smoothed bigram model on the corpus
+    * itself, score every doc by its average per-bigram surprisal, flag
+    * the implausible tail. Surprisal is computed in INTEGER bits —
+    * `floor(log2 (1/P)) = bitlength((c(w1)+V) div (c(w1w2)+1)) - 1`,
+    * using `floor(log2 x) = bitlength(floor(x)) - 1` for x >= 1 — because
+    * cross-engine `ln`/`log2` on doubles is not bit-deterministic (libm
+    * vs JVM intrinsics differ in the last ulp) and would break the hash
+    * gate; the bit count is exact integer arithmetic in both engines,
+    * monotone in -log P, and the per-doc average divides two exact
+    * integers once (IEEE division is correctly rounded — deterministic).
+    *
+    * Scale shape: bigram pairs come from an in-row `transform` over the
+    * token array (no window, no self-join); the model is two keyed
+    * corpus aggregates (unigram, bigram counts — map-side combinable);
+    * scoring is ONE keyed join of the pair stream against the bigram
+    * model (every pair hits: the model was built from the same corpus),
+    * then a per-doc regroup. The vocab size V rides a broadcast 1-row
+    * cross join. No collect, no driver loop; the model tables shuffle
+    * by key and would bucket/sort-merge at 100 TB. */
+  def perplexity(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val pairsArr = when(size(ws) >= 2,
+        transform(sequence(lit(0), size(ws) - 2),
+          i => struct(element_at(ws, i + 1).as("w1"), element_at(ws, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairs = docs.select(col("doc_id"), explode(pairsArr).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val uni = docs.select(explode(ws).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("bits",
+        (length(bin(expr("(c1 + v) div (c12 + 1)"))) - 1).cast("long"))
+      .select("w1", "w2", "bits")
+    pairs.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("sum_bits"))
+      .withColumn("avg_bits", col("sum_bits").cast("double") / col("n_bigrams"))
+      .withColumn("low_fluency", col("avg_bits") > LowFluencyBits)
+  }
+
+  def qPerplexity(s: SparkSession, dir: String): DataFrame =
+    perplexity(Tables.balanced(Tables.documents(s, dir))).orderBy("doc_id")
+
+  def qPerplexitySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+       |  FROM d, unnest(range(0, len(ws) - 1)) AS t(i)),
+       |uni AS (
+       |  SELECT w1, COUNT(*) AS c1 FROM (
+       |    SELECT unnest(ws) AS w1 FROM d) GROUP BY w1),
+       |vocab AS (SELECT COUNT(*) AS v FROM uni),
+       |model AS (
+       |  SELECT p.w1, p.w2,
+       |         CAST(length(format('{:b}', (c1 + v) // (c12 + 1))) - 1 AS BIGINT) AS bits
+       |  FROM (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2) p
+       |  JOIN uni USING (w1) CROSS JOIN vocab)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |       CAST(SUM(bits) AS BIGINT) AS sum_bits,
+       |       CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS avg_bits,
+       |       CAST(SUM(bits) AS DOUBLE) / COUNT(*) > $LowFluencyBits AS low_fluency
+       |FROM pairs JOIN model USING (w1, w2)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def qRepetitionSql: String =
     s"""WITH d AS (
        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws

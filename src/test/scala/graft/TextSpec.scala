@@ -163,6 +163,31 @@ class TextSpec extends SparkSpec {
     ), s"got $out")
   }
 
+  test("perplexity: hand-computed surprisal bits on a 3-doc corpus") {
+    // corpus: "a b" ×2 docs, "a c" ×1. V=3 (a,b,c). c(a)=3, c(b)=2, c(c)=1.
+    // bigram (a,b): c12=2 -> q=(3+3)//(2+1)=2 -> bits=1
+    // bigram (a,c): c12=1 -> q=6//2=3        -> bits=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = graft.operators.Text.perplexity(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toList
+    assert(out === List(
+      (1L, 1L, 1L, 1.0, false),
+      (2L, 1L, 1L, 1.0, false),
+      (3L, 1L, 1L, 1.0, false),
+    ), s"got $out")
+  }
+
+  test("perplexity: rare continuation scores more bits than common one") {
+    // "x y" dominates; "x z" is the rare continuation of the same context
+    val docs = (1L to 9L).map(i => (i, "x y")) :+ (10L, "x z")
+    val out = graft.operators.Text.perplexity(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // c(x)=10, V=3; (x,y): q=(10+3)//(9+1)=1 -> 0 bits;
+    // (x,z): q=13//2=6 -> 2 bits
+    assert(out(1L) === 0L && out(10L) === 2L, s"got $out")
+  }
+
   test("linedup: ragged tail chunk is its own unit and dedups as one") {
     // 5 words -> chunks ["a b c d", "e"]; the 1-word tail of doc 1 equals
     // doc 2's tail -> doc 2 keeps only its distinct head
