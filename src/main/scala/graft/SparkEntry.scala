@@ -157,6 +157,9 @@ object SparkEntry {
     // Corpus-bigram-LM fluency scoring with integer-exact surprisal bits
     // (the perplexity-filter shape, made hash-gate deterministic)
     "text_perplexity" -> ((s, d) => Text.qPerplexity(s, d)),
+    // Benford first-digit audit (fraud/synthetic-data screen) over the
+    // exact integer cents of o_totalprice
+    "catalog_benford" -> ((s, d) => Catalog.qBenford(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -242,5 +245,6 @@ object SparkEntry {
     "events_cdc" -> Events.qCdcSql,
     "pipeline_epochs" -> Sample.qEpochsSql,
     "text_perplexity" -> Text.qPerplexitySql,
+    "catalog_benford" -> Catalog.qBenfordSql,
   )
 }

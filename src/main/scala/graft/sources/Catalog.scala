@@ -242,6 +242,66 @@ object Catalog {
   def qAudit(s: SparkSession, dir: String): DataFrame =
     audit(s, dir).orderBy("rule")
 
+  /** Benford first-digit expectations log10(1 + 1/d), computed ONCE in
+    * Scala and embedded as the same double literals in both engines —
+    * evaluating log10 inside either engine would reintroduce the
+    * last-ulp libm divergence the hash gate forbids. */
+  val BenfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** Benford's-law first-digit audit of a money column — the classic
+    * fraud/synthetic-data screen: the leading-digit distribution of
+    * natural multi-scale amounts follows log10(1+1/d); fabricated or
+    * truncated data shows up as a deviating digit profile. The leading
+    * digit is taken from the EXACT integer cents (decimal scale-up then
+    * int-to-string — both engines print integers identically; a double's
+    * decimal formatting is engine-dependent and never touches this
+    * path). One scan, one 9-group aggregate, the total joined back as a
+    * broadcast 1-row frame; share/deviation are single IEEE divisions
+    * of exact longs, deterministic in both engines. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Num.dec
+    val s = df.sparkSession
+    import s.implicits._
+    val cents = (dec(col(valueCol)) * lit(10000)).cast("long")
+    val digits = df.filter(col(valueCol) > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val expected = BenfordExpected.toDF("digit", "expected")
+    digits
+      .crossJoin(broadcast(digits.agg(sum("n").as("total"))))
+      .join(broadcast(expected), "digit")
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"),
+        col("expected"),
+        abs(col("n").cast("double") / col("total") - col("expected")).as("abs_dev"))
+  }
+
+  def qBenford(s: SparkSession, dir: String): DataFrame =
+    benford(Tables.orders(s, dir), "o_totalprice").orderBy("digit")
+
+  def qBenfordSql: String = {
+    // STRING-cast literals: DuckDB parses a bare numeric literal as
+    // DECIMAL then converts, losing the last ulp vs the JVM double;
+    // CAST('<repr>' AS DOUBLE) is a correctly-rounded parse of the same
+    // shortest round-trip representation
+    val expectedValues = BenfordExpected
+      .map { case (d, e) => s"($d, CAST('$e' AS DOUBLE))" }.mkString(", ")
+    s"""WITH expected(digit, expected) AS (VALUES $expectedValues),
+       |digits AS (
+       |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+       |         COUNT(*) AS n
+       |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+       |tot AS (SELECT SUM(n) AS total FROM digits)
+       |SELECT digit, n,
+       |       CAST(n AS DOUBLE) / total AS share,
+       |       expected,
+       |       abs(CAST(n AS DOUBLE) / total - expected) AS abs_dev
+       |FROM digits CROSS JOIN tot JOIN expected USING (digit)
+       |ORDER BY digit""".stripMargin
+  }
+
   def qAuditSql: String = {
     val accepted = AcceptedEventTypes.map(t => s"'$t'").mkString(", ")
     s"""WITH r AS (

@@ -59,4 +59,17 @@ class CatalogSpec extends SparkSpec {
     val out = Catalog.histogram(Seq(42.0, 42.0, 42.0).toDF("v"), "v").collect()
     assert(out.length === 1 && out.head.getLong(3) === 3L)
   }
+
+  test("benford: leading digit from exact cents; shares sum to 1; nonpositive excluded") {
+    // 123.45 -> cents 1234500 -> digit 1; 0.071 -> 710 -> 7; 9000.0 -> 9;
+    // 0 and -5 are excluded from the population
+    val df = Seq(123.45, 0.071, 9000.0, 1.0, 0.0, -5.0).toDF("v")
+    val out = Catalog.benford(df, "v").orderBy("digit")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toList
+    assert(out === List((1, 2L, 0.5), (7, 1L, 0.25), (9, 1L, 0.25)), s"got $out")
+    // expectations are the Scala-side literals, not engine log10
+    val exp = Catalog.benford(df, "v").orderBy("digit")
+      .collect().map(r => r.getDouble(3)).toList
+    assert(exp === List(math.log10(2.0), math.log10(8.0 / 7), math.log10(10.0 / 9)))
+  }
 }
