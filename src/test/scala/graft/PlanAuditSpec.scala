@@ -151,7 +151,16 @@ class PlanAuditSpec extends SparkSpec {
       // anti-join sides + sort — every exchange is rule-table-sized
       "join_semi" -> 2, "kpi_gapfill" -> 4, "text_scrub" -> 2,
       "pipeline_pack" -> 3, "text_heavy" -> 5, "pipeline_decontam" -> 6,
-      "pipeline_split" -> 2, "kpi_slope" -> 3, "catalog_audit" -> 7)
+      "pipeline_split" -> 2, "kpi_slope" -> 3, "catalog_audit" -> 7,
+      // round-7 additions: linedup = chunk window + doc regroup/join +
+      // sort; repetition/epochs = in-row only + presentation sort; cdc =
+      // the ONE keyed agg (max-struct, map-side combined) + sort;
+      // benford = 9-group agg (+ tiny total) + sort; perplexity counts
+      // the pair subtree in BOTH the model and scoring branches
+      // (ReusedExchange dedupes at runtime) — data-carrying shuffles
+      // are pair agg, uni agg, model join, scoring join, doc regroup
+      "text_linedup" -> 3, "text_repetition" -> 1, "pipeline_epochs" -> 1,
+      "events_cdc" -> 2, "catalog_benford" -> 4, "text_perplexity" -> 10)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
