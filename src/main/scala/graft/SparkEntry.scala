@@ -160,6 +160,11 @@ object SparkEntry {
     // Benford first-digit audit (fraud/synthetic-data screen) over the
     // exact integer cents of o_totalprice
     "catalog_benford" -> ((s, d) => Catalog.qBenford(s, d)),
+    // Two-sample distribution drift between year windows: shared integer
+    // bucket grid, one conditional-arm aggregate, chi-square terms
+    "catalog_drift" -> ((s, d) => Catalog.qDrift(s, d)),
+    // Pareto/ABC concentration of per-dept totals (exact-decimal cumsum)
+    "kpi_pareto" -> ((s, d) => Kpi.qPareto(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -246,5 +251,7 @@ object SparkEntry {
     "pipeline_epochs" -> Sample.qEpochsSql,
     "text_perplexity" -> Text.qPerplexitySql,
     "catalog_benford" -> Catalog.qBenfordSql,
+    "catalog_drift" -> Catalog.qDriftSql,
+    "kpi_pareto" -> Kpi.paretoSql(),
   )
 }

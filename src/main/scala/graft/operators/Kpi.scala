@@ -840,4 +840,61 @@ object Kpi {
        |       (syd - slope * sxd) / CAST(n AS DOUBLE) AS intercept
        |FROM r ORDER BY dept""".stripMargin
   }
+
+  /** ABC-class cumulative-share boundaries (Pareto 80/95 convention). */
+  val ParetoA = 0.8
+  val ParetoB = 0.95
+
+  /** Pareto / ABC concentration analysis of a keyed total: rank depts by
+    * net descending, accumulate the running share of the grand total,
+    * and class each dept A (first [[ParetoA]] of value), B (to
+    * [[ParetoB]]), or C — the "which 20% of depts carry 80% of payroll"
+    * question every cost controller asks of the by-dept endpoint's
+    * output. The cumulative sum runs in EXACT DECIMAL over the dim-sized
+    * aggregate (the single-partition window touches 25 rows, never the
+    * fact table — the fact shuffles once into the dept aggregate,
+    * exactly like kpi_by_dept); doubles appear only in the final share
+    * divisions, one IEEE op each. Ties rank deterministically by dept
+    * name in both engines. */
+  def paretoFrom(deptTotals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("net").desc, col("dept"))
+    val cum = sum("net").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val tot = sum("net").over(Window.partitionBy())
+    val share = dbl(cum) / dbl(tot)
+    deptTotals
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum_share", share)
+      .withColumn("abc_class",
+        when(col("cum_share") <= ParetoA, "A")
+          .when(col("cum_share") <= ParetoB, "B").otherwise("C"))
+      .select(col("dept"), col("rank"), dbl(col("net")).as("net"),
+        col("cum_share"), col("abc_class"))
+  }
+
+  def pareto(s: SparkSession, dir: String, m: String = M1): DataFrame =
+    paretoFrom(Tables.fact(s, dir, Seq(m)).groupBy("dept").agg(sum("net").as("net")))
+
+  def qPareto(s: SparkSession, dir: String): DataFrame =
+    pareto(s, dir).orderBy("rank")
+
+  def paretoSql(m: String = M1): String =
+    s"""WITH ${factSql(inMonthSql("o.o_orderdate", m))},
+       |d AS (SELECT dept, SUM(net) AS net FROM fact GROUP BY dept),
+       |w AS (
+       |  SELECT dept, net,
+       |         CAST(row_number() OVER (ORDER BY net DESC, dept) AS INT) AS rank,
+       |         SUM(net) OVER (ORDER BY net DESC, dept
+       |           ROWS UNBOUNDED PRECEDING) AS cum,
+       |         SUM(net) OVER () AS total
+       |  FROM d),
+       |r AS (
+       |  SELECT dept, rank, CAST(net AS DOUBLE) AS net,
+       |         CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+       |  FROM w)
+       |SELECT dept, rank, net, cum_share,
+       |       CASE WHEN cum_share <= $ParetoA THEN 'A'
+       |            WHEN cum_share <= $ParetoB THEN 'B'
+       |            ELSE 'C' END AS abc_class
+       |FROM r ORDER BY rank""".stripMargin
 }

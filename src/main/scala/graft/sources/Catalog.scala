@@ -302,6 +302,90 @@ object Catalog {
        |ORDER BY digit""".stripMargin
   }
 
+  /** The two comparison windows for the drift report (full years, both
+    * populated in the testdata's 1995-2001 span). */
+  val DriftYearA = 1996
+  val DriftYearB = 1999
+
+  /** Two-sample distribution-drift report — the monitoring op a pipeline
+    * runs between a reference window and a fresh batch before merging:
+    * bucket the money column with the SAME integer-exact edges for both
+    * windows (bounds from the union, so a shifted batch cannot escape
+    * the grid), count per (bucket, window) in ONE conditional-arm
+    * aggregate over one scan, and report per-bucket shares, share
+    * deltas, and the chi-square-style contribution
+    * (Δshare² / (share_a + share_b)) — deliberately NOT a PSI/KL score:
+    * those need `ln`, whose last-ulp engine divergence the hash gate
+    * forbids, and the per-bucket table is the actionable artifact
+    * anyway (WHERE did the mass move, not just how much). All drift
+    * arithmetic is single IEEE ops on exact longs — deterministic. The
+    * year predicates push to the parquet scan as an OR of date ranges;
+    * totals ride a broadcast 1-row frame. */
+  def drift(orders: DataFrame, buckets: Int = HistBuckets): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Num.dec
+    def inYear(y: Int) =
+      col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp")
+    val two = orders.filter(inYear(DriftYearA) || inYear(DriftYearB))
+      .select(floor(dec(col("o_totalprice"))).cast("long").as("fv"),
+        (year(col("o_orderdate")) === DriftYearA).as("is_a"))
+    val bounds = two.agg(min(col("fv")).as("lo"), (max(col("fv")) + 1).as("hi"))
+      .select(col("lo"), expr(s"(hi - lo + ${buckets - 1}) div $buckets").as("w"))
+    val counted = two.join(broadcast(bounds))
+      .select(expr("(fv - lo) div w").as("bucket"), col("lo"), col("w"), col("is_a"))
+      .groupBy("bucket", "lo", "w")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+    val totals = counted.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    val shareA = col("n_a").cast("double") / col("tot_a")
+    val shareB = col("n_b").cast("double") / col("tot_b")
+    counted.crossJoin(broadcast(totals))
+      .withColumn("share_a", shareA)
+      .withColumn("share_b", shareB)
+      .withColumn("delta_share", col("share_a") - col("share_b"))
+      .withColumn("chi2_term",
+        col("delta_share") * col("delta_share") / (col("share_a") + col("share_b")))
+      .select(col("bucket").cast("int").as("bucket"),
+        (col("lo") + col("bucket") * col("w")).as("bucket_lo"),
+        (col("lo") + (col("bucket") + 1) * col("w")).as("bucket_hi"),
+        col("n_a"), col("n_b"), col("share_a"), col("share_b"),
+        col("delta_share"), col("chi2_term"))
+  }
+
+  def qDrift(s: SparkSession, dir: String): DataFrame =
+    drift(Tables.orders(s, dir)).orderBy("bucket")
+
+  def qDriftSql: String =
+    s"""WITH two AS (
+       |  SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(18,4))) AS BIGINT) AS fv,
+       |         year(o_orderdate) = $DriftYearA AS is_a
+       |  FROM orders
+       |  WHERE (o_orderdate >= '$DriftYearA-01-01' AND o_orderdate < '${DriftYearA + 1}-01-01')
+       |     OR (o_orderdate >= '$DriftYearB-01-01' AND o_orderdate < '${DriftYearB + 1}-01-01')),
+       |bounds AS (
+       |  SELECT MIN(fv) AS lo,
+       |         (MAX(fv) + 1 - MIN(fv) + $HistBuckets - 1) // $HistBuckets AS w
+       |  FROM two),
+       |counted AS (
+       |  SELECT (fv - lo) // w AS bucket, lo, w,
+       |         SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+       |         SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS n_b
+       |  FROM two, bounds GROUP BY 1, 2, 3),
+       |tot AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM counted),
+       |r AS (
+       |  SELECT bucket, lo, w, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |         CAST(n_a AS DOUBLE) / tot_a AS share_a,
+       |         CAST(n_b AS DOUBLE) / tot_b AS share_b
+       |  FROM counted CROSS JOIN tot)
+       |SELECT CAST(bucket AS INT) AS bucket,
+       |       lo + bucket * w AS bucket_lo,
+       |       lo + (bucket + 1) * w AS bucket_hi,
+       |       n_a, n_b, share_a, share_b,
+       |       share_a - share_b AS delta_share,
+       |       (share_a - share_b) * (share_a - share_b) / (share_a + share_b) AS chi2_term
+       |FROM r ORDER BY bucket""".stripMargin
+
   def qAuditSql: String = {
     val accepted = AcceptedEventTypes.map(t => s"'$t'").mkString(", ")
     s"""WITH r AS (

@@ -60,6 +60,29 @@ class CatalogSpec extends SparkSpec {
     assert(out.length === 1 && out.head.getLong(3) === 3L)
   }
 
+  test("drift: shared bucket grid, conditional arms, chi-square terms") {
+    import org.apache.spark.sql.functions._
+    // Window A (1996): fv 0..99; window B (1999): fv 95..194 — shifted
+    // mass. Shared grid must come from the UNION of both windows:
+    // lo=0, hi=195 -> w=(195+19) div 20 = 10.
+    val rows = (0 until 100).map(i => (i + 0.5, ts(s"1996-03-0${i % 9 + 1}"))) ++
+      (0 until 100).map(i => (i + 95.5, ts(s"1999-03-0${i % 9 + 1}")))
+    val df = rows.toDF("o_totalprice", "o_orderdate")
+    val out = Catalog.drift(df).orderBy("bucket").collect()
+    val byBucket = out.map(r => r.getInt(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(byBucket(0) === ((10L, 0L)), s"got ${byBucket.toSeq.sorted}")
+    assert(byBucket(19) === ((0L, 5L)), s"got ${byBucket.toSeq.sorted}")
+    // bucket 9 (fv 90..99) holds A's tail and B's head
+    assert(byBucket(9) === ((10L, 5L)), s"got ${byBucket.toSeq.sorted}")
+    // shares within each window sum to 1
+    val (sa, sb) = out.map(r => (r.getDouble(5), r.getDouble(6)))
+      .foldLeft((0.0, 0.0)) { case ((a, b), (x, y)) => (a + x, b + y) }
+    assert(math.abs(sa - 1.0) < 1e-12 && math.abs(sb - 1.0) < 1e-12)
+    // a bucket exclusive to one window has chi2 = share (d²/d = d)
+    val r0 = out.find(_.getInt(0) == 0).get
+    assert(math.abs(r0.getDouble(8) - r0.getDouble(5)) < 1e-15)
+  }
+
   test("benford: leading digit from exact cents; shares sum to 1; nonpositive excluded") {
     // 123.45 -> cents 1234500 -> digit 1; 0.071 -> 710 -> 7; 9000.0 -> 9;
     // 0 and -5 are excluded from the population

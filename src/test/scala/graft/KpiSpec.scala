@@ -189,4 +189,20 @@ class KpiSpec extends SparkSpec {
     assert(out(0).getDouble(2) === 50.0 && out(0).getDouble(3) === 100.0)
     assert(out(1).getString(0) === "B" && out(1).isNullAt(2) && out(1).isNullAt(3))
   }
+
+  test("paretoFrom: exact cumulative shares, ABC cut points, deterministic tie order") {
+    import org.apache.spark.sql.functions._
+    // totals 50/30/10/10 of 100 -> cum shares .5 .8 .9 1.0
+    // A-class boundary is INCLUSIVE (<= 0.8); C/D tie on 10 -> dept order
+    val totals = Seq(("w", BigDecimal(50)), ("x", BigDecimal(30)),
+      ("d", BigDecimal(10)), ("c", BigDecimal(10)))
+      .toDF("dept", "net").withColumn("net", col("net").cast("decimal(18,4)"))
+    val out = Kpi.paretoFrom(totals).orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(3),
+        r.getString(4))).toList
+    assert(out === List(
+      ("w", 1, 0.5, "A"), ("x", 2, 0.8, "A"),
+      ("c", 3, 0.9, "B"), ("d", 4, 1.0, "C"),
+    ), s"got $out")
+  }
 }
