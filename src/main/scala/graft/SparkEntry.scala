@@ -165,6 +165,9 @@ object SparkEntry {
     "catalog_drift" -> ((s, d) => Catalog.qDrift(s, d)),
     // Pareto/ABC concentration of per-dept totals (exact-decimal cumsum)
     "kpi_pareto" -> ((s, d) => Kpi.qPareto(s, d)),
+    // Event-rate spike detection: hourly counts vs trailing-24-observed
+    // baseline, variance from exact integer sums
+    "events_spike" -> ((s, d) => Events.qSpikes(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -253,5 +256,6 @@ object SparkEntry {
     "catalog_benford" -> Catalog.qBenfordSql,
     "catalog_drift" -> Catalog.qDriftSql,
     "kpi_pareto" -> Kpi.paretoSql(),
+    "events_spike" -> Events.qSpikesSql,
   )
 }

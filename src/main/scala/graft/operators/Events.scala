@@ -305,6 +305,80 @@ object Events {
       |       CAST(n_deletes AS BIGINT) AS n_deletes
       |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin
 
+  /** Baseline frame: previous [[SpikeFrame]] observed hours. */
+  val SpikeFrame = 24
+  /** Minimum observed baseline hours before a z-score is emitted. */
+  val SpikeMinBaseline = 12
+  val SpikeZ = 3.0
+
+  /** Event-rate spike detection: hourly counts per event_type scored
+    * against a trailing baseline of the previous [[SpikeFrame]] observed
+    * hours (rows-frame, so calendar gaps don't silently shrink the
+    * window to nothing — the baseline is "last 24 observations",
+    * documented as such). The z-score machinery is the robust-ops
+    * family's (kpi_anomalies) transplanted to time series: same keyed
+    * window, same determinism discipline. Variance comes from exact
+    * integer sums (w·Σc² − (Σc)² over BIGINT counts — never a running
+    * double), so mean/std/z are each a single IEEE op chain evaluated
+    * in the same order in both engines. Fewer than [[SpikeMinBaseline]]
+    * baseline hours → NULL z (cold start is not a spike). Scale shape:
+    * one keyed agg (type, hour) over the scan, one dim×hours window —
+    * the window partition is |event_type|, each holding |hours| rows,
+    * never raw events. */
+  def spikes(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val frame = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-SpikeFrame, -1)
+    val w = count(col("n")).over(frame)
+    val s1 = sum(col("n")).over(frame)
+    val s2 = sum(col("n") * col("n")).over(frame)
+    val mean = s1.cast("double") / w
+    val varNum = w * s2 - s1 * s1
+    val std = sqrt(varNum.cast("double") / (w * w).cast("double"))
+    val z = when(w >= SpikeMinBaseline && std > 0.0,
+      (col("n").cast("double") - mean) / std)
+    hourly
+      .withColumn("baseline_hours", w)
+      .withColumn("baseline_mean", when(w >= SpikeMinBaseline, mean))
+      .withColumn("baseline_std", when(w >= SpikeMinBaseline, std))
+      .withColumn("z", z)
+      .withColumn("spike", coalesce(col("z") > SpikeZ, lit(false)))
+  }
+
+  def qSpikes(s: SparkSession, dir: String): DataFrame =
+    spikes(Tables.events(s, dir)).orderBy("event_type", "hour")
+
+  def qSpikesSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |win AS (
+       |  SELECT event_type, hour, n,
+       |         COUNT(n) OVER f AS w,
+       |         SUM(n) OVER f AS s1,
+       |         SUM(n * n) OVER f AS s2
+       |  FROM hourly
+       |  WINDOW f AS (PARTITION BY event_type ORDER BY hour
+       |               ROWS BETWEEN $SpikeFrame PRECEDING AND 1 PRECEDING)),
+       |scored AS (
+       |  SELECT event_type, hour, n, w,
+       |         CAST(s1 AS DOUBLE) / w AS mean,
+       |         sqrt(CAST(w * s2 - s1 * s1 AS DOUBLE) / CAST(w * w AS DOUBLE)) AS std
+       |  FROM win)
+       |SELECT event_type, hour, n,
+       |       CAST(w AS BIGINT) AS baseline_hours,
+       |       CASE WHEN w >= $SpikeMinBaseline THEN mean END AS baseline_mean,
+       |       CASE WHEN w >= $SpikeMinBaseline THEN std END AS baseline_std,
+       |       CASE WHEN w >= $SpikeMinBaseline AND std > 0.0
+       |            THEN (CAST(n AS DOUBLE) - mean) / std END AS z,
+       |       COALESCE(CASE WHEN w >= $SpikeMinBaseline AND std > 0.0
+       |                     THEN (CAST(n AS DOUBLE) - mean) / std END > $SpikeZ,
+       |                FALSE) AS spike
+       |FROM scored ORDER BY event_type, hour""".stripMargin
+
   def qSessionsSql: String = {
     val gapUs = SessionGapMin * 60L * 1000000L
     s"""WITH lagd AS (

@@ -54,6 +54,32 @@ class EventsSpec extends SparkSpec {
       (3, "purchase", 3L, 1.0)), s"got $out")
   }
 
+  test("spikes: cold start is NULL, constant baseline gives no z, spike flags") {
+    import graft.operators.Events.{SpikeMinBaseline => MinB}
+    // one event per (hour, i) row; counts alternate 9/11 for 30 hours
+    // (mean 10, var 1), then hour 30 carries 100 events — a clear spike
+    val rows = (0 until 30).flatMap { h =>
+      val c = if (h % 2 == 0) 9 else 11
+      (0 until c).map(i => (h.toLong * 100 + i, ts(h * 3600L), "click", 1.0, 7L))
+    } ++ (0 until 100).map(i => (9000L + i, ts(30 * 3600L), "click", 1.0, 7L))
+    val events = rows.toDF("event_id", "ts", "event_type", "value", "user_id")
+    val out = graft.operators.Events.spikes(events).orderBy("hour").collect()
+    assert(out.length === 31)
+    // rows before MinB baseline hours: NULL stats
+    (0 until MinB).foreach { h =>
+      assert(out(h).isNullAt(out(h).fieldIndex("z")), s"hour $h should be cold")
+      assert(!out(h).getAs[Boolean]("spike"))
+    }
+    // the spike hour: baseline mean 10, std 1 -> z = 90
+    val last = out.last
+    assert(last.getAs[Long]("n") === 100L)
+    assert(last.getAs[Double]("baseline_mean") === 10.0)
+    assert(last.getAs[Double]("baseline_std") === 1.0)
+    assert(last.getAs[Double]("z") === 90.0 && last.getAs[Boolean]("spike"))
+    // a mid-series normal hour is not flagged
+    assert(!out(25).getAs[Boolean]("spike"))
+  }
+
   test("cdc apply: last-write-wins, tombstone removal, resurrection after delete") {
     val events = Seq(
       // u1: insert then two updates -> final value is the LAST update's
