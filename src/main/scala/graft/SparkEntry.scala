@@ -168,6 +168,9 @@ object SparkEntry {
     // Event-rate spike detection: hourly counts vs trailing-24-observed
     // baseline, variance from exact integer sums
     "events_spike" -> ((s, d) => Events.qSpikes(s, d)),
+    // Market-basket brand co-occurrence with support/confidence/lift;
+    // pairs built in-row from sorted basket sets, never a self-join
+    "join_basket" -> ((s, d) => operators.Basket.qBasket(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -257,5 +260,6 @@ object SparkEntry {
     "catalog_drift" -> Catalog.qDriftSql,
     "kpi_pareto" -> Kpi.paretoSql(),
     "events_spike" -> Events.qSpikesSql,
+    "join_basket" -> operators.Basket.qBasketSql,
   )
 }

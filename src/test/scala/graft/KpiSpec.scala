@@ -190,6 +190,25 @@ class KpiSpec extends SparkSpec {
     assert(out(1).getString(0) === "B" && out(1).isNullAt(2) && out(1).isNullAt(3))
   }
 
+  test("basket pairs: hand-computed co-occurrence, lift above/below independence") {
+    import org.apache.spark.sql.functions._
+    // orders: 1={X,Y}, 2={X,Y}, 3={X,Z}, 4={Y} (dup X line collapses)
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L),
+      (3L, 30L), (3L, 10L), (4L, 20L)).toDF("l_orderkey", "l_partkey")
+    val part = Seq((10L, "X"), (20L, "Y"), (30L, "Z")).toDF("p_partkey", "p_brand")
+    val out = graft.operators.Basket.pairs(li, part)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8))).toList
+    // n(X)=3, n(Y)=3, n(Z)=1, N=4
+    // (X,Y): n_ab=2, support .5, conf 2/3, lift 2*4/(3*3)=8/9
+    // (X,Z): n_ab=1, support .25, conf 1/3, lift 1*4/(3*1)=4/3
+    assert(out === List(
+      ("X", "Y", 2L, 3L, 3L, 4L, 0.5, 2.0 / 3, 8.0 / 9),
+      ("X", "Z", 1L, 3L, 1L, 4L, 0.25, 1.0 / 3, 4.0 / 3),
+    ), s"got $out")
+  }
+
   test("paretoFrom: exact cumulative shares, ABC cut points, deterministic tie order") {
     import org.apache.spark.sql.functions._
     // totals 50/30/10/10 of 100 -> cum shares .5 .8 .9 1.0
