@@ -160,7 +160,14 @@ class PlanAuditSpec extends SparkSpec {
       // (ReusedExchange dedupes at runtime) — data-carrying shuffles
       // are pair agg, uni agg, model join, scoring join, doc regroup
       "text_linedup" -> 3, "text_repetition" -> 1, "pipeline_epochs" -> 1,
-      "events_cdc" -> 2, "catalog_benford" -> 4, "text_perplexity" -> 10)
+      "events_cdc" -> 2, "catalog_benford" -> 4, "text_perplexity" -> 10,
+      // pareto = fact->dept agg + dim window sort; spike = hourly agg +
+      // type-keyed window + sort; drift counts its bucket-agg subtree in
+      // BOTH the totals and report branches (ReusedExchange dedupes);
+      // basket counts the byOrder subtree in all three consumers (pair,
+      // brand, total counts — runtime-deduped), top-k is TakeOrdered
+      "kpi_pareto" -> 2, "events_spike" -> 3, "catalog_drift" -> 6,
+      "join_basket" -> 8)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
