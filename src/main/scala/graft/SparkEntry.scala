@@ -171,6 +171,12 @@ object SparkEntry {
     // Market-basket brand co-occurrence with support/confidence/lift;
     // pairs built in-row from sorted basket sets, never a self-join
     "join_basket" -> ((s, d) => operators.Basket.qBasket(s, d)),
+    // Frequency-based boilerplate removal (drop EVERY occurrence of a
+    // chunk seen in >= BoilerDf distinct docs — lineDedup's complement)
+    "text_boilerplate" -> ((s, d) => Text.qBoilerplate(s, d)),
+    // Capped inverted index: exact df/cf + first-K posting lists,
+    // rank-filtered BEFORE collect so stopword postings never OOM
+    "text_index" -> ((s, d) => operators.Index.qIndex(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -261,5 +267,7 @@ object SparkEntry {
     "kpi_pareto" -> Kpi.paretoSql(),
     "events_spike" -> Events.qSpikesSql,
     "join_basket" -> operators.Basket.qBasketSql,
+    "text_boilerplate" -> Text.qBoilerplateSql,
+    "text_index" -> operators.Index.qIndexSql,
   )
 }

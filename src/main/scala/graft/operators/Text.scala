@@ -31,7 +31,7 @@ object Text {
   val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
   private def norm(t: Column): Column = graft.functions.Hashes.normText(t)
-  private def words(t: Column): Column = split(norm(t), " ")
+  private[operators] def words(t: Column): Column = split(norm(t), " ")
 
   private def hitCount(ws: Column, profile: Seq[String]): Column =
     size(filter(ws, w => w.isin(profile: _*)))
@@ -765,6 +765,23 @@ object Text {
     * counts), matching C4's keep-the-document behavior. */
   def lineDedup(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (base, chunks) = chunkStream(docs)
+    // globally-first occurrence: doc_id*1e6+idx is unique (idx < 1e6 —
+    // a 4M-word doc would overflow; assert at scale) and orders by
+    // (doc_id, idx) lexicographically
+    val key = col("doc_id") * lit(1000000L) + col("idx")
+    val kept = chunks.withColumn("__k", key)
+      .withColumn("__keeper", min(col("__k")).over(Window.partitionBy("chunk")))
+      .filter(col("__k") === col("__keeper"))
+    survivors(base, kept, "text_dedup")
+  }
+
+  /** (base, chunks): per-doc word arrays with chunk counts, and the
+    * exploded non-overlapping [[LineW]]-word chunk stream. The shared
+    * front half of [[lineDedup]] (keep-first) and [[boilerplate]]
+    * (drop-all) — one definition so the two dedup rules can never drift
+    * on what a "chunk" is. */
+  private def chunkStream(docs: DataFrame): (DataFrame, DataFrame) = {
     val base = docs
       .select(col("doc_id"), words(col("text")).as("__ws"))
       .withColumn("n_chunks",
@@ -773,25 +790,84 @@ object Text {
       posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
         i => array_join(slice(col("__ws"), i * LineW + 1, lit(LineW)), " ")))
         .as(Seq("idx", "chunk")))
-    // globally-first occurrence: doc_id*1e6+idx is unique (idx < 1e6 —
-    // a 4M-word doc would overflow; assert at scale) and orders by
-    // (doc_id, idx) lexicographically
-    val key = col("doc_id") * lit(1000000L) + col("idx")
-    val kept = chunks.withColumn("__k", key)
-      .withColumn("__keeper", min(col("__k")).over(Window.partitionBy("chunk")))
-      .filter(col("__k") === col("__keeper"))
+    (base, chunks)
+  }
+
+  /** Shared back half: per-doc survivor counts + order-preserving text
+    * rebuild, left-joined onto every input doc so fully-consumed docs
+    * survive with empty text. */
+  private def survivors(base: DataFrame, kept: DataFrame, outCol: String): DataFrame = {
     val agg = kept.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(
           transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
-            s => s.getField("chunk")), " ").as("text_dedup"))
+            s => s.getField("chunk")), " ").as(outCol))
     base.select(col("doc_id"), col("n_chunks").cast("long").as("n_chunks"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+        coalesce(col(outCol), lit("")).as(outCol))
   }
+
+  /** A chunk seen in at least this many DISTINCT documents is boilerplate. */
+  val BoilerDf = 3
+
+  /** Frequency-based boilerplate removal (the CCNet/RefinedWeb complement
+    * of [[lineDedup]]'s C4 keep-first rule): any [[LineW]]-word chunk that
+    * occurs in >= [[BoilerDf]] distinct documents is chrome — headers,
+    * license blocks, navigation, cookie banners — and EVERY occurrence is
+    * dropped. Span dedup keeps the first copy of duplicated *content*;
+    * boilerplate removal keeps none, because a span repeated across many
+    * unrelated pages is template, not content. Docs that were pure chrome
+    * survive with empty text (same keep-the-document contract as C4).
+    *
+    * Scale shape: the doc-frequency table is ONE corpus aggregate over the
+    * chunk stream (count-distinct compiles to two keyed passes, both
+    * map-side combinable), and its >= [[BoilerDf]] survivors are a
+    * 1/[[BoilerDf]]-bounded fraction of distinct chunks — on real corpora
+    * a tiny skewed head that AQE broadcasts into the LEFT ANTI join; the
+    * plan degrades gracefully to a shuffled anti-join when the chrome set
+    * is genuinely large. The per-doc rebuild is the same single regroup
+    * as [[lineDedup]]. Nothing is quadratic; the chunk stream is the
+    * corpus ×1. */
+  def boilerplate(docs: DataFrame): DataFrame = {
+    val (base, chunks) = chunkStream(docs)
+    val boiler = chunks.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("docfreq"))
+      .filter(col("docfreq") >= BoilerDf)
+      .select("chunk")
+    survivors(base, chunks.join(boiler, Seq("chunk"), "left_anti"), "text_clean")
+  }
+
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    boilerplate(Tables.documents(s, dir)).orderBy("doc_id")
+
+  def qBoilerplateSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, CAST(ceil(len(ws) / $LineW.0) AS BIGINT) AS n_chunks, ws FROM d),
+       |ch AS (
+       |  SELECT doc_id, n_chunks, CAST(i AS INT) AS idx,
+       |         array_to_string(ws[i*$LineW+1 : i*$LineW+$LineW], ' ') AS chunk
+       |  FROM base, unnest(range(0, n_chunks)) AS t(i)),
+       |boiler AS (
+       |  SELECT chunk FROM (
+       |    SELECT chunk, COUNT(DISTINCT doc_id) AS docfreq FROM ch GROUP BY chunk)
+       |  WHERE docfreq >= $BoilerDf),
+       |k AS (
+       |  SELECT * FROM ch WHERE chunk NOT IN (SELECT chunk FROM boiler)),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |         string_agg(chunk, ' ' ORDER BY idx) AS text_clean
+       |  FROM k GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_chunks,
+       |       COALESCE(a.n_kept, 0) AS n_kept,
+       |       b.n_chunks - COALESCE(a.n_kept, 0) AS n_removed,
+       |       COALESCE(a.text_clean, '') AS text_clean
+       |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
   def qLineDedup(s: SparkSession, dir: String): DataFrame =
     lineDedup(Tables.documents(s, dir)).orderBy("doc_id")

@@ -167,7 +167,13 @@ class PlanAuditSpec extends SparkSpec {
       // basket counts the byOrder subtree in all three consumers (pair,
       // brand, total counts — runtime-deduped), top-k is TakeOrdered
       "kpi_pareto" -> 2, "events_spike" -> 3, "catalog_drift" -> 6,
-      "join_basket" -> 8)
+      "join_basket" -> 8,
+      // boilerplate = chunk count-distinct (2 keyed passes) + the chunk
+      // stream's anti-join exchange (chrome side reuses the agg's;
+      // AQE broadcasts it when tiny) + doc regroup/join; index = the
+      // (token,doc_id) agg + ONE token window whose partitioning the
+      // postings regroup reuses, top-N is TakeOrdered
+      "text_boilerplate" -> 4, "text_index" -> 2)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e

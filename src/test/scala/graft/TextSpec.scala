@@ -199,4 +199,34 @@ class TextSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3), r.getString(4))).toList
     assert(out === List((1L, 0L, "a b c d e"), (2L, 1L, "v w x y")), s"got $out")
   }
+
+  test("boilerplate: drop-ALL at df>=3, keep df<3, pure-chrome doc survives empty") {
+    // "c1 c2 c3 c4" in 3 docs -> chrome, every copy dropped (lineDedup
+    // would keep doc 1's); "d1 d2 d3 d4" in 2 docs -> below threshold, all
+    // copies stay; doc 3 is pure chrome -> survives with empty text
+    val docs = Seq(
+      (1L, "c1 c2 c3 c4 d1 d2 d3 d4 u1 u2 u3 u4"),
+      (2L, "d1 d2 d3 d4 c1 c2 c3 c4 v1 v2 v3 v4"),
+      (3L, "c1 c2 c3 c4")).toDF("doc_id", "text")
+    val out = Text.boilerplate(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_removed") == 1L
+      && out(1L).getAs[String]("text_clean") == "d1 d2 d3 d4 u1 u2 u3 u4")
+    assert(out(2L).getAs[String]("text_clean") == "d1 d2 d3 d4 v1 v2 v3 v4",
+      "order-preserving rebuild after dropping the middle chunk")
+    assert(out(3L).getAs[Long]("n_kept") == 0L
+      && out(3L).getAs[String]("text_clean") == "")
+    val keepFirst = Text.lineDedup(docs).orderBy("doc_id").head
+    assert(keepFirst.getAs[String]("text_dedup").startsWith("c1 c2 c3 c4"),
+      "contrast: lineDedup keeps the globally-first copy of the same chunk")
+  }
+
+  test("boilerplate: within-doc repetition is ONE distinct doc, not chrome") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w1 w2 w3 w4 w1 w2 w3 w4"),
+      (2L, "o1 o2 o3 o4")).toDF("doc_id", "text")
+    val out = Text.boilerplate(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_kept") == 3L,
+      "df counts DISTINCT docs: 3 copies inside one doc stay below BoilerDf")
+  }
 }
