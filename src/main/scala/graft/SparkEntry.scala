@@ -177,6 +177,12 @@ object SparkEntry {
     // Capped inverted index: exact df/cf + first-K posting lists,
     // rank-filtered BEFORE collect so stopword postings never OOM
     "text_index" -> ((s, d) => operators.Index.qIndex(s, d)),
+    // Daily new/returning decomposition; cumulative distinct users as a
+    // running sum of news (no per-day distinct over a growing prefix)
+    "events_new_users" -> ((s, d) => Events.qNewUsers(s, d)),
+    // HLL-vs-exact error-budget audit: the engine-independent boolean
+    // the hash gate CAN check (the sketch value itself is rows-only)
+    "kpi_headcount_audit" -> ((s, d) => Kpi.headcountAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -269,5 +275,7 @@ object SparkEntry {
     "join_basket" -> operators.Basket.qBasketSql,
     "text_boilerplate" -> Text.qBoilerplateSql,
     "text_index" -> operators.Index.qIndexSql,
+    "events_new_users" -> Events.qNewUsersSql,
+    "kpi_headcount_audit" -> Kpi.headcountAuditSql(),
   )
 }

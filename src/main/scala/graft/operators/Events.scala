@@ -399,4 +399,55 @@ object Events {
        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
        |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
   }
+
+  /** Daily new-vs-returning decomposition + cumulative distinct users —
+    * the growth-accounting view every product-analytics stack derives
+    * from its event log. A user is "new" on the day of their first event
+    * ever; `cum_users` (total distinct users to date) is the running sum
+    * of daily new users — computing it this way replaces a per-day
+    * COUNT(DISTINCT) over an ever-growing prefix (quadratic re-scan, or
+    * an OOM-prone distinct-within-window) with two linear passes.
+    *
+    * Scale shape: (1) the raw log collapses to (day, user) in ONE keyed
+    * map-side-combinable aggregate — the only shuffle that carries the
+    * log; (2) first-day flags come from a user-partitioned window over
+    * that collapsed frame (|users|·|active days| rows, spillable sort);
+    * (3) the daily rollup is calendar-sized, and the final running sum
+    * is a single-partition window over those ~|days| rows — the same
+    * dim-sized-window pattern as kpi_trend, never raw data. */
+  def newUsers(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val activity = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day", "user_id").agg(count(lit(1)).as("n_events"))
+    val flagged = activity.withColumn("first_day",
+      min(col("day")).over(Window.partitionBy("user_id")))
+    val daily = flagged.groupBy("day")
+      .agg(count(lit(1)).as("active_users"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"),
+        sum(col("n_events")).as("n_events"))
+    daily
+      .withColumn("returning_users", col("active_users") - col("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def qNewUsers(s: SparkSession, dir: String): DataFrame =
+    newUsers(Tables.events(s, dir)).orderBy("day")
+
+  def qNewUsersSql: String =
+    """WITH activity AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |flagged AS (
+      |  SELECT *, MIN(day) OVER (PARTITION BY user_id) AS first_day FROM activity),
+      |daily AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users,
+      |         CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+      |         CAST(SUM(n_events) AS BIGINT) AS n_events
+      |  FROM flagged GROUP BY day)
+      |SELECT day, active_users, new_users, n_events,
+      |       active_users - new_users AS returning_users,
+      |       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM daily ORDER BY day""".stripMargin
 }

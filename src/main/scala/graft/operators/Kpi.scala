@@ -71,6 +71,28 @@ object Kpi {
           .otherwise(abs(col("approx") - col("exact")).cast("double") / col("exact")))
   }
 
+  /** Tolerance bound the HLL audit holds the sketch to (2.5× its 0.02
+    * configured rsd — the sketch is deterministic, so this is a stable
+    * property of the data, not a flaky statistical check). */
+  val ApproxTol = 0.05
+
+  /** Oracle-gated audit of the HLL sketch: emits the EXACT headcount and
+    * whether the approx landed within [[ApproxTol]] of it. The estimate
+    * itself is engine-specific (DuckDB's HLL differs), so
+    * [[headcountApprox]] stays rows-only — but "the sketch is within its
+    * error budget" is an engine-independent boolean the hash gate CAN
+    * check: the oracle emits `true`, so a drifting sketch flips the bit
+    * and fails the gate. Same single-pass plan as headcountApprox. */
+  def headcountAudit(s: SparkSession, dir: String, m: String = M1): DataFrame =
+    headcountApprox(s, dir, m).select(
+      col("exact").as("headcount"),
+      (col("rel_err") <= ApproxTol).as("approx_ok"))
+
+  def headcountAuditSql(m: String = M1): String =
+    s"""WITH ${Tables.factSql(Tables.inMonthSql("o.o_orderdate", m))}
+       |SELECT COUNT(DISTINCT emp_id) AS headcount, true AS approx_ok
+       |FROM fact""".stripMargin
+
   def summarySql(m: String = M1): String =
     s"""WITH ${factSql(inMonthSql("o.o_orderdate", m))},
        |agg AS (

@@ -105,4 +105,24 @@ class EventsSpec extends SparkSpec {
       (3L, 200L, 7.5, 2L, 1L),
     ), s"got $out")
   }
+
+  test("new users: first-day flag, returning split, cum = running sum of news") {
+    def day(d: Int, sec: Long) = new java.sql.Timestamp(
+      java.sql.Date.valueOf(f"2024-01-$d%02d").getTime + sec * 1000L)
+    val events = Seq(
+      // u1 twice on day 1 (one active row, 2 events), returns day 2
+      (1L, day(1, 10)), (1L, day(1, 20)), (1L, day(2, 10)),
+      // u2 and u3 first appear day 2; u3 returns day 3
+      (2L, day(2, 30)), (3L, day(2, 40)), (3L, day(3, 50)),
+    ).toDF("user_id", "ts")
+    val out = Events.newUsers(events).orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
+    // (day, active, new, n_events, returning, cum)
+    assert(out === List(
+      ("2024-01-01", 1L, 1L, 2L, 0L, 1L),
+      ("2024-01-02", 3L, 2L, 3L, 1L, 3L),
+      ("2024-01-03", 1L, 0L, 1L, 1L, 3L),
+    ), s"got $out")
+  }
 }

@@ -173,7 +173,11 @@ class PlanAuditSpec extends SparkSpec {
       // AQE broadcasts it when tiny) + doc regroup/join; index = the
       // (token,doc_id) agg + ONE token window whose partitioning the
       // postings regroup reuses, top-N is TakeOrdered
-      "text_boilerplate" -> 4, "text_index" -> 2)
+      "text_boilerplate" -> 4, "text_index" -> 2,
+      // new_users = (day,user) agg + user window + calendar-day agg +
+      // the dim-sized running-sum/sort; audit = the count-distinct
+      // expansion's two passes (HLL rides the same agg)
+      "events_new_users" -> 4, "kpi_headcount_audit" -> 2)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
