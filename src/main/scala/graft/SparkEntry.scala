@@ -183,6 +183,11 @@ object SparkEntry {
     // HLL-vs-exact error-budget audit: the engine-independent boolean
     // the hash gate CAN check (the sketch value itself is rows-only)
     "kpi_headcount_audit" -> ((s, d) => Kpi.headcountAudit(s, d)),
+    // Dead-letter routing: which RAW rows violated which rules, before
+    // cleanse's silent repairs hide them (in-row rule array, no shuffle)
+    "etl_quarantine" -> ((s, _) => Etl.qQuarantine(s)),
+    // Schema-evolution union: name-aligned, null-padded, lineage-tagged
+    "etl_union_evolve" -> ((s, _) => Etl.qUnionEvolve(s)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -277,5 +282,7 @@ object SparkEntry {
     "text_index" -> operators.Index.qIndexSql,
     "events_new_users" -> Events.qNewUsersSql,
     "kpi_headcount_audit" -> Kpi.headcountAuditSql(),
+    "etl_quarantine" -> Etl.qQuarantineSql,
+    "etl_union_evolve" -> Etl.qUnionEvolveSql,
   )
 }

@@ -156,6 +156,103 @@ object Etl {
   def qCount(s: SparkSession): DataFrame =
     qFactUpsert(s).agg(count(lit(1)).as("cnt"))
 
+  /** Validation rules for [[quarantine]], evaluated on the RAW all-string
+    * frame — BEFORE [[cleanse]] coerces garbage to 0/NULL and hides it.
+    * Each is (rule_id, fires-when predicate). */
+  private def quarantineRules: Seq[(String, Column)] = {
+    def blank(c: String) = col(c).isNull || trim(col(c)) === ""
+    def uncastable(c: String) =
+      col(c).isNotNull && trim(col(c)) =!= "" &&
+        expr(s"try_cast(`$c` AS DOUBLE)").isNull
+    Seq(
+      "bad_month" -> try_to_timestamp(
+        concat(substring(col("month"), 1, 7), lit("-01")),
+        lit("yyyy-MM-dd")).isNull,
+      "bad_numeric" -> NumericCols.map(uncastable).reduce(_ || _),
+      "blank_numeric" -> NumericCols.map(blank).reduce(_ || _),
+      "missing_currency" -> blank("currency"),
+    )
+  }
+
+  /** Dead-letter routing: the audit trail [[cleanse]] does not keep.
+    * Cleansing repairs silently (garbage numerics -> 0, bad months ->
+    * NULL, missing currency -> default); a production load also needs
+    * the quarantine view — WHICH raw rows violated WHICH rules — for
+    * reprocessing and upstream feedback. One row per (row, fired rule).
+    *
+    * Scale shape: rules evaluate as one in-row array-filter-explode
+    * projection over the scan — zero shuffles, fully codegen'd, the
+    * explode fan-out is bounded by the rule count. Quarantine never
+    * re-reads the source: it is the same scan the cleanse consumes. */
+  def quarantine(raw: DataFrame): DataFrame = {
+    val fired = array(quarantineRules.map { case (n, p) =>
+      when(p, lit(n)).otherwise(lit(null).cast("string"))
+    }: _*)
+    raw.select(col("seq").cast("int").as("seq"), col("emp_id"),
+        explode(filter(fired, r => r.isNotNull)).as("rule"))
+  }
+
+  def qQuarantine(s: SparkSession): DataFrame =
+    quarantine(readRaw(s, RawCsv)).orderBy("seq", "rule")
+
+  def qQuarantineSql: String = {
+    def blank(c: String) = s"($c IS NULL OR TRIM($c) = '')"
+    def uncastable(c: String) =
+      s"($c IS NOT NULL AND TRIM($c) <> '' AND TRY_CAST($c AS DOUBLE) IS NULL)"
+    val rules = Seq(
+      "bad_month" ->
+        "try_strptime(substr(month, 1, 7) || '-01', '%Y-%m-%d') IS NULL",
+      "bad_numeric" -> NumericCols.map(uncastable).mkString("(", " OR ", ")"),
+      "blank_numeric" -> NumericCols.map(blank).mkString("(", " OR ", ")"),
+      "missing_currency" -> blank("currency"),
+    ).map { case (n, p) => s"CASE WHEN $p THEN '$n' END" }
+      .mkString(",\n           ")
+    s"""WITH raw AS (SELECT * FROM read_csv('$RawCsv', header=true, all_varchar=true)),
+       |v AS (
+       |  SELECT CAST(seq AS INT) AS seq, emp_id,
+       |         [$rules] AS rules
+       |  FROM raw)
+       |SELECT seq, emp_id, rule FROM (
+       |  SELECT seq, emp_id, unnest(list_filter(rules, r -> r IS NOT NULL)) AS rule
+       |  FROM v)
+       |ORDER BY seq, rule""".stripMargin
+  }
+
+  /** Schema-evolution union (the v2-feed problem): a source that DROPS a
+    * column and ADDS another mid-history must still load into one frame —
+    * `unionByName(allowMissingColumns)` aligns by NAME and null-pads the
+    * drifted columns, where positional UNION would silently misalign or
+    * refuse. Each side carries its feed version for lineage. Pure narrow
+    * union — zero shuffles, schema reconciliation is plan-time only. */
+  def unionEvolve(v1: DataFrame, v2: DataFrame): DataFrame =
+    v1.withColumn("src", lit("v1"))
+      .unionByName(v2.withColumn("src", lit("v2")), allowMissingColumns = true)
+
+  /** The drifted v2 feed, synthesized from the update fixture: location
+    * dropped, cost_center added (derived — deterministic in both engines). */
+  private def feedV2(s: SparkSession): DataFrame =
+    readRaw(s, UpdateCsv).drop("location")
+      .withColumn("cost_center", concat(lit("CC-"), trim(col("dept"))))
+
+  def qUnionEvolve(s: SparkSession): DataFrame =
+    unionEvolve(readRaw(s, RawCsv), feedV2(s))
+      .select(col("seq").cast("int").as("seq"), col("emp_id"), col("dept"),
+        col("month"), col("location"), col("cost_center"), col("src"))
+      .orderBy("seq")
+
+  def qUnionEvolveSql: String =
+    s"""WITH v1 AS (
+       |  SELECT CAST(seq AS INT) AS seq, emp_id, dept, month, location,
+       |         CAST(NULL AS VARCHAR) AS cost_center, 'v1' AS src
+       |  FROM read_csv('$RawCsv', header=true, all_varchar=true)),
+       |v2 AS (
+       |  SELECT CAST(seq AS INT) AS seq, emp_id, dept, month,
+       |         CAST(NULL AS VARCHAR) AS location,
+       |         'CC-' || TRIM(dept) AS cost_center, 'v2' AS src
+       |  FROM read_csv('$UpdateCsv', header=true, all_varchar=true))
+       |SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+       |ORDER BY seq""".stripMargin
+
   /** CDC-style snapshot diff: classify each key of old vs new as
     * added / removed / updated (unchanged rows drop out) — the audit
     * operator that validates an upsert batch before it merges, and the

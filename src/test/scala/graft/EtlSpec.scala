@@ -157,4 +157,31 @@ class EtlSpec extends SparkSpec {
     val twice = Etl.scd2Apply(once, snap, Seq("k"), Seq("attr"), "d2")
     assert(scd2Rows(twice) === scd2Rows(once), "second apply changes nothing")
   }
+
+  test("quarantine: each dirty fixture row routes to exactly its fired rules") {
+    val out = Etl.qQuarantine(spark).collect()
+      .map(r => (r.getInt(0), r.getString(2))).toList
+    // seq 4: bonus='abc'; seq 5: bonus='xyz' AND blank fte/hours_worked;
+    // seq 6: month='garbage'; seq 7: empty currency — clean rows absent
+    assert(out === List((4, "bad_numeric"), (5, "bad_numeric"),
+      (5, "blank_numeric"), (6, "bad_month"), (7, "missing_currency")),
+      s"got $out")
+  }
+
+  test("quarantine: cleanse repairs what quarantine reports (same scan contract)") {
+    val clean = Etl.qCleanse(spark).collect().map(r => r.getAs[Int]("seq") -> r).toMap
+    assert(clean(4).getAs[Double]("bonus") == 0.0, "bad_numeric -> zero-filled")
+    assert(clean(6).isNullAt(clean(6).fieldIndex("month")), "bad_month -> NULL")
+  }
+
+  test("unionEvolve: name alignment null-pads dropped/added columns, tags lineage") {
+    val out = Etl.qUnionEvolve(spark).collect()
+    val v1 = out.filter(_.getAs[String]("src") == "v1")
+    val v2 = out.filter(_.getAs[String]("src") == "v2")
+    assert(v1.length == 10 && v2.length == 5)
+    assert(v1.forall(r => r.isNullAt(r.fieldIndex("cost_center"))
+      && !r.isNullAt(r.fieldIndex("location"))))
+    assert(v2.forall(r => r.isNullAt(r.fieldIndex("location"))
+      && r.getAs[String]("cost_center").startsWith("CC-")))
+  }
 }

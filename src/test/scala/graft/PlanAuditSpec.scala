@@ -177,7 +177,10 @@ class PlanAuditSpec extends SparkSpec {
       // new_users = (day,user) agg + user window + calendar-day agg +
       // the dim-sized running-sum/sort; audit = the count-distinct
       // expansion's two passes (HLL rides the same agg)
-      "events_new_users" -> 4, "kpi_headcount_audit" -> 2)
+      "events_new_users" -> 4, "kpi_headcount_audit" -> 2,
+      // quarantine/union_evolve = in-row projection/union only + the
+      // presentation sort
+      "etl_quarantine" -> 1, "etl_union_evolve" -> 1)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
