@@ -188,6 +188,9 @@ object SparkEntry {
     "etl_quarantine" -> ((s, _) => Etl.qQuarantine(s)),
     // Schema-evolution union: name-aligned, null-padded, lineage-tagged
     "etl_union_evolve" -> ((s, _) => Etl.qUnionEvolve(s)),
+    // Histogram-matching downsample: match a candidate source's length
+    // distribution to a target's shape, exact-integer acceptance test
+    "pipeline_match" -> ((s, d) => Sample.qMatch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -284,5 +287,6 @@ object SparkEntry {
     "kpi_headcount_audit" -> Kpi.headcountAuditSql(),
     "etl_quarantine" -> Etl.qQuarantineSql,
     "etl_union_evolve" -> Etl.qUnionEvolveSql,
+    "pipeline_match" -> Sample.qMatchSql,
   )
 }

@@ -206,4 +206,87 @@ object Sample {
        |FROM c, unnest(range(0, copies)) AS t(i)
        |ORDER BY doc_id, epoch""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Distribution-matching resample (pipeline_match)
+  // -------------------------------------------------------------------
+  /** Reference distribution source / source to be matched to it. */
+  val MatchTarget = "src0"
+  val MatchCand = "src14"
+  /** Histogram bin width over `n_chars`. */
+  val MatchBinW = 100L
+  val MatchSalt = "match:"
+
+  /** Histogram-matching downsample: keep a deterministic subset of the
+    * candidate source whose length distribution matches the target
+    * source's SHAPE (covariate matching — the mixture-building step that
+    * stops "more of source X" from also meaning "longer documents").
+    * Per length-bin acceptance rate = min(1, (t_cnt·C_tot)/(c_cnt·T_tot));
+    * a doc is kept iff its [[Denom]]-bucket hash clears the rate. The
+    * min() needs no branch: `h·c_cnt·T_tot < Denom·t_cnt·C_tot` is
+    * automatically true for every h < [[Denom]] when the rate caps at 1.
+    * All comparisons are exact integer products in DECIMAL(19→38,0)
+    * (HUGEINT in the oracle) — counts at 100 TB (~1e12) keep the triple
+    * product under 1e38, and no float ratio ever forms, so the kept set
+    * is bit-stable across engines, retries, and partitionings.
+    *
+    * Scale shape: bin statistics and totals are dim-sized aggregates
+    * (map-side combined from the scan); the candidate stream joins them
+    * BROADCAST — the corpus itself never shuffles — and the kept-count
+    * report reduces map-side to bin counts. Emits the per-bin audit
+    * (target/cand/kept counts); the row-level manifest is the same plan
+    * minus the final regroup. */
+  def matchResample(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
+      expr(s"n_chars div $MatchBinW").as("bin"))
+    val t = d.filter(col("source") === MatchTarget)
+      .groupBy("bin").agg(count(lit(1)).as("t_cnt"))
+    val cDocs = d.filter(col("source") === MatchCand)
+    val c = cDocs.groupBy("bin").agg(count(lit(1)).as("c_cnt"))
+    val tot = t.agg(sum("t_cnt").as("t_tot"))
+      .crossJoin(c.agg(sum("c_cnt").as("c_tot")))
+    val h = pmod(graft.functions.Hashes.hash60(
+      concat(lit(MatchSalt), col("doc_id").cast("string"))), lit(Denom))
+    def big(x: Column) = x.cast("decimal(19,0)")
+    val kept = cDocs
+      .join(broadcast(c), "bin")
+      .join(broadcast(t), Seq("bin"), "left")
+      .crossJoin(broadcast(tot))
+      .filter(big(h) * big(col("c_cnt")) * big(col("t_tot")) <
+        big(lit(Denom)) * big(coalesce(col("t_cnt"), lit(0L))) * big(col("c_tot")))
+      .groupBy("bin").agg(count(lit(1)).as("kept_cnt"))
+    t.join(c, Seq("bin"), "full_outer")
+      .join(kept, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("t_cnt"), lit(0L)).as("target_cnt"),
+        coalesce(col("c_cnt"), lit(0L)).as("cand_cnt"),
+        coalesce(col("kept_cnt"), lit(0L)).as("kept_cnt"))
+  }
+
+  def qMatch(s: SparkSession, dir: String): DataFrame =
+    matchResample(Tables.documents(s, dir)).orderBy("bin")
+
+  def qMatchSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, n_chars // $MatchBinW AS bin FROM documents),
+       |t AS (SELECT bin, COUNT(*) AS t_cnt FROM d WHERE source = '$MatchTarget' GROUP BY bin),
+       |c AS (SELECT bin, COUNT(*) AS c_cnt FROM d WHERE source = '$MatchCand' GROUP BY bin),
+       |tot AS (
+       |  SELECT (SELECT SUM(t_cnt) FROM t) AS t_tot,
+       |         (SELECT SUM(c_cnt) FROM c) AS c_tot),
+       |kept AS (
+       |  SELECT cd.bin, COUNT(*) AS kept_cnt
+       |  FROM (SELECT doc_id, bin FROM d WHERE source = '$MatchCand') cd
+       |  JOIN c USING (bin) LEFT JOIN t USING (bin) CROSS JOIN tot
+       |  WHERE CAST(CAST('0x' || substr(md5('$MatchSalt' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $Denom AS HUGEINT)
+       |          * c_cnt * t_tot
+       |      < CAST($Denom AS HUGEINT) * COALESCE(t_cnt, 0) * c_tot
+       |  GROUP BY cd.bin)
+       |SELECT COALESCE(t.bin, c.bin) AS bin,
+       |       CAST(COALESCE(t_cnt, 0) AS BIGINT) AS target_cnt,
+       |       CAST(COALESCE(c_cnt, 0) AS BIGINT) AS cand_cnt,
+       |       CAST(COALESCE(kept_cnt, 0) AS BIGINT) AS kept_cnt
+       |FROM t FULL OUTER JOIN c ON t.bin = c.bin
+       |LEFT JOIN kept k ON k.bin = COALESCE(t.bin, c.bin)
+       |ORDER BY bin""".stripMargin
 }

@@ -180,7 +180,13 @@ class PlanAuditSpec extends SparkSpec {
       "events_new_users" -> 4, "kpi_headcount_audit" -> 2,
       // quarantine/union_evolve = in-row projection/union only + the
       // presentation sort
-      "etl_quarantine" -> 1, "etl_union_evolve" -> 1)
+      "etl_quarantine" -> 1, "etl_union_evolve" -> 1,
+      // match counts its t/c bin-agg subtrees in every consumer (kept
+      // filter, totals, report — raw count 10, runtime-deduped via
+      // ReusedExchange); the data-carrying shuffles are the two bin
+      // aggs + the kept regroup, all map-side combined — the candidate
+      // doc stream itself joins broadcast and never shuffles
+      "pipeline_match" -> 10)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e

@@ -106,4 +106,23 @@ class SampleSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(2))).toList.sorted
     assert(out === List((1L, 0), (2L, 0)), s"got $out")
   }
+
+  test("match: rate>=1 keeps all, target-empty bin keeps none, deterministic") {
+    // target src0: bins {0: 2 docs, 1: 2}; cand src14: {0: 4, 1: 1, 2: 5}
+    // bin0 rate = min(1, (2*10)/(4*4)) = 1 -> all 4; bin1 = 5 -> capped,
+    // keeps the single doc; bin2 has no target mass -> rate 0
+    val docs = (Seq((1L, "src0", 50L), (2L, "src0", 60L), (3L, "src0", 150L),
+      (4L, "src0", 160L), (90L, "other", 10L)) ++
+      Seq(10L -> 10L, 11L -> 20L, 12L -> 30L, 13L -> 40L, 14L -> 110L,
+        15L -> 210L, 16L -> 220L, 17L -> 230L, 18L -> 240L, 19L -> 250L)
+        .map { case (id, n) => (id, "src14", n) })
+      .toDF("doc_id", "source", "n_chars")
+    val out = Sample.matchResample(docs).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(out === List((0L, 2L, 4L, 4L), (1L, 2L, 1L, 1L), (2L, 0L, 5L, 0L)),
+      s"got $out")
+    val again = Sample.matchResample(docs).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(again === out, "hash acceptance is rerun-stable")
+  }
 }
