@@ -191,6 +191,14 @@ object SparkEntry {
     // Histogram-matching downsample: match a candidate source's length
     // distribution to a target's shape, exact-integer acceptance test
     "pipeline_match" -> ((s, d) => Sample.qMatch(s, d)),
+    // Last-touch conversion attribution in ONE user-keyed window pass
+    "events_attribution" -> ((s, d) => Events.qAttribution(s, d)),
+    // percentile_approx error-budget audit (rank bound p45..p55), same
+    // engine-independent-boolean pattern as the HLL audit
+    "kpi_quantile_audit" -> ((s, d) => Kpi.quantileAudit(s, d)),
+    // Pairwise correlation screen: one pass of exact integer moments,
+    // signed r² (sqrt-free) with doubles only at the final cast
+    "catalog_corr" -> ((s, d) => Catalog.qCorr(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -288,5 +296,8 @@ object SparkEntry {
     "etl_quarantine" -> Etl.qQuarantineSql,
     "etl_union_evolve" -> Etl.qUnionEvolveSql,
     "pipeline_match" -> Sample.qMatchSql,
+    "events_attribution" -> Events.qAttributionSql,
+    "kpi_quantile_audit" -> Kpi.quantileAuditSql(),
+    "catalog_corr" -> Catalog.qCorrSql,
   )
 }

@@ -450,4 +450,51 @@ object Events {
       |       active_users - new_users AS returning_users,
       |       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       |FROM daily ORDER BY day""".stripMargin
+
+  /** Touch channels eligible for conversion credit. `error` events are
+    * noise, and a purchase cannot credit another purchase. */
+  val TouchTypes: Seq[String] = Seq("click", "signup", "view")
+
+  /** Last-touch conversion attribution: every `purchase` credits the
+    * most recent PRECEDING touch event (click/signup/view) of the same
+    * user — ties on ts break by event_id, purchases with no prior touch
+    * credit `direct`. The marketing-analytics dual of the funnel: the
+    * funnel asks how far users progress, attribution asks which channel
+    * gets revenue credit.
+    *
+    * Scale shape: ONE user-keyed window pass carries the running last
+    * touch via `last_value(ignoreNulls)` over an unbounded-preceding
+    * frame — no self-join of purchases against touches (the naive
+    * formulation joins every purchase to ALL its user's earlier events
+    * and re-sorts per pair); the channel rollup is |channels|-sized.
+    * Same single-shuffle shape as sessionization. */
+  def attribution(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touched = events.withColumn("channel",
+      last(when(col("event_type").isin(TouchTypes: _*), col("event_type")),
+        ignoreNulls = true).over(w))
+    touched.filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dbl(sum(dec(col("value")))).as("sum_value"))
+  }
+
+  def qAttribution(s: SparkSession, dir: String): DataFrame =
+    attribution(Tables.events(s, dir)).orderBy("channel")
+
+  def qAttributionSql: String = {
+    val touch = TouchTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT *, last_value(CASE WHEN event_type IN ($touch) THEN event_type END IGNORE NULLS)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS channel
+       |  FROM events)
+       |SELECT COALESCE(channel, 'direct') AS channel,
+       |       COUNT(*) AS n_purchases,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       |FROM t WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY channel""".stripMargin
+  }
 }

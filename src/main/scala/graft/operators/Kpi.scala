@@ -93,6 +93,31 @@ object Kpi {
        |SELECT COUNT(DISTINCT emp_id) AS headcount, true AS approx_ok
        |FROM fact""".stripMargin
 
+  /** Oracle-gated audit of the t-digest-family quantile sketch, same
+    * pattern as [[headcountAudit]]: `percentile_approx` at accuracy
+    * 10000 guarantees rank error <= 1e-4, so the estimate must land
+    * between the exact p45 and p55 — an engine-independent boolean
+    * (the sketch value itself is engine-specific and never emitted).
+    * Exact + approx percentiles ride ONE aggregate pass over the fact. */
+  def quantileAudit(s: SparkSession, dir: String, m: String = M1): DataFrame = {
+    val f = Tables.fact(s, dir, Seq(m))
+      .withColumn("net_d", dbl(col("net")))
+    f.agg(
+        percentile_approx(col("net_d"), lit(0.5), lit(10000)).as("approx_med"),
+        expr("percentile(net_d, 0.45)").as("p45"),
+        expr("percentile(net_d, 0.5)").as("p50"),
+        expr("percentile(net_d, 0.55)").as("p55"))
+      .select(col("p50").as("exact_median"),
+        (col("approx_med") >= col("p45") && col("approx_med") <= col("p55"))
+          .as("approx_ok"))
+  }
+
+  def quantileAuditSql(m: String = M1): String =
+    s"""WITH ${factSql(inMonthSql("o.o_orderdate", m))}
+       |SELECT quantile_cont(CAST(net AS DOUBLE), 0.5) AS exact_median,
+       |       true AS approx_ok
+       |FROM fact""".stripMargin
+
   def summarySql(m: String = M1): String =
     s"""WITH ${factSql(inMonthSql("o.o_orderdate", m))},
        |agg AS (

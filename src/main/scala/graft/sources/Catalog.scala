@@ -413,4 +413,96 @@ object Catalog {
        |SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
        |FROM r ORDER BY rule""".stripMargin
   }
+
+  /** Numeric lineitem columns profiled by [[corrReport]] (short alias ->
+    * source column); pairs are the upper triangle of interest. */
+  val CorrCols: Seq[(String, String)] = Seq(
+    "qty" -> "l_quantity", "price" -> "l_extendedprice",
+    "disc" -> "l_discount", "tax" -> "l_tax")
+  val CorrPairs: Seq[(String, String)] = Seq(
+    ("qty", "price"), ("qty", "disc"), ("price", "tax"), ("disc", "tax"))
+
+  /** Pairwise correlation screen over the numeric fact columns — the
+    * profiling step that catches derived/leaking/constant columns before
+    * a column ships as a training feature. Emits, per pair, the exact
+    * integer covariance moments (num = n·Σxy−ΣxΣy, den terms
+    * dx = n·Σx²−(Σx)², dy) and a SIGNED r² — r² rather than r because r
+    * needs sqrt and a float ratio of floats, while signed r² divides two
+    * products of EXACT integers exactly once at the very end: values are
+    * integerized ×10⁴ through DECIMAL(18,4) (the money discipline), all
+    * moments accumulate in DECIMAL(38,0)/HUGEINT integer arithmetic, and
+    * the only doubles are the final casts (correctly rounded in both
+    * engines) and one mul/div chain in identical order. Zero-variance
+    * columns yield NULL, not a 0/0 NaN.
+    *
+    * Scale shape: ONE map-side-combinable aggregate pass computes every
+    * Σx, Σx², Σxy (no per-pair re-scan, no corr() UDAF per pair); the
+    * pair table is built by exploding a literal array over the 1-row
+    * result. At ~1e12 rows the ×10⁴ moments approach DECIMAL(38)'s
+    * ceiling — shard the aggregate by month partition and merge, or drop
+    * the integerization to ×10² for the widest columns. */
+  def corrReport(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Num.dec
+    def xi(alias: String) =
+      (dec(col(CorrCols.toMap.apply(alias))) * lit(10000)).cast("decimal(38,0)")
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val moments =
+      CorrCols.flatMap { case (a, _) => Seq(
+        sum(xi(a)).as(s"s_$a"), sum(d38(xi(a) * xi(a))).as(s"ss_$a")) } ++
+      CorrPairs.map { case (a, b) => sum(d38(xi(a) * xi(b))).as(s"sp_${a}_$b") }
+    val sums = li.agg(count(lit(1)).as("n"), moments: _*)
+    val pairRows = CorrPairs.map { case (a, b) =>
+      struct(lit(a).as("x_col"), lit(b).as("y_col"),
+        d38(d38(col("n")) * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")).as("num"),
+        d38(d38(col("n")) * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")).as("dx"),
+        d38(d38(col("n")) * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")).as("dy"))
+    }
+    sums.select(col("n"), explode(array(pairRows: _*)).as("p"))
+      .select(col("p.x_col").as("x_col"), col("p.y_col").as("y_col"), col("n"),
+        col("p.num").cast("double").as("num"),
+        col("p.dx").cast("double").as("dx"),
+        col("p.dy").cast("double").as("dy"))
+      .withColumn("r2_signed",
+        when(col("dx") > 0 && col("dy") > 0,
+          (when(col("num") < 0, lit(-1.0)).otherwise(lit(1.0)))
+            * col("num") * col("num") / (col("dx") * col("dy"))))
+  }
+
+  def qCorr(s: SparkSession, dir: String): DataFrame =
+    corrReport(graft.sources.Tables.lineitem(s, dir)).orderBy("x_col", "y_col")
+
+  def qCorrSql: String = {
+    val xis = CorrCols.map { case (a, c) =>
+      s"CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS $a" }.mkString(",\n         ")
+    val moments = (CorrCols.map { case (a, _) =>
+      s"SUM($a) AS s_$a, SUM($a*$a) AS ss_$a" } ++
+      CorrPairs.map { case (a, b) => s"SUM($a*$b) AS sp_${a}_$b" })
+      .mkString(",\n         ")
+    val arms = CorrPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS x_col, '$b' AS y_col, n,
+         |         n*sp_${a}_$b - s_$a*s_$b AS num,
+         |         n*ss_$a - s_$a*s_$a AS dx,
+         |         n*ss_$b - s_$b*s_$b AS dy FROM s""".stripMargin }
+      .mkString("\n  UNION ALL ")
+    s"""WITH x AS (
+       |  SELECT $xis
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+       |         $moments
+       |  FROM x),
+       |p AS (
+       |  $arms)
+       |SELECT x_col, y_col, CAST(n AS BIGINT) AS n,
+       |       CAST(num AS DOUBLE) AS num,
+       |       CAST(dx AS DOUBLE) AS dx,
+       |       CAST(dy AS DOUBLE) AS dy,
+       |       CASE WHEN CAST(dx AS DOUBLE) > 0 AND CAST(dy AS DOUBLE) > 0 THEN
+       |         (CASE WHEN CAST(num AS DOUBLE) < 0 THEN -1.0 ELSE 1.0 END)
+       |           * CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+       |           / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+       |       END AS r2_signed
+       |FROM p ORDER BY x_col, y_col""".stripMargin
+  }
 }

@@ -95,4 +95,21 @@ class CatalogSpec extends SparkSpec {
       .collect().map(r => r.getDouble(3)).toList
     assert(exp === List(math.log10(2.0), math.log10(8.0 / 7), math.log10(10.0 / 9)))
   }
+
+  test("corr: signed r² = ±1 on perfect (anti)correlation, NULL on zero variance") {
+    val sp2 = spark
+    import sp2.implicits._
+    // price = 2·qty (r²=+1); tax anti-linear with qty/price (r²=-1);
+    // disc constant (zero variance -> NULL, never a 0/0 NaN)
+    val li = Seq(
+      (1.0, 2.0, 5.0, 3.0), (2.0, 4.0, 5.0, 2.0), (3.0, 6.0, 5.0, 1.0)
+    ).toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val out = Catalog.corrReport(li).orderBy("x_col", "y_col").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(6)) null else r.getDouble(6))).toMap
+    assert(out(("qty", "price")) == 1.0, s"got $out")
+    assert(out(("price", "tax")) == -1.0, s"got $out")
+    assert(out(("qty", "disc")) == null && out(("disc", "tax")) == null,
+      "zero-variance pairs must be NULL")
+  }
 }

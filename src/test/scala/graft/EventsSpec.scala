@@ -125,4 +125,23 @@ class EventsSpec extends SparkSpec {
       ("2024-01-03", 1L, 0L, 1L, 1L, 3L),
     ), s"got $out")
   }
+
+  test("attribution: last preceding touch wins; error/no-touch fall to direct") {
+    val events = Seq(
+      // u1: click then purchase; later view then purchase
+      (101L, 1L, ts(100), "click", 10.0), (102L, 1L, ts(200), "purchase", 5.0),
+      (103L, 1L, ts(300), "view", 0.0), (104L, 1L, ts(400), "purchase", 7.0),
+      // u2: purchase with no prior anything
+      (201L, 2L, ts(100), "purchase", 3.0),
+      // u3: error is not a touch channel
+      (301L, 3L, ts(100), "error", 0.0), (302L, 3L, ts(200), "purchase", 2.0),
+      // u4: co-timestamped click/view — event_id order makes view the last touch
+      (401L, 4L, ts(100), "click", 0.0), (402L, 4L, ts(100), "view", 0.0),
+      (403L, 4L, ts(100), "purchase", 4.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.attribution(events).orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    assert(out === List(
+      ("click", 1L, 5.0), ("direct", 2L, 5.0), ("view", 2L, 11.0)), s"got $out")
+  }
 }

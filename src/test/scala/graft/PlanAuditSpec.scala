@@ -186,7 +186,11 @@ class PlanAuditSpec extends SparkSpec {
       // ReusedExchange); the data-carrying shuffles are the two bin
       // aggs + the kept regroup, all map-side combined — the candidate
       // doc stream itself joins broadcast and never shuffles
-      "pipeline_match" -> 10)
+      "pipeline_match" -> 10,
+      // attribution = ONE user window + channel agg + sort; the audits
+      // and corr are single global aggregates (tiny 1-row exchanges)
+      "events_attribution" -> 3, "kpi_quantile_audit" -> 1,
+      "catalog_corr" -> 1)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
