@@ -199,6 +199,11 @@ object SparkEntry {
     // Pairwise correlation screen: one pass of exact integer moments,
     // signed r² (sqrt-free) with doubles only at the final cast
     "catalog_corr" -> ((s, d) => Catalog.qCorr(s, d)),
+    // Equi-depth (decile-cut) histogram: two passes, no global window
+    "catalog_histogram_depth" -> ((s, d) => Catalog.qHistogramDepth(s, d)),
+    // DAU/WAU/stickiness: trailing distinct via bounded explode of the
+    // collapsed activity frame, never a per-day re-count
+    "events_wau" -> ((s, d) => Events.qWau(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -299,5 +304,7 @@ object SparkEntry {
     "events_attribution" -> Events.qAttributionSql,
     "kpi_quantile_audit" -> Kpi.quantileAuditSql(),
     "catalog_corr" -> Catalog.qCorrSql,
+    "catalog_histogram_depth" -> Catalog.qHistogramDepthSql,
+    "events_wau" -> Events.qWauSql,
   )
 }

@@ -451,6 +451,49 @@ object Events {
       |       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       |FROM daily ORDER BY day""".stripMargin
 
+  /** Trailing window width for [[wau]] (days). */
+  val WauDays = 7
+
+  /** DAU / trailing-7-day WAU / stickiness per day. The trailing
+    * distinct count is NOT a window distinct (unsupported, and a naive
+    * per-day re-count scans the window k times): each (day, user)
+    * activity row is exploded to the [[WauDays]] observation days it
+    * makes that user "weekly active" for, deduped, and counted — two
+    * linear passes with a bounded ×7 fan-out of the already-collapsed
+    * activity frame, never of the raw log.
+    *
+    * Scale shape: the raw log collapses to distinct (day, user) in ONE
+    * keyed shuffle; the exploded frame is 7×|activity| (users × active
+    * days, not events) and its dedup+count are map-side combinable.
+    * Reported days are days WITH activity (inner join) — trailing
+    * windows over silent days are a gap-fill concern (kpi_gapfill). */
+  def wau(events: DataFrame): DataFrame = {
+    val act = events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+    val weekly = act
+      .select(explode(sequence(col("day"), date_add(col("day"), WauDays - 1)))
+        .as("day"), col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(weekly, "day")
+      .withColumn("stickiness", col("dau").cast("double") / col("wau"))
+  }
+
+  def qWau(s: SparkSession, dir: String): DataFrame =
+    wau(Tables.events(s, dir)).orderBy("day")
+
+  def qWauSql: String =
+    s"""WITH act AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       |dau AS (SELECT day, COUNT(*) AS dau FROM act GROUP BY day),
+       |obs AS (
+       |  SELECT DISTINCT day + CAST(i AS INT) AS day, user_id
+       |  FROM act, unnest(range(0, $WauDays)) AS t(i)),
+       |wk AS (SELECT day, COUNT(*) AS wau FROM obs GROUP BY day)
+       |SELECT day, dau, wau, CAST(dau AS DOUBLE) / wau AS stickiness
+       |FROM dau JOIN wk USING (day) ORDER BY day""".stripMargin
+
   /** Touch channels eligible for conversion credit. `error` events are
     * noise, and a purchase cannot credit another purchase. */
   val TouchTypes: Seq[String] = Seq("click", "signup", "view")

@@ -414,6 +414,59 @@ object Catalog {
        |FROM r ORDER BY rule""".stripMargin
   }
 
+  /** Equi-depth bucket count (deciles). */
+  val DepthBuckets = 10
+
+  /** Equi-DEPTH histogram (the optimizer-statistics dual of the
+    * equi-width [[histogram]]): bucket edges are the exact decile cut
+    * points, so every bucket holds ~1/k of the rows — the histogram
+    * shape selectivity estimation actually wants on skewed data, where
+    * equi-width piles everything into two buckets. NOT ntile: ntile
+    * needs one global-order window (single partition — disqualifying at
+    * scale). Two passes instead: (1) one sort-based spillable aggregate
+    * computes all k−1 interior cuts (`percentile` with an array — same
+    * interpolation DuckDB's quantile_cont uses, already proven bit-equal
+    * by kpi_quartiles); (2) bucket = Σ [v > cut_j], an in-row comparison
+    * against the broadcast 1-row cut array, then a k-group count. At
+    * 100 TB swap pass 1 for approx_percentile or distributed order
+    * statistics ([[graft.functions.ScalableMedian]]) — pass 2 is
+    * already scan-shaped. */
+  def histogramDepth(df: DataFrame, valueCol: String,
+                     buckets: Int = DepthBuckets): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Num.{dbl, dec}
+    val v = dbl(dec(col(valueCol)))
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val cuts = df.agg(expr(
+      s"percentile(CAST(CAST($valueCol AS DECIMAL(18,4)) AS DOUBLE), array(${ps.mkString(",")}))")
+      .as("cuts"))
+    df.select(v.as("v")).crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        aggregate(col("cuts"), lit(0),
+          (acc, c) => acc + when(col("v") > c, 1).otherwise(0)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+
+  def qHistogramDepth(s: SparkSession, dir: String): DataFrame =
+    histogramDepth(graft.sources.Tables.orders(s, dir), "o_totalprice")
+      .orderBy("bucket")
+
+  def qHistogramDepthSql: String = {
+    val ps = (1 until DepthBuckets).map(i => i.toDouble / DepthBuckets)
+    s"""WITH cuts AS (
+       |  SELECT quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE),
+       |                       [${ps.mkString(",")}]) AS cs
+       |  FROM orders),
+       |b AS (
+       |  SELECT len(list_filter(cs, c -> CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) > c)) AS bucket,
+       |         CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS v
+       |  FROM orders, cuts)
+       |SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n,
+       |       MIN(v) AS lo, MAX(v) AS hi
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   /** Numeric lineitem columns profiled by [[corrReport]] (short alias ->
     * source column); pairs are the upper triangle of interest. */
   val CorrCols: Seq[(String, String)] = Seq(

@@ -96,6 +96,18 @@ class CatalogSpec extends SparkSpec {
     assert(exp === List(math.log10(2.0), math.log10(8.0 / 7), math.log10(10.0 / 9)))
   }
 
+  test("histogramDepth: decile cuts give equal-count buckets on uniform data") {
+    val sp2 = spark
+    import sp2.implicits._
+    // quartile cuts of 1..8 are (2.75, 4.5, 6.25) -> buckets of exactly 2
+    val df = (1 to 8).map(_.toDouble).toDF("o_totalprice")
+    val out = Catalog.histogramDepth(df, "o_totalprice", buckets = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toList
+    assert(out === List((0, 2L, 1.0, 2.0), (1, 2L, 3.0, 4.0),
+      (2, 2L, 5.0, 6.0), (3, 2L, 7.0, 8.0)), s"got $out")
+  }
+
   test("corr: signed r² = ±1 on perfect (anti)correlation, NULL on zero variance") {
     val sp2 = spark
     import sp2.implicits._

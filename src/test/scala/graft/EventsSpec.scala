@@ -126,6 +126,23 @@ class EventsSpec extends SparkSpec {
     ), s"got $out")
   }
 
+  test("wau: trailing-7-day distinct via bounded explode, edge of window counts") {
+    def day(d: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf(f"2024-01-$d%02d").getTime)
+    // u2 active day2 stays weekly-active through day8 (inclusive);
+    // u1's window (day1..day7) does NOT reach day8
+    val events = Seq((1L, day(1)), (2L, day(1)), (2L, day(2)), (3L, day(8)))
+      .toDF("user_id", "ts")
+    val out = Events.wau(events).orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList
+    assert(out === List(
+      ("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-02", 1L, 2L, 0.5),
+      ("2024-01-08", 1L, 2L, 0.5),
+    ), s"got $out")
+  }
+
   test("attribution: last preceding touch wins; error/no-touch fall to direct") {
     val events = Seq(
       // u1: click then purchase; later view then purchase

@@ -190,7 +190,11 @@ class PlanAuditSpec extends SparkSpec {
       // attribution = ONE user window + channel agg + sort; the audits
       // and corr are single global aggregates (tiny 1-row exchanges)
       "events_attribution" -> 3, "kpi_quantile_audit" -> 1,
-      "catalog_corr" -> 1)
+      "catalog_corr" -> 1,
+      // histogram_depth = tiny cuts agg + bucket agg + sort; wau =
+      // activity distinct + dau agg + exploded distinct + wau agg +
+      // join/sort (all map-side combined over the collapsed frame)
+      "catalog_histogram_depth" -> 3, "events_wau" -> 6)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
