@@ -129,6 +129,10 @@ object SparkEntry {
     // formulation) and interval containment (bin-bucketed equi-join), plus
     // a value-range rolling window frame
     "events_asof" -> ((s, d) => TimeJoin.qAsof(s, d)),
+    // The same as-of semantics through the NATIVE custom operator
+    // (AsOfJoinNode/Strategy/Exec via SparkSessionExtensions) — one
+    // oracle, two implementations
+    "events_asof_native" -> ((s, d) => TimeJoin.qAsofNative(s, d)),
     "events_interval" -> ((s, d) => TimeJoin.qInterval(s, d)),
     "events_rolling" -> ((s, d) => Events.qRolling(s, d)),
     // Ordered-sequence funnel in one window pass
@@ -278,6 +282,7 @@ object SparkEntry {
     "events_sessions" -> Events.qSessionsSql,
     "events_props" -> Events.qPropsSql,
     "events_asof" -> TimeJoin.qAsofSql,
+    "events_asof_native" -> TimeJoin.qAsofSql,
     "events_interval" -> TimeJoin.qIntervalSql,
     "events_rolling" -> Events.qRollingSql,
     "events_funnel" -> Events.qFunnelSql,

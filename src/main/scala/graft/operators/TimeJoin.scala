@@ -140,6 +140,25 @@ object TimeJoin {
       .orderBy("event_id")
   }
 
+  /** The same point-in-time query through the NATIVE custom operator
+    * ([[graft.plans.AsOfJoin]] — logical node + strategy + merge exec)
+    * instead of the union+window composition, and gated by the SAME
+    * DuckDB oracle: two independent implementations, one semantic. */
+  def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    graft.plans.AsOfJoin(purchases, clicks, "user_id", "c_user",
+        "ts", "click_ts", "click_id")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_id"), col("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   def qAsofSql: String =
     """WITH p AS (SELECT event_id, user_id, ts, value FROM events
       |           WHERE event_type = 'purchase'),

@@ -24,6 +24,8 @@ object GraftExtensions {
   val SignBandsName = "graft_sign_bands"
 
   def install(ext: SparkSessionExtensions): Unit = {
+    // the whole-operator path: plans AsOfJoinNode -> AsOfJoinExec
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier(DotLongName),
       new ExpressionInfo(classOf[DotLong].getName, DotLongName),

@@ -194,7 +194,12 @@ class PlanAuditSpec extends SparkSpec {
       // histogram_depth = tiny cuts agg + bucket agg + sort; wau =
       // activity distinct + dau agg + exploded distinct + wau agg +
       // join/sort (all map-side combined over the collapsed frame)
-      "catalog_histogram_depth" -> 3, "events_wau" -> 6)
+      "catalog_histogram_depth" -> 3, "events_wau" -> 6,
+      // native as-of = one key exchange per side into the merge exec +
+      // the presentation sort (the composed form saves one by sharing
+      // the union's exchange; the native exec skips the union
+      // materialization + window buffer instead)
+      "events_asof_native" -> 3)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
