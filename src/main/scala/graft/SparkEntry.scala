@@ -205,6 +205,11 @@ object SparkEntry {
     "catalog_corr" -> ((s, d) => Catalog.qCorr(s, d)),
     // Equi-depth (decile-cut) histogram: two passes, no global window
     "catalog_histogram_depth" -> ((s, d) => Catalog.qHistogramDepth(s, d)),
+    // Markov transition matrix of user journeys: one lag window pass
+    "events_transitions" -> ((s, d) => Events.qTransitions(s, d)),
+    // Hourly SLO breach report; breach decided by exact integer
+    // cross-multiplication, never a float threshold
+    "events_slo" -> ((s, d) => Events.qSlo(s, d)),
     // DAU/WAU/stickiness: trailing distinct via bounded explode of the
     // collapsed activity frame, never a per-day re-count
     "events_wau" -> ((s, d) => Events.qWau(s, d)),
@@ -310,6 +315,8 @@ object SparkEntry {
     "kpi_quantile_audit" -> Kpi.quantileAuditSql(),
     "catalog_corr" -> Catalog.qCorrSql,
     "catalog_histogram_depth" -> Catalog.qHistogramDepthSql,
+    "events_transitions" -> Events.qTransitionsSql,
+    "events_slo" -> Events.qSloSql,
     "events_wau" -> Events.qWauSql,
   )
 }

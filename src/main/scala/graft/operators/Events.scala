@@ -451,6 +451,74 @@ object Events {
       |       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       |FROM daily ORDER BY day""".stripMargin
 
+  /** First-order transition matrix over each user's event sequence (the
+    * Markov view of user journeys — what follows what, and with what
+    * probability). ONE user-keyed lag window over the log produces the
+    * (prev, next) stream; the matrix is a |types|² aggregate and the
+    * row-normalization a |types|²-sized window — raw events never enter
+    * a second shuffle. Co-timestamped events order by event_id (same
+    * tiebreak as sessions/funnel). */
+  def transitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val matrix = pairs
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    matrix.withColumn("p", col("n").cast("double")
+      / sum(col("n")).over(Window.partitionBy("prev_type")))
+  }
+
+  def qTransitions(s: SparkSession, dir: String): DataFrame =
+    transitions(Tables.events(s, dir)).orderBy("prev_type", "next_type")
+
+  def qTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |t AS (
+      |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+      |FROM t ORDER BY prev_type, next_type""".stripMargin
+
+  /** SLO error budget: 2.5% expressed as an exact integer ratio —
+    * breach iff errors·[[SloDen]] > [[SloErrNum]]·total, so the gate
+    * decision never touches a float (the reported err_rate double is
+    * display-only). */
+  val SloErrNum = 25L
+  val SloDen = 1000L
+
+  /** Hourly SLO breach report: per hour, total events, error events,
+    * error rate, and an EXACT breach decision by cross-multiplication.
+    * One conditional-arm aggregate over the scan (the [[tumbling]]
+    * shape); at 100 TB this is the alerting rollup a monitoring
+    * pipeline materializes continuously — the streaming face is the
+    * same aggregate under a watermark. */
+  def slo(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("err_rate", col("n_errors").cast("double") / col("n"))
+      .withColumn("breach", col("n_errors") * SloDen > lit(SloErrNum) * col("n"))
+
+  def qSlo(s: SparkSession, dir: String): DataFrame =
+    slo(Tables.events(s, dir)).orderBy("hour")
+
+  def qSloSql: String =
+    s"""SELECT date_trunc('hour', ts) AS hour,
+       |       COUNT(*) AS n,
+       |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS err_rate,
+       |       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * $SloDen > $SloErrNum * COUNT(*) AS breach
+       |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
+
   /** Trailing window width for [[wau]] (days). */
   val WauDays = 7
 

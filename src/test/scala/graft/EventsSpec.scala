@@ -143,6 +143,31 @@ class EventsSpec extends SparkSpec {
     ), s"got $out")
   }
 
+  test("transitions: lag pairs per user, row-normalized probabilities") {
+    val events = Seq(
+      (1L, 1L, ts(100), "a"), (2L, 1L, ts(200), "b"), (3L, 1L, ts(300), "a"),
+      (4L, 2L, ts(100), "a"), (5L, 2L, ts(200), "b"),
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.transitions(events).orderBy("prev_type", "next_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toList
+    assert(out === List(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)), s"got $out")
+  }
+
+  test("slo: breach by exact cross-multiplication, boundary is NOT a breach") {
+    def at(hour: Int, sec: Long) = ts(hour * 3600L + sec)
+    // hour 0: 1 error in 8 (12.5%) -> breach; hour 1: 1 error in exactly
+    // 40 (2.5% == budget, strict >) -> no breach
+    val h0 = (1 to 7).map(i => (i.toLong, 1L, at(0, i * 10L), "click")) :+
+      (8L, 1L, at(0, 100L), "error")
+    val h1 = (1 to 39).map(i => (100L + i, 1L, at(1, i * 10L), "click")) :+
+      (140L, 1L, at(1, 400L), "error")
+    val out = Events.slo((h0 ++ h1).toDF("event_id", "user_id", "ts", "event_type"))
+      .orderBy("hour").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4))).toList
+    assert(out === List((8L, 1L, true), (40L, 1L, false)), s"got $out")
+  }
+
   test("attribution: last preceding touch wins; error/no-touch fall to direct") {
     val events = Seq(
       // u1: click then purchase; later view then purchase

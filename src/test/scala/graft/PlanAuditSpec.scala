@@ -199,7 +199,11 @@ class PlanAuditSpec extends SparkSpec {
       // the presentation sort (the composed form saves one by sharing
       // the union's exchange; the native exec skips the union
       // materialization + window buffer instead)
-      "events_asof_native" -> 3)
+      "events_asof_native" -> 3,
+      // transitions = user lag window + |types|² matrix agg + its tiny
+      // normalization window + sort; slo = the tumbling-shaped hourly
+      // agg + sort
+      "events_transitions" -> 4, "events_slo" -> 2)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
