@@ -210,6 +210,10 @@ object SparkEntry {
     // Hourly SLO breach report; breach decided by exact integer
     // cross-multiplication, never a float threshold
     "events_slo" -> ((s, d) => Events.qSlo(s, d)),
+    // Classifier-eval confusion matrix for langId vs the labeled lang
+    "text_langid_eval" -> ((s, d) => Text.qLangIdEval(s, d)),
+    // Corpus-mixture composition: per-source doc/token counts + shares
+    "pipeline_mixture" -> ((s, d) => Text.qMixture(s, d)),
     // DAU/WAU/stickiness: trailing distinct via bounded explode of the
     // collapsed activity frame, never a per-day re-count
     "events_wau" -> ((s, d) => Events.qWau(s, d)),
@@ -317,6 +321,8 @@ object SparkEntry {
     "catalog_histogram_depth" -> Catalog.qHistogramDepthSql,
     "events_transitions" -> Events.qTransitionsSql,
     "events_slo" -> Events.qSloSql,
+    "text_langid_eval" -> Text.qLangIdEvalSql,
+    "pipeline_mixture" -> Text.qMixtureSql,
     "events_wau" -> Events.qWauSql,
   )
 }

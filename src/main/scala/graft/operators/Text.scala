@@ -180,13 +180,13 @@ object Text {
 
   /** Stopword-profile language scores + deterministic argmax (ties break
     * in profile declaration order). */
-  def langId(docs: DataFrame): DataFrame = {
+  def langId(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val ws = words(col("text"))
     val scored = docs.select(
-      col("doc_id") +: size(ws).as("n") +:
+      col("doc_id") +: keep.map(col) ++: (size(ws).as("n") +:
         Profiles.map { case (lang, prof) =>
           hitCount(ws, prof).cast("double").as(s"hits_$lang")
-        }: _*)
+        }): _*)
     val withScores = Profiles.foldLeft(scored) { case (d, (lang, _)) =>
       d.withColumn(s"score_$lang", col(s"hits_$lang") / col("n"))
     }
@@ -198,9 +198,86 @@ object Text {
     }
     withScores
       .withColumn("predicted", predicted)
-      .select(col("doc_id") +:
+      .select(col("doc_id") +: keep.map(col) ++:
         Profiles.map { case (l, _) => col(s"score_$l") } :+ col("predicted"): _*)
   }
+
+  /** Classifier-evaluation confusion matrix for [[langId]] against the
+    * labeled `lang` column: per (label, predicted) cell, the count and
+    * the per-label share (= recall on the diagonal). The label rides the
+    * scoring projection via `keep` — no corpus self-join to reattach it.
+    * Scale shape: scan-speed scoring + a |langs|² aggregate + a
+    * |langs|²-sized normalization window. */
+  def langIdEval(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(docs, keep = Seq("lang"))
+      .groupBy(col("lang").as("label"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label_share", col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy("label")).cast("double"))
+  }
+
+  def qLangIdEval(s: SparkSession, dir: String): DataFrame =
+    langIdEval(Tables.documents(s, dir)).orderBy("label", "predicted")
+
+  def qLangIdEvalSql: String = {
+    val hitCols = Profiles.map { case (lang, prof) =>
+      val list = prof.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(ws, w -> w IN ($list))) AS DOUBLE) / len(ws) AS score_$lang"
+    }.mkString(",\n         ")
+    val maxExpr = "GREATEST(" + Profiles.map(p => s"score_${p._1}").mkString(", ") + ")"
+    val caseChain = Profiles.map { case (lang, _) =>
+      s"WHEN score_$lang = $maxExpr THEN '$lang'"
+    }.mkString("\n         ")
+    s"""WITH d AS (
+       |  SELECT lang, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+       |  FROM documents),
+       |scored AS (
+       |  SELECT lang,
+       |         $hitCols
+       |  FROM d),
+       |p AS (
+       |  SELECT lang AS label, CASE $caseChain END AS predicted FROM scored),
+       |m AS (
+       |  SELECT label, predicted, COUNT(*) AS n FROM p GROUP BY label, predicted)
+       |SELECT label, predicted, n,
+       |       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY label) AS DOUBLE) AS label_share
+       |FROM m ORDER BY label, predicted""".stripMargin
+  }
+
+  /** Corpus-mixture composition report: per source, document and token
+    * counts and their corpus shares — the one-page answer to "what is
+    * this training mixture actually made of". One scan-speed projection,
+    * one |sources|-group aggregate, shares from a |sources|-sized
+    * window. */
+  def mixture(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    docs
+      .select(col("source"), size(words(col("text"))).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("doc_share",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(all).cast("double"))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(all).cast("double"))
+  }
+
+  def qMixture(s: SparkSession, dir: String): DataFrame =
+    mixture(Tables.documents(s, dir)).orderBy("source")
+
+  def qMixtureSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |         len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS nt
+      |  FROM documents),
+      |m AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      |  FROM d GROUP BY source)
+      |SELECT source, n_docs, n_tokens,
+      |       CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE) AS doc_share,
+      |       CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+      |FROM m ORDER BY source""".stripMargin
 
   def qLangId(s: SparkSession, dir: String): DataFrame =
     langId(Tables.balanced(Tables.documents(s, dir))).orderBy("doc_id")

@@ -203,7 +203,11 @@ class PlanAuditSpec extends SparkSpec {
       // transitions = user lag window + |types|² matrix agg + its tiny
       // normalization window + sort; slo = the tumbling-shaped hourly
       // agg + sort
-      "events_transitions" -> 4, "events_slo" -> 2)
+      "events_transitions" -> 4, "events_slo" -> 2,
+      // langid_eval = scan-speed scoring + |langs|² agg + its tiny
+      // share window + sort; mixture = |sources| agg + 1-row share
+      // window + sort
+      "text_langid_eval" -> 3, "pipeline_mixture" -> 2)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e

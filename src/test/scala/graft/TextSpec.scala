@@ -221,6 +221,29 @@ class TextSpec extends SparkSpec {
       "contrast: lineDedup keeps the globally-first copy of the same chunk")
   }
 
+  test("langIdEval: confusion cells with per-label shares") {
+    val docs = Seq(
+      (1L, "de", "der und ist here"), (2L, "de", "der und ist words"),
+      (3L, "de", "le la et est oui"),        // mislabeled-looking: predicts fr
+      (4L, "fr", "le la et est encore")).toDF("doc_id", "lang", "text")
+    val out = Text.langIdEval(docs).orderBy("label", "predicted").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toList
+    assert(out === List(
+      ("de", "de", 2L, 2.0 / 3), ("de", "fr", 1L, 1.0 / 3),
+      ("fr", "fr", 1L, 1.0)), s"got $out")
+  }
+
+  test("mixture: per-source doc/token counts and corpus shares") {
+    val docs = Seq(
+      (1L, "a", "one two three"), (2L, "a", "four five"),
+      (3L, "b", "six seven eight nine ten")).toDF("doc_id", "source", "text")
+    val out = Text.mixture(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toList
+    assert(out === List(("a", 2L, 5L, 2.0 / 3, 0.5), ("b", 1L, 5L, 1.0 / 3, 0.5)),
+      s"got $out")
+  }
+
   test("boilerplate: within-doc repetition is ONE distinct doc, not chrome") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w1 w2 w3 w4 w1 w2 w3 w4"),
