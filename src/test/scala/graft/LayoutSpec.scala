@@ -121,4 +121,40 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
     }
   }
+
+  test("native as-of over bucketed sides: ZERO exchanges into the merge exec") {
+    // the custom exec declares ClusteredDistribution(key) per side, so a
+    // layout bucketed by the key satisfies it at READ time — the 100 TB
+    // repeated-as-of shape (rates, dim versions, sensor snapshots) pays
+    // the shuffle once at write, then never again
+    val ev = Tables.events(spark, sf)
+    ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+      .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .mode("overwrite").saveAsTable("purchases_bucketed")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .write.bucketBy(8, "c_user").sortBy("c_user", "click_ts")
+      .mode("overwrite").saveAsTable("clicks_bucketed")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val j = graft.plans.AsOfJoin(
+        spark.table("purchases_bucketed"), spark.table("clicks_bucketed"),
+        "user_id", "c_user", "ts", "click_ts", "click_id")
+      j.collect()
+      val plan = j.queryExecution.executedPlan
+      assert(plan.collect { case e: graft.plans.AsOfJoinExec => e }.nonEmpty,
+        s"custom exec expected in:\n$plan")
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed as-of must not shuffle either side:\n${plan.toString.take(1500)}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS purchases_bucketed")
+      spark.sql("DROP TABLE IF EXISTS clicks_bucketed")
+    }
+  }
 }
