@@ -42,7 +42,7 @@ object Skew {
       .contains(normalized),
       s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType")
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int"))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt"), joinType).drop("__salt")

@@ -66,7 +66,7 @@ object TimeJoin {
         lit(1).as("__side"),
         col(leftTie).cast("long").as("__tie"),
         lit(null).cast(rStructType).as("__r"),
-        struct(left.columns.map(col): _*).as("__l")): _*)
+        struct(left.columns.map(col).toSeq: _*).as("__l")): _*)
     val r = right.select(
       key.map(col) ++ Seq(
         unix_micros(col(rightTime)).as("__t"),
@@ -82,7 +82,7 @@ object TimeJoin {
       .filter(col("__side") === 1)
     val outLeft = left.columns.map(c => col(s"__l.$c").as(c))
     val outRight = payloadCols.map(c => col(s"__m.$c").as(prefix + c))
-    matched.select(outLeft ++ outRight: _*)
+    matched.select((outLeft ++ outRight).toSeq: _*)
   }
 
   /** Interval-containment join: `points` rows falling inside a half-open

@@ -157,7 +157,7 @@ object AsOfJoin {
             leftTime: String, rightTime: String, rightTie: String): DataFrame = {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"asOf sides must not share column names, got $dup")
-    val r = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val r = right.select(right.columns.map(c => col(c).as(c)).toSeq: _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = r.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =

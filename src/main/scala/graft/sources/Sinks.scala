@@ -39,7 +39,7 @@ object Sinks {
       .join(broadcast(incoming.select("month").distinct()), Seq("month"), "left_semi")
     val merged = graft.operators.Merge.upsert(existing, incoming, keys)
       // align column order: partition column must be last for the writer
-      .select(existing.columns.map(col): _*)
+      .select(existing.columns.map(col).toSeq: _*)
       .localCheckpoint(true)
     merged.write
       // per-write option, NOT the session conf: setting the session-wide

@@ -134,7 +134,7 @@ object Streams {
         val merged =
           if (pathExists(s, tablePath)) {
             val existing = s.read.parquet(tablePath)
-            graft.operators.Merge.upsert(existing, dedup.select(existing.columns.map(col): _*), keys)
+            graft.operators.Merge.upsert(existing, dedup.select(existing.columns.map(col).toSeq: _*), keys)
               .localCheckpoint(true)
           } else dedup
         merged.write.mode("overwrite").parquet(tablePath)
