@@ -37,6 +37,36 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: native as-of exec == composed union+window on random logs") {
+    // adversarially dense: few users, coarse timestamps -> co-timestamp
+    // ties, empty sides, keys present on only one side all occur
+    val rowGen = for {
+      user <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 12L)
+      isLeft <- Gen.oneOf(true, false)
+    } yield (user, t, isLeft)
+    (1 to Cases).foreach { s =>
+      val rows = draw(Gen.listOfN(30, rowGen), 1000L + s)
+        .zipWithIndex.map { case ((u, t, side), i) => (i.toLong, u, new java.sql.Timestamp(t * 1000), side) }
+      val left = rows.filter(_._4).map(r => (r._1, r._2, r._3))
+        .toDF("event_id", "user_id", "ts")
+      val right = rows.filterNot(_._4).map(r => (r._1, r._2, r._3))
+        .toDF("click_id", "c_user", "click_ts")
+      val native = graft.plans.AsOfJoin(left, right, "user_id", "c_user",
+          "ts", "click_ts", "click_id")
+        .select("event_id", "click_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+      val composed = graft.operators.TimeJoin.asOfJoin(
+          left, right.withColumnRenamed("c_user", "user_id"), Seq("user_id"),
+          leftTime = "ts", rightTime = "click_ts",
+          leftTie = "event_id", rightTie = "click_id",
+          rightPayload = Seq("click_id"), prefix = "m_")
+        .select("event_id", "m_click_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+      assert(native == composed, s"seed $s: $native != $composed")
+    }
+  }
+
   test("property: connectedComponents == driver-side union-find on random graphs") {
     val edgeGen = for {
       a <- Gen.choose(0L, 19L)
