@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Lineage
 import graft.sources.Tables
 
 /** Near-dup cluster formation — the step AFTER candidate generation and
@@ -50,18 +51,23 @@ object Cluster {
     * large-star/small-star variant).
     * Superseded label generations are small (one row per clustered doc)
     * and reclaimed by Spark's ContextCleaner once unreferenced —
-    * localCheckpoint blocks have no public eager-release API. */
+    * checkpoint blocks have no public eager-release API.
+    *
+    * Fault tolerance: every per-round truncation goes through
+    * [[Lineage.cut]] — RELIABLE `checkpoint()` when the session has a
+    * checkpoint dir (a lost executor re-reads from the shared store),
+    * executor-local otherwise (local mode, where executors and driver
+    * share fate). ClusterSpec runs the loop both ways and pins identical
+    * output. */
   def connectedComponents(edges: DataFrame, maxIter: Int = MaxIter): DataFrame = {
     // symmetric closure, checkpointed: every iteration reuses it without
     // replaying the (expensive) candidate pipeline that produced it
-    val sym = edges.select(col("a"), col("b"))
+    val sym = Lineage.cut(edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = sym.select(col("a").as("v")).distinct()
+      .distinct())
+    var labels = Lineage.cut(sym.select(col("a").as("v")).distinct()
       .withColumn("label", col("v"))
-      .withColumn("chg", lit(true))
-      .localCheckpoint(true)
+      .withColumn("chg", lit(true)))
     // min over neighbors a of label(a), keyed by b
     def nbrMin(cur: DataFrame): DataFrame =
       sym.withColumnRenamed("a", "v")
@@ -72,11 +78,11 @@ object Cluster {
     var done = sym.isEmpty
     while (!done && it < maxIter) {
       // label(b) <- min(label(b), neighbor min)
-      val next = labels.drop("chg").join(nbrMin(labels), Seq("v"), "left")
-        .select(col("v"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          (col("nl") < col("label")).as("chg"))
-        .localCheckpoint(true)
+      val next = Lineage.cut(
+        labels.drop("chg").join(nbrMin(labels), Seq("v"), "left")
+          .select(col("v"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+            (col("nl") < col("label")).as("chg")))
       done = next.filter(col("chg")).isEmpty
       labels = next
       it += 1

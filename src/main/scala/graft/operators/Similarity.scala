@@ -192,12 +192,13 @@ object Similarity {
           array((0 until EmbedDim).map(i => expr(s"s$i div c")): _*).as("se"))
         .withColumn("sn", sqrt(d(col("se"), col("se")).cast("double")))
       // empty cells vanish from `means`; keep their previous centroid.
-      // localCheckpoint: `means` is referenced twice and each iteration
+      // Lineage.cut: `means` is referenced twice and each iteration
       // otherwise embeds the previous one's whole training subtree —
-      // plan growth ~2^iters. The checkpoint is |codebook| rows: free.
-      centroids = means.unionByName(
-        centroids.join(means.select("cluster"), Seq("cluster"), "left_anti"))
-        .localCheckpoint(true)
+      // plan growth ~2^iters. The checkpoint is |codebook| rows: free
+      // (reliable checkpoint() when the session has a checkpoint dir,
+      // executor-local otherwise — see Lineage scaladoc).
+      centroids = graft.functions.Lineage.cut(means.unionByName(
+        centroids.join(means.select("cluster"), Seq("cluster"), "left_anti")))
     }
     centroids
     // finally, not after: a training failure must not leak the cached

@@ -40,15 +40,26 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
   /** Rebalance a compact input to the session's parallelism — ONLY when
-    * the scan produced fewer splits than cores (small/single-file
-    * inputs), where one task would otherwise own an entire downstream
-    * pipeline. At real scale the scan is already multi-split and this is
-    * an identity (no shuffle added). Measured: the sf0.1 documents file
-    * is ONE split; per-row-heavy pipelines over it ran 3-12× slower
-    * single-tasked. */
+    * the scan cannot produce one well-sized split per core (small/
+    * single-file inputs), where one task would otherwise own an entire
+    * downstream pipeline. At real scale the scan is already multi-split
+    * and this is an identity (no shuffle added). Measured: the sf0.1
+    * documents file is ONE split; per-row-heavy pipelines over it ran
+    * 3-12× slower single-tasked.
+    *
+    * The decision reads the optimized plan's size statistic (file bytes
+    * for a parquet scan) against `defaultParallelism ×
+    * spark.sql.files.openCostInBytes` — the same floor the file-split
+    * packer uses for a minimum worthwhile split. Pure analysis-time
+    * inspection: no `.rdd` conversion (which would materialize the plan's
+    * RDD lineage per call and bypass AQE's view of the query). */
   def balanced(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val s = df.sparkSession
+    val par = s.sparkContext.defaultParallelism
+    val openCost = s.conf.get("spark.sql.files.openCostInBytes", (4L << 20).toString).toLong
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(par) * openCost)
+      df.repartition(par)
+    else df
   }
 
   /** Predicate for "order falls in month m" (m = "yyyy-MM") expressed as a

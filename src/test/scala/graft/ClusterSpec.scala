@@ -58,6 +58,31 @@ class ClusterSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
   }
 
+  test("reliable-checkpoint mode (checkpoint dir set) yields identical labels") {
+    // Lineage.cut switches to fault-tolerant checkpoint() when the
+    // context has a checkpoint dir — the cluster deployment mode. Same
+    // fixpoint, and checkpoint data actually lands in the dir.
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (7L, 8L))
+    val expected = cc(edges)
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite assumes no ambient checkpoint dir")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      assert(cc(edges) == expected)
+      // setCheckpointDir nests a UUID subdir (and getCheckpointDir
+      // returns a file: URI) — probe the dir we created for content
+      assert(new java.io.File(dir).listFiles.nonEmpty,
+        "reliable path must write checkpoint data")
+    } finally {
+      // restore the no-dir default so later suites keep the local path
+      // (private[spark] var — public in bytecode; best-effort)
+      try sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[String]])
+        .invoke(sc, None)
+      catch { case _: Throwable => () }
+    }
+  }
+
   test("cluster query shape: every member maps into its cluster, sizes consistent") {
     val out = Cluster.qClusters(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
