@@ -133,6 +133,10 @@ object SparkEntry {
     // (AsOfJoinNode/Strategy/Exec via SparkSessionExtensions) — one
     // oracle, two implementations
     "events_asof_native" -> ((s, d) => TimeJoin.qAsofNative(s, d)),
+    // Composite-key (user_id, day) + inner variants of the native as-of
+    // operator — multi-column equi-key merge, and unmatched-left drop
+    "events_asof_multi" -> ((s, d) => TimeJoin.qAsofMulti(s, d)),
+    "events_asof_inner" -> ((s, d) => TimeJoin.qAsofInner(s, d)),
     "events_interval" -> ((s, d) => TimeJoin.qInterval(s, d)),
     "events_rolling" -> ((s, d) => Events.qRolling(s, d)),
     // Ordered-sequence funnel in one window pass
@@ -292,6 +296,8 @@ object SparkEntry {
     "events_props" -> Events.qPropsSql,
     "events_asof" -> TimeJoin.qAsofSql,
     "events_asof_native" -> TimeJoin.qAsofSql,
+    "events_asof_multi" -> TimeJoin.qAsofMultiSql,
+    "events_asof_inner" -> TimeJoin.qAsofInnerSql,
     "events_interval" -> TimeJoin.qIntervalSql,
     "events_rolling" -> Events.qRollingSql,
     "events_funnel" -> Events.qFunnelSql,

@@ -159,6 +159,57 @@ object TimeJoin {
       .orderBy("event_id")
   }
 
+  /** Composite-key as-of through the native operator: for each purchase,
+    * the most recent prior click by the same user ON THE SAME CALENDAR
+    * DAY — the (user_id, day) two-component equi-key exercises the
+    * multi-key merge (the day boundary resets the match even though the
+    * user continues). Left-outer: purchases with no same-day prior click
+    * keep NULLs. */
+  def qAsofMulti(s: SparkSession, dir: String): DataFrame =
+    asOfMultiBase(s, dir, inner = false)
+
+  /** The inner variant of [[qAsofMulti]]: only purchases that DO have a
+    * same-day prior click survive — the merge skips unmatched left rows
+    * instead of null-padding them. */
+  def qAsofInner(s: SparkSession, dir: String): DataFrame =
+    asOfMultiBase(s, dir, inner = true)
+
+  private def asOfMultiBase(s: SparkSession, dir: String, inner: Boolean): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        to_date(col("ts")).as("c_day"), col("ts").as("click_ts"))
+    graft.plans.AsOfJoin(purchases, clicks,
+        Seq("user_id", "day"), Seq("c_user", "c_day"),
+        "ts", "click_ts", "click_id", inner = inner)
+      .select(col("event_id"), col("user_id"), col("day"), col("ts"),
+        col("value"), col("click_id"), col("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  private def asOfMultiSql(joinKind: String): String =
+    s"""WITH p AS (SELECT event_id, user_id, CAST(ts AS DATE) AS day, ts, value
+       |           FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT event_id AS click_id, user_id, CAST(ts AS DATE) AS day, ts
+       |      FROM events WHERE event_type = 'click'),
+       |j AS (
+       |  SELECT p.event_id, p.user_id, p.day, p.ts, p.value,
+       |         c.click_id, c.ts AS click_ts,
+       |         row_number() OVER (PARTITION BY p.event_id
+       |                            ORDER BY c.ts DESC, c.click_id DESC) AS rn
+       |  FROM p $joinKind JOIN c ON c.user_id = p.user_id
+       |    AND c.day = p.day AND c.ts <= p.ts)
+       |SELECT event_id, user_id, day, ts, value, click_id, click_ts,
+       |       epoch_us(ts) - epoch_us(click_ts) AS gap_us
+       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  def qAsofMultiSql: String = asOfMultiSql("LEFT")
+  def qAsofInnerSql: String = asOfMultiSql("INNER")
+
   def qAsofSql: String =
     """WITH p AS (SELECT event_id, user_id, ts, value FROM events
       |           WHERE event_type = 'purchase'),

@@ -39,6 +39,73 @@ class AsOfNativeSpec extends SparkSpec {
     assert(out === List((10L, 2L), (11L, null), (12L, null)), s"got $out")
   }
 
+  test("multi-key: second key component partitions the match stream") {
+    // same user, two "days" (long key component): the day boundary must
+    // reset the candidate even though user continues
+    val left = Seq((10L, 1L, 100L, ts(100)), (11L, 1L, 200L, ts(300)))
+      .toDF("l_id", "user", "day", "lts")
+    val right = Seq(
+      (1L, 1L, 100L, ts(90)),   // day 100: matches l 10
+      (2L, 1L, 200L, ts(90)))   // day 200: matches l 11, NOT l 10
+      .toDF("r_id", "r_user", "r_day", "rts")
+    val out = AsOfJoin(left, right, Seq("user", "day"), Seq("r_user", "r_day"),
+      "lts", "rts", "r_id", inner = false)
+      .orderBy("l_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(4)) null else r.getLong(4))).toList
+    assert(out === List((10L, 1L), (11L, 2L)), s"got $out")
+  }
+
+  test("inner variant drops unmatched left rows; outer keeps them") {
+    val left = Seq((10L, 1L, ts(100)), (11L, 2L, ts(100))).toDF("l_id", "user", "lts")
+    val right = Seq((1L, 1L, ts(50))).toDF("r_id", "r_user", "rts")
+    def run(inner: Boolean) =
+      AsOfJoin(left, right, Seq("user"), Seq("r_user"), "lts", "rts", "r_id",
+        inner = inner).orderBy("l_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getLong(3))).toList
+    assert(run(inner = false) === List((10L, 1L), (11L, null)))
+    assert(run(inner = true) === List((10L, 1L)))
+  }
+
+  test("null key component never matches: outer null-pads, inner drops") {
+    val left = Seq(
+      (10L, Some(1L), ts(100)),
+      (11L, None, ts(100)))   // null user can match nothing
+      .toDF("l_id", "user", "lts")
+    val right = Seq(
+      (1L, Some(1L), ts(50)),
+      (2L, Option.empty[Long], ts(50)))  // null right key matches nothing
+      .toDF("r_id", "r_user", "rts")
+    def run(inner: Boolean) =
+      AsOfJoin(left, right, Seq("user"), Seq("r_user"), "lts", "rts", "r_id",
+        inner = inner).orderBy("l_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getLong(3))).toList
+    assert(run(inner = false) === List((10L, 1L), (11L, null)))
+    assert(run(inner = true) === List((10L, 1L)))
+  }
+
+  test("multi-key query: native matches the window-composed form") {
+    // independent re-derivation of qAsofMulti through the composed
+    // union+window operator over a (user, day) synthetic key
+    val ev = graft.sources.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        to_date(col("ts")).as("day"), col("ts"))
+    val composed = TimeJoin.asOfJoin(purchases, clicks, Seq("user_id", "day"),
+      leftTime = "ts", rightTime = "ts",
+      leftTie = "event_id", rightTie = "click_id",
+      rightPayload = Seq("click_id"), prefix = "m_")
+      .select(col("event_id"), col("m_click_id").as("click_id"),
+        col("m_ts").as("click_ts"))
+      .orderBy("event_id").collect().map(_.toString).toList
+    val native = TimeJoin.qAsofMulti(spark, sf)
+      .select(col("event_id"), col("click_id"), col("click_ts"))
+      .orderBy("event_id").collect().map(_.toString).toList
+    assert(native === composed)
+  }
+
   test("plan: AsOfJoinExec with exactly one exchange+sort per side") {
     val df = TimeJoin.qAsofNative(spark, sf)
     // inspect the initial physical plan (pre-materialization): after AQE
