@@ -91,6 +91,9 @@ object SparkEntry {
     // training loop UNROLLS into the oracle SQL, so even the iterative
     // path is hash-gated; SimilaritySpec additionally gates recall.
     "similar_ann_kmeans" -> ((s, d) => Similarity.qIvfKmeans(s, d)),
+    // Same ANN against the PERSISTED codebook artifact (train-once,
+    // read-thereafter; fingerprint-keyed freshness)
+    "similar_ann_kmeans_persisted" -> ((s, d) => Similarity.qIvfKmeansPersisted(s, d)),
     // Text analysis over `documents`
     "text_stats" -> ((s, d) => Text.qStats(s, d)),
     "text_langid" -> ((s, d) => Text.qLangId(s, d)),
@@ -165,6 +168,9 @@ object SparkEntry {
     // Corpus-bigram-LM fluency scoring with integer-exact surprisal bits
     // (the perplexity-filter shape, made hash-gate deterministic)
     "text_perplexity" -> ((s, d) => Text.qPerplexity(s, d)),
+    // Same scoring against the PERSISTED bigram-LM artifact (the
+    // train pass amortizes to zero across the query stream)
+    "text_perplexity_persisted" -> ((s, d) => Text.qPerplexityPersisted(s, d)),
     // Benford first-digit audit (fraud/synthetic-data screen) over the
     // exact integer cents of o_totalprice
     "catalog_benford" -> ((s, d) => Catalog.qBenford(s, d)),
@@ -271,6 +277,7 @@ object SparkEntry {
     "similar_topk" -> Similarity.qTopKSql,
     "similar_ann_ivf" -> Similarity.qIvfSql,
     "similar_ann_kmeans" -> Similarity.qIvfKmeansSql(),
+    "similar_ann_kmeans_persisted" -> Similarity.qIvfKmeansSql(),
     "text_stats" -> Text.qStatsSql,
     "text_langid" -> Text.qLangIdSql,
     "text_fingerprint" -> Text.qFingerprintSql,
@@ -309,6 +316,7 @@ object SparkEntry {
     "events_cdc" -> Events.qCdcSql,
     "pipeline_epochs" -> Sample.qEpochsSql,
     "text_perplexity" -> Text.qPerplexitySql,
+    "text_perplexity_persisted" -> Text.qPerplexitySql,
     "catalog_benford" -> Catalog.qBenfordSql,
     "catalog_drift" -> Catalog.qDriftSql,
     "kpi_pareto" -> Kpi.paretoSql(),

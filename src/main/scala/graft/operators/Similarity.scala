@@ -217,6 +217,23 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Artifact kind key for the persisted codebook store. */
+  val CodebookKind = "kmeans_codebook"
+
+  /** ANN over the PERSISTED k-means codebook: the first query at a given
+    * source fingerprint trains and writes the codebook parquet
+    * ([[graft.sources.Artifacts]]); every later query reads the table —
+    * the training pass amortizes to zero across the query stream, which
+    * is the production posture (codebooks retrain on data change, not
+    * per query). Training is deterministic, so the persisted model is
+    * bit-identical to the in-flight one and the SAME unrolled-SQL oracle
+    * hash-gates this query. */
+  def qIvfKmeansPersisted(s: SparkSession, dir: String): DataFrame = {
+    val codebook = graft.sources.Artifacts.cached(s, CodebookKind,
+      s"$dir/embeddings.parquet") { kmeansCodebook(s, prepared(s, dir)) }
+    ivfTopK(s, dir, codebook = Some(codebook)).orderBy("probe_id", "rank")
+  }
+
   // -------------------------------------------------------------------
   // DuckDB oracles
   // -------------------------------------------------------------------

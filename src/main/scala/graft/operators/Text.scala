@@ -1034,6 +1034,61 @@ object Text {
   def qPerplexity(s: SparkSession, dir: String): DataFrame =
     perplexity(Tables.balanced(Tables.documents(s, dir))).orderBy("doc_id")
 
+  /** (doc_id, w1, w2) bigram pair stream — the shared front half of
+    * training and scoring, staged through a projection boundary like
+    * [[perplexity]]. */
+  private def bigramPairs(docs: DataFrame): DataFrame = {
+    val staged = docs.select(col("doc_id"), words(col("text")).as("__ws"))
+    val ws = col("__ws")
+    val pairsArr = when(size(ws) >= 2,
+        transform(sequence(lit(0), size(ws) - 2),
+          i => struct(element_at(ws, i + 1).as("w1"), element_at(ws, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    staged.select(col("doc_id"), explode(pairsArr).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+  }
+
+  /** The trainable half of [[perplexity]] on its own: the add-one-
+    * smoothed bigram model table (w1, w2, bits) — what a persisted
+    * "perplexity filter" stores between runs. */
+  def bigramModel(docs: DataFrame): DataFrame = {
+    val uni = docs.select(explode(words(col("text"))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    bigramPairs(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("bits",
+        (length(bin(expr("(c1 + v) div (c12 + 1)"))) - 1).cast("long"))
+      .select("w1", "w2", "bits")
+  }
+
+  /** Score docs against a (possibly persisted) bigram model: one keyed
+    * join of the pair stream against the model, then the per-doc
+    * regroup — the training pass is gone from this plan entirely. */
+  def perplexityWith(docs: DataFrame, model: DataFrame): DataFrame =
+    bigramPairs(docs).join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("sum_bits"))
+      .withColumn("avg_bits", col("sum_bits").cast("double") / col("n_bigrams"))
+      .withColumn("low_fluency", col("avg_bits") > LowFluencyBits)
+
+  /** Artifact kind key for the persisted bigram-LM store. */
+  val BigramLmKind = "bigram_lm"
+
+  /** [[qPerplexity]] against the PERSISTED corpus LM: first query at a
+    * given source fingerprint trains + writes the model parquet
+    * ([[graft.sources.Artifacts]]); later queries only score — one scan
+    * of the corpus instead of the train+score double pass. The model is
+    * trained on the same corpus deterministically, so the in-flight
+    * oracle hash-gates the persisted path too. */
+  def qPerplexityPersisted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.balanced(Tables.documents(s, dir))
+    val model = graft.sources.Artifacts.cached(s, BigramLmKind,
+      s"$dir/documents.parquet") { bigramModel(docs) }
+    perplexityWith(docs, model).orderBy("doc_id")
+  }
+
   def qPerplexitySql: String =
     s"""WITH d AS (
        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persist-and-reuse for TRAINED artifacts (the k-means ANN codebook,
+  * the bigram-LM model table): train once, write parquet, and let every
+  * later query read the table instead of re-running the training pass —
+  * the same persist-then-reuse discipline the LSH band index already
+  * follows ([[Sinks.compactBandIndex]], `Dedup.qIncremental`).
+  *
+  * Freshness contract: the artifact path embeds a FINGERPRINT of the
+  * training source (total length + max modification time, recursively
+  * for directories). Retraining therefore happens exactly when the
+  * source data changes — a stale model can never score fresh data, and
+  * repeated queries over unchanged data never retrain. This is the
+  * poor-man's content-addressing that a table format's snapshot id
+  * would provide natively; at 100 TB the fingerprint swaps for the
+  * Delta/Iceberg snapshot id with no change to the call shape.
+  *
+  * Concurrency: the write is an atomic-rename parquet overwrite into a
+  * fingerprint-unique directory; two racing trainers of the same
+  * (kind, source, fingerprint) write identical content (training is
+  * deterministic — exact integer arithmetic throughout), so the race is
+  * benign. Old fingerprints accumulate as superseded directories;
+  * [[sweep]] is the retention janitor.
+  */
+object Artifacts {
+  /** Artifact store root — env-overridable so the bench/driver can
+    * isolate runs; default is repo-local (gitignored). */
+  def root: String = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS", ".artifacts")
+
+  private def fs(s: SparkSession, p: Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def tag(src: String): String =
+    src.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+
+  /** Source fingerprint: total bytes + newest mtime under `src`. */
+  private def fingerprint(s: SparkSession, src: String): String = {
+    val p = new Path(src)
+    val f = fs(s, p)
+    val st = f.getFileStatus(p)
+    if (st.isFile) s"${st.getLen}_${st.getModificationTime}"
+    else {
+      val it = f.listFiles(p, true)
+      var len = 0L; var mt = 0L
+      while (it.hasNext) {
+        val e = it.next(); len += e.getLen; mt = math.max(mt, e.getModificationTime)
+      }
+      s"${len}_$mt"
+    }
+  }
+
+  /** Resolved artifact path for (kind, training source) at the source's
+    * CURRENT fingerprint. */
+  def path(s: SparkSession, kind: String, src: String): String =
+    s"$root/$kind/${tag(src)}_${fingerprint(s, src)}"
+
+  /** Read-or-train: return the persisted artifact for (kind, src),
+    * training and writing it first iff the source's current fingerprint
+    * has no artifact yet. The returned frame always reads FROM PARQUET —
+    * the caller's plan carries a scan, not the training subtree. */
+  def cached(s: SparkSession, kind: String, src: String)(train: => DataFrame): DataFrame = {
+    val p = path(s, kind, src)
+    val hp = new Path(p)
+    if (!fs(s, hp).exists(hp))
+      train.write.mode("overwrite").parquet(p)
+    s.read.parquet(p)
+  }
+
+  /** Force retrain at the current fingerprint (e.g. after a logic
+    * change with unchanged data). */
+  def refresh(s: SparkSession, kind: String, src: String)(train: => DataFrame): DataFrame = {
+    val p = path(s, kind, src)
+    train.write.mode("overwrite").parquet(p)
+    s.read.parquet(p)
+  }
+
+  /** Retention janitor: drop every artifact of `kind` for this source
+    * EXCEPT the current fingerprint's — the compaction step of the
+    * persist-and-reuse lifecycle (mirrors the band-index compaction's
+    * fold-small-partitions role). */
+  def sweep(s: SparkSession, kind: String, src: String): Unit = {
+    val dir = new Path(s"$root/$kind")
+    val f = fs(s, dir)
+    if (f.exists(dir)) {
+      val keep = new Path(path(s, kind, src)).getName
+      val prefix = tag(src) + "_"
+      f.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix) && n != keep) f.delete(st.getPath, true)
+      }
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Similarity, Text}
+import graft.sources.Artifacts
+import org.apache.spark.sql.functions._
+
+/** Persist-and-reuse artifact store: train-once semantics, fingerprint
+  * freshness, retention sweep, and persisted==in-flight equivalence for
+  * the two trained artifacts (k-means codebook, bigram LM). */
+class ArtifactsSpec extends SparkSpec {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private def rmKind(kind: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${Artifacts.root}/$kind")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  test("cached trains exactly once per fingerprint; refresh retrains; sweep retires") {
+    val kind = "test_cached"
+    rmKind(kind)
+    val src = java.nio.file.Files.createTempDirectory("graft_art_src").toString + "/t.parquet"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(src)
+    var trains = 0
+    def model = { trains += 1; Seq((1L, 10L)).toDF("id", "score") }
+    val first = Artifacts.cached(spark, kind, src)(model).collect()
+    val second = Artifacts.cached(spark, kind, src)(model).collect()
+    assert(trains == 1, "second call must read the artifact, not retrain")
+    assert(first.toList == second.toList)
+    Artifacts.refresh(spark, kind, src)(model)
+    assert(trains == 2, "refresh must force a retrain")
+    // a changed source ⇒ new fingerprint ⇒ retrain on next cached()
+    val p1 = Artifacts.path(spark, kind, src)
+    Thread.sleep(5) // mtime tick
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(src)
+    val p2 = Artifacts.path(spark, kind, src)
+    assert(p1 != p2, "fingerprint must move with the source data")
+    Artifacts.cached(spark, kind, src)(model)
+    assert(trains == 3)
+    // sweep retires the superseded fingerprint, keeps the current one
+    Artifacts.sweep(spark, kind, src)
+    val dir = new java.io.File(s"${Artifacts.root}/$kind")
+    val left = dir.listFiles.map(_.getName).toSet
+    assert(left == Set(new org.apache.hadoop.fs.Path(p2).getName), s"got $left")
+    rmKind(kind)
+  }
+
+  test("persisted k-means ANN equals the in-flight training path") {
+    rmKind(Similarity.CodebookKind)
+    val inflight = Similarity.qIvfKmeans(spark, sf).collect().map(_.toString).toList
+    val p1 = Similarity.qIvfKmeansPersisted(spark, sf).collect().map(_.toString).toList
+    val p2 = Similarity.qIvfKmeansPersisted(spark, sf).collect().map(_.toString).toList
+    assert(p1 == inflight, "first (training) persisted run must match in-flight")
+    assert(p2 == inflight, "artifact-read run must match in-flight")
+    // the codebook artifact landed on disk
+    assert(new java.io.File(s"${Artifacts.root}/${Similarity.CodebookKind}").exists)
+    rmKind(Similarity.CodebookKind)
+  }
+
+  test("persisted bigram-LM scoring equals the in-flight train+score") {
+    rmKind(Text.BigramLmKind)
+    val inflight = Text.qPerplexity(spark, sf).collect().map(_.toString).toList
+    val p1 = Text.qPerplexityPersisted(spark, sf).collect().map(_.toString).toList
+    val p2 = Text.qPerplexityPersisted(spark, sf).collect().map(_.toString).toList
+    assert(p1 == inflight && p2 == inflight)
+    // the score-only plan must not rebuild the model: no aggregate for
+    // (w1,w2) counts on the scoring side — the model comes from a scan
+    val plan = Text.qPerplexityPersisted(spark, sf).queryExecution.optimizedPlan
+    val scanPaths = plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(scanPaths.exists(_.contains(Text.BigramLmKind)),
+      s"scoring plan must read the persisted model parquet, scans: $scanPaths")
+    rmKind(Text.BigramLmKind)
+  }
+}
