@@ -147,6 +147,9 @@ object SparkEntry {
     // Multimodal binary columns (decode kernels stubbed; plumbing real)
     "media_meta" -> ((s, d) => Multimodal.qMediaMeta(s, d)),
     "media_frames" -> ((s, d) => Multimodal.qFrames(s, d)),
+    // REAL image decode: PNG-encode (javax.imageio) then genuinely
+    // decode back; the raster dims must reproduce the oracle's formula
+    "media_decode" -> ((s, d) => Multimodal.qMediaDecode(s, d)),
     // HLL sketch next to exact distinct — no oracle (sketches are
     // engine-specific); driver records the weaker rows-only check and
     // KpiSpec bounds the relative error.
@@ -310,6 +313,7 @@ object SparkEntry {
     "events_funnel" -> Events.qFunnelSql,
     "media_meta" -> Multimodal.qMediaMetaSql,
     "media_frames" -> Multimodal.qFramesSql,
+    "media_decode" -> Multimodal.qMediaDecodeSql,
     "kpi_anomalies_at_scale" -> Kpi.anomaliesSql(),
     "text_repetition" -> Text.qRepetitionSql,
     "text_linedup" -> Text.qLineDedupSql,

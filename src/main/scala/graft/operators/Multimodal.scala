@@ -8,12 +8,15 @@ import graft.sources.Tables
   * opaque `binary` column + typed metadata struct, with decode /
   * feature-extract / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the DECODE KERNELS ARE
-  * DETERMINISTIC FAKES (clearly marked below) — but everything Spark-side
-  * is real and tested: the schema shape, the binary column flow, byte
-  * slicing, per-partition batch processing (the Scala analog of
-  * `mapInPandas`: one decoder instance per partition, rows streamed
-  * through it), and partitioning preservation.
+  * IMAGE decode is REAL (`javax.imageio` ships in the JDK:
+  * [[mediaTableReal]] PNG-encodes genuine rasters, [[decodeRealPartitioned]]
+  * parses them back). The container has no audio/video codecs, so THOSE
+  * kernels are deterministic fakes (clearly marked below) — and
+  * everything Spark-side is real and tested either way: the schema
+  * shape, the binary column flow, byte slicing, per-partition batch
+  * processing (the Scala analog of `mapInPandas`: one decoder instance
+  * per partition, rows streamed through it), and partitioning
+  * preservation.
   *
   * Scale notes: media blobs ride the same columnar files as their
   * metadata; the metadata struct lets filters prune (`kind = 'image' AND
@@ -126,6 +129,118 @@ object Multimodal {
       }
     }
   }
+
+  // ---------------------------------------------------------------
+  // REAL image decode (javax.imageio — in the JDK, zero extra deps).
+  // The container has no audio/video codecs, so those kinds keep the
+  // deterministic fake; images are genuinely encoded to PNG and
+  // genuinely decoded back. The oracle can still hash-gate the round
+  // trip because the synthetic image DIMENSIONS are a pure function of
+  // media_id — the decoder must recover exactly those numbers from the
+  // actual PNG bytes, which DuckDB recomputes from the formula.
+  // ---------------------------------------------------------------
+
+  /** Deterministic synthetic image dims: a pure function of media_id so
+    * the DuckDB oracle can recompute what the real decoder must read
+    * back out of the PNG. Small (16..63 px) — the payload is real but
+    * cheap. */
+  def imageWidth(id: Long): Int = (id % 48 + 16).toInt
+  def imageHeight(id: Long): Int = (id * 7 % 48 + 16).toInt
+
+  /** Media table with REAL payloads for the image rows: a PNG-encoded
+    * RGB gradient of the formula dims (deterministic pixels from the
+    * id), written with `javax.imageio`. Non-image rows keep the UTF-8
+    * text payload (their fake-decode path is what the container
+    * supports). One encoder per partition, rows streamed — the same
+    * batch shape as the decoder. */
+  def mediaTableReal(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
+      val buf = new java.io.ByteArrayOutputStream()
+      rows.map { r =>
+        if (r.kind == "image") {
+          val w = imageWidth(r.media_id); val h = imageHeight(r.media_id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              // deterministic pixel: id-keyed hash of the coordinate
+              img.setRGB(x, y,
+                (((r.media_id * 2654435761L) ^ (x * 31L + y * 17L)) & 0xFFFFFF).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          buf.reset()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          MediaRow(r.media_id, r.kind, buf.toByteArray)
+        } else r
+      }
+    }
+  }
+
+  /** REAL decode for images — `ImageIO` parses the PNG bytes and the
+    * width/height come from the decoded raster, not from any formula —
+    * and the documented deterministic fake for audio/video. One
+    * MessageDigest per partition (the expensive-init pattern); the
+    * ImageIO reader is instantiated per image by the codec registry.
+    * duration_ms for a still image is 0. */
+  def decodeRealPartitioned(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        if (r.kind == "image") {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          require(img != null, s"undecodable image payload for media ${r.media_id}")
+          DecodedRow(r.media_id, r.kind, img.getWidth, img.getHeight,
+            r.content.length.toLong * 8, 0)
+        } else {
+          digest.reset()
+          val h = digest.digest(r.content).map("%02x".format(_)).mkString
+          DecodedRow(r.media_id, r.kind,
+            (java.lang.Long.parseLong(h.substring(0, 4), 16) % 3840 + 128).toInt,
+            (java.lang.Long.parseLong(h.substring(4, 8), 16) % 2160 + 96).toInt,
+            r.content.length.toLong * 8,
+            (java.lang.Long.parseLong(h.substring(8, 12), 16) % 60000).toInt)
+        }
+      }
+    }
+  }
+
+  /** Oracle-checked REAL-decode query: encode → PNG bytes → ImageIO
+    * decode for images (the decoded raster dims must reproduce the
+    * formula the oracle computes), fake-decode for the codec-less
+    * kinds. */
+  def qMediaDecode(s: SparkSession, dir: String): DataFrame =
+    decodeRealPartitioned(mediaTableReal(s, dir))
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("duration_ms"))
+      .orderBy("media_id")
+
+  def qMediaDecodeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |         md5(text) AS h
+      |  FROM documents)
+      |SELECT media_id, kind,
+      |       CASE WHEN kind = 'image'
+      |            THEN CAST(media_id % 48 + 16 AS INT)
+      |            ELSE CAST(CAST('0x' || substr(h, 1, 4) AS BIGINT) % 3840 + 128 AS INT)
+      |       END AS width,
+      |       CASE WHEN kind = 'image'
+      |            THEN CAST(media_id * 7 % 48 + 16 AS INT)
+      |            ELSE CAST(CAST('0x' || substr(h, 5, 4) AS BIGINT) % 2160 + 96 AS INT)
+      |       END AS height,
+      |       CASE WHEN kind = 'image'
+      |            THEN 0
+      |            ELSE CAST(CAST('0x' || substr(h, 9, 4) AS BIGINT) % 60000 AS INT)
+      |       END AS duration_ms
+      |FROM m ORDER BY media_id""".stripMargin
 
   /** Oracle-checked query: media identity + size + content hash + decoded
     * dims (DuckDB md5 is VARCHAR-only, so the oracle hashes the text while

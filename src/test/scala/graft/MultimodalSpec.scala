@@ -96,6 +96,39 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.head.getLong(3) == fl.toLong)
   }
 
+  test("real image payloads are genuine PNGs; real decode recovers the exact dims") {
+    val real = Multimodal.mediaTableReal(spark, sf)
+    val imgs = real.filter(_.kind == "image").collect()
+    assert(imgs.nonEmpty)
+    imgs.foreach { r =>
+      // PNG magic, then an independent ImageIO parse on the driver
+      assert(r.content.take(8).toSeq ==
+        Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
+        s"media ${r.media_id} payload is not a PNG")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      assert(img.getWidth == Multimodal.imageWidth(r.media_id))
+      assert(img.getHeight == Multimodal.imageHeight(r.media_id))
+    }
+  }
+
+  test("real decoder: formula dims for images, fake-path parity for codec-less kinds") {
+    val real = Multimodal.mediaTableReal(spark, sf)
+    val decoded = Multimodal.decodeRealPartitioned(real.repartition(5)).collect()
+    decoded.filter(_.kind == "image").foreach { d =>
+      assert(d.width == Multimodal.imageWidth(d.media_id) &&
+        d.height == Multimodal.imageHeight(d.media_id) && d.duration_ms == 0)
+      assert(d.bit_size % 8 == 0 && d.bit_size > 0)
+    }
+    // non-image rows: real decoder must agree exactly with the
+    // documented fake (same interface, same values — interchangeable)
+    val fake = Multimodal.decodePartitioned(media.as[MediaRow])
+      .filter(_.kind != "image").collect()
+      .map(d => (d.media_id, d.width, d.height, d.bit_size, d.duration_ms)).sortBy(_._1)
+    val viaReal = decoded.filter(_.kind != "image")
+      .map(d => (d.media_id, d.width, d.height, d.bit_size, d.duration_ms)).sortBy(_._1)
+    assert(viaReal.toSeq == fake.toSeq)
+  }
+
   test("metadata pruning: filter on meta fields reads no blob bytes (column pruning)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_media").toString
     Multimodal.decodeMeta(media).write.mode("overwrite").parquet(tmp)
