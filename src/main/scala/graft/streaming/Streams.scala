@@ -97,16 +97,33 @@ object Streams {
       }
   }
 
+  /** Observed-metric names for the dedup stream: input vs surviving
+    * counts per micro-batch. `n_input - n_output` per batch = duplicates
+    * dropped + LATE rows dropped by the watermark; the built-in
+    * state-operator metric `numRowsDroppedByWatermark` isolates the
+    * late share. Both surface in `StreamingQueryProgress` — the
+    * operational dashboard every production watermark needs (a silent
+    * late-drop is data loss that looks like success). */
+  val DedupObsIn = "graft_dedup_in"
+  val DedupObsOut = "graft_dedup_out"
+
   /** Streaming exact-dedup: drop re-deliveries of the same event_id where
     * the duplicate arrives within the watermark of the original — the
     * streaming face of the dedup family (state = one entry per key seen
     * within the watermark horizon, evicted as the watermark passes; at
     * scale the state shards with the key shuffle and stays bounded by
-    * event-rate × watermark, not by stream length). */
+    * event-rate × watermark, not by stream length).
+    *
+    * Observability: `Dataset.observe` counts rows entering and leaving
+    * the operator per micro-batch (names [[DedupObsIn]]/[[DedupObsOut]]);
+    * CollectMetrics is a streaming-safe accumulator pass, zero extra
+    * shuffles. */
   def dedupEvents(events: DataFrame): DataFrame =
     events
+      .observe(DedupObsIn, count(lit(1)).as("n_input"))
       .withWatermark("ts", WatermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+      .observe(DedupObsOut, count(lit(1)).as("n_output"))
 
   /** Streaming keyed upsert: merge each micro-batch into a keyed Parquet
     * table via `foreachBatch` + the batch `Merge.upsert` — the streaming
@@ -162,11 +179,18 @@ object Streams {
     *
     * Emission: Append-mode stage transitions (one row per user-stage,
     * at most three per user, emitted exactly when finalized). */
+  /** Observed-metric name for the funnel stream: stage-relevant rows
+    * entering per micro-batch (post-filter, pre-watermark). Read next to
+    * the state operator's `numRowsDroppedByWatermark` to alert on late
+    * stage events silently excluded from conversion counts. */
+  val FunnelObsIn = "graft_funnel_in"
+
   def funnelStages(events: Dataset[Event]): Dataset[StageHit] = {
     import events.sparkSession.implicits._
     val stages = graft.operators.Events.FunnelStages.toSet
     events
       .filter(e => stages(e.event_type))
+      .observe(FunnelObsIn, count(lit(1)).as("n_input"))
       .withWatermark("ts", WatermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, StageHit](

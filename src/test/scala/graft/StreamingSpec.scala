@@ -101,6 +101,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup observability: late rows surface in observed + watermark-drop metrics") {
+    val stream = MemoryStream[Event](spark)
+    val q = Streams.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_obs_stream").start()
+    try {
+      // batch 1 advances the watermark to ts(180) - 2h = ts(60)
+      stream.addData(Event(1, ts(0), 1L, "click", 1.0),
+        Event(2, ts(180), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: one LATE row (ts(5) << watermark) — not a duplicate, so
+      // any in/out difference this batch is purely the watermark drop
+      stream.addData(Event(3, ts(5), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val progs = q.recentProgress
+      def summed(name: String, c: String): Long = progs.flatMap(p =>
+        Option(p.observedMetrics.get(name)).map(_.getAs[Long](c))).sum
+      assert(summed(Streams.DedupObsIn, "n_input") == 3, "all rows observed entering")
+      assert(summed(Streams.DedupObsOut, "n_output") == 2, "late row never leaves")
+      val lateDropped = progs.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(lateDropped == 1,
+        s"the state operator must count the late drop, got $lateDropped")
+      // the surviving rows are exactly the on-time ones
+      val ids = spark.sql("SELECT event_id FROM dedup_obs_stream")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("funnel observability: stage inputs observed, late stage event counted dropped") {
+    val stream = MemoryStream[Event](spark)
+    val q = Streams.funnelStages(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_obs_stream").start()
+    try {
+      stream.addData(Event(1, ts(0), 1L, "signup", 0.0),
+        Event(2, ts(180), 9L, "signup", 0.0),
+        Event(9, ts(1), 1L, "view", 0.0)) // not a funnel stage: pre-observe filter
+      q.processAllAvailable()
+      // late click (below the ts(60) watermark) for user 1
+      stream.addData(Event(3, ts(5), 1L, "click", 0.0))
+      q.processAllAvailable()
+      val progs = q.recentProgress
+      val nIn = progs.flatMap(p =>
+        Option(p.observedMetrics.get(Streams.FunnelObsIn)).map(_.getAs[Long]("n_input"))).sum
+      assert(nIn == 3, s"three stage-relevant rows (view filtered out), got $nIn")
+      val lateDropped = progs.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(lateDropped == 1,
+        s"late click must be dropped+counted by the stateful op, got $lateDropped")
+    } finally q.stop()
+  }
+
   test("streaming dedup: re-delivered event_ids within the watermark are dropped") {
     val stream = MemoryStream[Event](spark)
     val q = Streams.dedupEvents(stream.toDF())
