@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Schemas
+
+/** Deterministic scale-up generator: replicates the driver's sf0.1 tables
+  * `k`× with key-domain remapping, producing an sf1-equivalent dataset for
+  * the scale-evidence gate (VERDICT r7 item 1). The driver's own testdata
+  * stops at sf0.1; every 100 TB claim in PLANS.md was therefore a
+  * plan-shape argument. This tool manufactures the 10× dataset those
+  * claims can be *measured* against, inside the repo (`testdata-sf1/`,
+  * gitignored), never touching the read-only `/root/testdata`.
+  *
+  * Replication contract (all pure functions of (input row, replica id) —
+  * rerunning the tool bit-reproduces the dataset):
+  *
+  *   - `region`/`nation`: fixed dimensions, copied unchanged (as in TPC-H,
+  *     where nation/region cardinality is scale-invariant).
+  *   - Entity tables (`customer`/`supplier`/`part`/`orders`/`lineitem`/
+  *     `events`/`documents`/`embeddings`): k replicas; every key column is
+  *     offset by `rep × 10^ceil(log10(max_key+1))` of its key DOMAIN, so
+  *     foreign keys stay consistent (replica i's lineitems reference
+  *     replica i's orders/parts/suppliers) and replica 0 is bit-identical
+  *     to the source.
+  *   - Entity name columns (`c_name`/`s_name`/`p_name`) get a `#r<i>`
+  *     suffix for i>0, preserving "name is unique per key" — queries that
+  *     tiebreak on names stay deterministic.
+  *   - `orders.o_orderdate` / `events.ts` are NOT shifted: the time range
+  *     stays fixed and density grows 10×, which is how a real deployment
+  *     scales (more activity, same calendar), and keeps every month-literal
+  *     query parameter meaningful at sf1.
+  *   - `documents.text` / `embeddings.embedding` replicate VERBATIM under
+  *     new ids: sf1's corpus has every doc in an exact-duplicate group of
+  *     k — a crawl-like duplication profile that stress-tests the dedup
+  *     family (LSH buckets get k× members → k² candidate pairs per bucket,
+  *     connected components gets k-cliques) rather than diluting it.
+  *
+  * Physical layout: each table is written as a DIRECTORY `<name>.parquet/`
+  * of several part files (splittable scan parallelism without lowering
+  * `maxPartitionBytes`), range-clustered on its natural key so parquet
+  * row-group min/max stats keep the same pruning power the driver's
+  * single-file layout has — `orders` clusters on `o_orderdate` so the
+  * month-range pushdown still prunes row groups at sf1.
+  *
+  * `events.ts` is written as raw INT64 nanoseconds. The driver's files are
+  * parquet TIMESTAMP(NANOS), which Spark can read (via nanosAsLong) but
+  * not write; [[graft.sources.Tables.events]] reads both encodings
+  * identically because its declared schema is already LongType-nanos.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dstDir = if (args.length > 1) args(1) else "testdata-sf1"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(name: String): DataFrame =
+      spark.read.schema(Schemas.byName(name)).parquet(s"$srcDir/$name.parquet")
+
+    /** Smallest power of 10 strictly above the column's max — a readable,
+      * stable offset unit (key 4231 in replica 3 becomes 34231). */
+    def domainOffset(df: DataFrame, key: String): Long = {
+      val mx = df.agg(max(col(key))).head().getLong(0)
+      var off = 1L
+      while (off <= mx) off *= 10
+      off
+    }
+
+    /** k replicas with `rep` ∈ [0, k): pure row expansion, no shuffle. */
+    def replicate(df: DataFrame): DataFrame =
+      df.withColumn("rep", explode(typedLit((0L until k.toLong).toArray)))
+
+    def shifted(keyCol: String, off: Long): Column =
+      col(keyCol) + col("rep") * off
+
+    def suffixed(nameCol: String): Column =
+      when(col("rep") === 0, col(nameCol))
+        .otherwise(concat(col(nameCol), lit("#r"), col("rep")))
+
+    def write(df: DataFrame, name: String, files: Int, clusterOn: Seq[String]): Unit = {
+      val cols = Schemas.byName(name).fieldNames.map(col).toSeq
+      val out = df.select(cols: _*)
+      val ranged =
+        if (files <= 1) out.coalesce(1)
+        else out.repartitionByRange(files, clusterOn.map(col): _*)
+      ranged.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+      println(s"[scaleup] wrote $name")
+    }
+
+    // Fixed dims
+    write(read("region"), "region", 1, Nil)
+    write(read("nation"), "nation", 1, Nil)
+
+    val custOff = domainOffset(read("customer"), "c_custkey")
+    val suppOff = domainOffset(read("supplier"), "s_suppkey")
+    val partOff = domainOffset(read("part"), "p_partkey")
+    val orderOff = domainOffset(read("orders"), "o_orderkey")
+    val eventOff = domainOffset(read("events"), "event_id")
+    val userOff = domainOffset(read("events"), "user_id")
+    val docOff = domainOffset(read("documents"), "doc_id")
+    val vecOff = domainOffset(read("embeddings"), "vec_id")
+    println(s"[scaleup] offsets cust=$custOff supp=$suppOff part=$partOff " +
+      s"order=$orderOff event=$eventOff user=$userOff doc=$docOff vec=$vecOff")
+
+    write(replicate(read("customer"))
+      .withColumn("c_custkey", shifted("c_custkey", custOff))
+      .withColumn("c_name", suffixed("c_name")),
+      "customer", 4, Seq("c_custkey"))
+
+    write(replicate(read("supplier"))
+      .withColumn("s_suppkey", shifted("s_suppkey", suppOff))
+      .withColumn("s_name", suffixed("s_name")),
+      "supplier", 1, Seq("s_suppkey"))
+
+    write(replicate(read("part"))
+      .withColumn("p_partkey", shifted("p_partkey", partOff))
+      .withColumn("p_name", suffixed("p_name")),
+      "part", 2, Seq("p_partkey"))
+
+    write(replicate(read("orders"))
+      .withColumn("o_orderkey", shifted("o_orderkey", orderOff))
+      .withColumn("o_custkey", shifted("o_custkey", custOff)),
+      "orders", 8, Seq("o_orderdate", "o_orderkey"))
+
+    write(replicate(read("lineitem"))
+      .withColumn("l_orderkey", shifted("l_orderkey", orderOff))
+      .withColumn("l_partkey", shifted("l_partkey", partOff))
+      .withColumn("l_suppkey", shifted("l_suppkey", suppOff)),
+      "lineitem", 16, Seq("l_orderkey", "l_linenumber"))
+
+    write(replicate(read("events"))
+      .withColumn("event_id", shifted("event_id", eventOff))
+      .withColumn("user_id", shifted("user_id", userOff)),
+      "events", 8, Seq("ts", "event_id"))
+
+    write(replicate(read("documents"))
+      .withColumn("doc_id", shifted("doc_id", docOff)),
+      "documents", 4, Seq("doc_id"))
+
+    write(replicate(read("embeddings"))
+      .withColumn("vec_id", shifted("vec_id", vecOff)),
+      "embeddings", 4, Seq("vec_id"))
+
+    spark.stop()
+    println(s"[scaleup] done: $dstDir (${k}x $srcDir)")
+  }
+}

@@ -150,9 +150,11 @@ object SparkEntry {
     // REAL image decode: PNG-encode (javax.imageio) then genuinely
     // decode back; the raster dims must reproduce the oracle's formula
     "media_decode" -> ((s, d) => Multimodal.qMediaDecode(s, d)),
-    // HLL sketch next to exact distinct — no oracle (sketches are
-    // engine-specific); driver records the weaker rows-only check and
-    // KpiSpec bounds the relative error.
+    // HLL sketch next to exact distinct — NOT oracle-gated (the sketch
+    // value is engine-specific, so no DuckDB oracle exists and the gate
+    // records err=no_oracle). The engine-independent property — the
+    // estimate's relative error bound vs the exact count — is hash-gated
+    // separately as kpi_headcount_audit; KpiSpec also bounds the error.
     "kpi_headcount_approx" -> ((s, d) => Kpi.headcountApprox(s, d)),
     // Same anomalies semantics via the spillable sort-based exact median
     // (SURVEY §7.2 scale path) — same oracle, different physical plan.

@@ -1,44 +1,88 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's correctness gate: run DuckDB oracle SQL over
 the sf tables and compare with the Spark parquet output written by
-graft.Verify. Usage: tools/check.py <sfDir> <verifyOutDir> [query ...]
+graft.Verify. Usage:
+  tools/check.py <sfDir> <verifyOutDir> [--json OUT.json] [query ...]
+
+Handles both table layouts: the driver's flat `<table>.parquet` files and
+ScaleUp's `<table>.parquet/` directories of part files. ScaleUp writes
+`events.ts` as raw INT64 nanoseconds (Spark cannot write parquet
+TIMESTAMP(NANOS)); the view layer converts it back to a µs TIMESTAMP so
+oracle SQL sees the same type at every scale factor.
+
+With --json, writes a per-query artifact in the driver's CORRECTNESS
+format plus an `sf` field per run — the per-scale-factor evidence ADVICE
+r7 asked for (a single flat file cannot back a cross-scale claim).
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def table_source(sf_dir, t):
+    p = f"{sf_dir}/{t}.parquet"
+    return f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = [a for a in sys.argv[1:]]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        src = table_source(sf_dir, t)
+        cols = "*"
+        if t == "events":
+            ts_type = con.sql(f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
+            if ts_type == "BIGINT":
+                cols = ("event_id, make_timestamp(ts // 1000) AS ts, "
+                        "user_id, event_type, value, props")
+        con.execute(f"CREATE VIEW {t} AS SELECT {cols} FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    report = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None,
+               "sf": sf_dir}
+        report[name] = rec
         try:
             want = con.sql(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
+            rec["err"] = f"oracle error: {e}"
+            print(f"FAIL {name}: {rec['err']}")
             n_fail += 1
             continue
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
         except Exception as e:
-            print(f"FAIL {name}: spark output missing: {e}")
+            rec["err"] = f"spark output missing: {e}"
+            print(f"FAIL {name}: {rec['err']}")
             n_fail += 1
             continue
+        rec["spark_rows"], rec["oracle_rows"] = len(got), len(want)
         ok, msg = compare(want, got)
+        rec["rows_match"] = len(want) == len(got)
+        rec["schema_match"] = sorted(want.columns) == sorted(got.columns)
+        rec["hash_match"] = ok
         if ok:
             n_pass += 1
             print(f"PASS {name} ({len(got)} rows)")
         else:
             n_fail += 1
+            rec["err"] = msg
             print(f"FAIL {name}: {msg}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 def compare(want, got):
