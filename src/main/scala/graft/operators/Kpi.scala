@@ -433,9 +433,24 @@ object Kpi {
   def winsorizeFrom(fact: DataFrame, pLo: Double = WinsorLo,
                     pHi: Double = WinsorHi): DataFrame = {
     val f = fact.select(col("dept"), col("net"))
+    // Spark's percentile_disc returns DOUBLE even over decimal input
+    // (unlike DuckDB's quantile_disc, which preserves the input type).
+    // Left as double, the clamp would coerce `wnet` — and the whole
+    // additive path — to double, whose sum is addition-order-dependent:
+    // at sf1 the sum diverged from the oracle by 1 ULP. A discrete
+    // percentile is an actual data value (≤15 significant digits for
+    // this money type), so casting back to net's decimal type recovers
+    // it exactly and keeps the clamp+sum in exact decimal, as the
+    // contract above requires. (The oracle has the dual problem:
+    // DuckDB's GREATEST/LEAST promote DECIMAL operands to DOUBLE even
+    // when quantile_disc preserved the type, so winsorizeSql clamps
+    // with CASE WHEN — comparison + branch select keep DECIMAL.)
+    val netT = f.schema("net").dataType
     val bounds = f.groupBy("dept").agg(
-      expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY net)").as("lo"),
-      expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY net)").as("hi"))
+      expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY net)")
+        .cast(netT).as("lo"),
+      expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY net)")
+        .cast(netT).as("hi"))
     f.join(broadcast(bounds), "dept")
       .withColumn("wnet", greatest(least(col("net"), col("hi")), col("lo")))
       .groupBy("dept")
@@ -456,7 +471,9 @@ object Kpi {
        |  FROM fact GROUP BY dept)
        |SELECT f.dept, COUNT(*) AS n,
        |       CAST(SUM(f.net) AS DOUBLE) AS sum_net,
-       |       CAST(SUM(GREATEST(LEAST(f.net, b.hi), b.lo)) AS DOUBLE) AS sum_winsorized,
+       |       CAST(SUM(CASE WHEN f.net > b.hi THEN b.hi
+       |                     WHEN f.net < b.lo THEN b.lo ELSE f.net END)
+       |            AS DOUBLE) AS sum_winsorized,
        |       CAST(MIN(b.lo) AS DOUBLE) AS p05, CAST(MIN(b.hi) AS DOUBLE) AS p95
        |FROM fact f JOIN b USING (dept)
        |GROUP BY f.dept ORDER BY dept""".stripMargin

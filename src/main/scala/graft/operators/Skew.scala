@@ -16,10 +16,27 @@ import graft.sources.Tables
   *  3. This salted join — when the small side is too big to broadcast AND
   *     the skew lives in an aggregation-like pattern AQE can't split.
   *
+  * MEASURED (graft.SkewLab, sf1 ×8 amplification, one key owning 50% of
+  * 48 M rows, local[32], SKEWLAB_r08.json): when AQE's split engages it
+  * wins outright — the join stage fans out past 32 tasks, the straggler
+  * disappears (max task ~1.5 s vs ~9.6 s unsplit) and wall drops 3.5×;
+  * this salted join is then the WORST arm, because replicating the small
+  * side ×salts costs ~5× total task-time and the value-hash salt
+  * collides when hot-key rows carry few distinct values (here ~50
+  * distinct quantities → 16 salts populated ~2× unevenly). But the
+  * split is plan-shape dependent: the identical join driven through
+  * `Dataset.count()` never received it in Spark 4.1.2 (straggler
+  * intact across repeated runs) while `collect()` always did — rung 1
+  * is a default, not a guarantee, which is why this lever exists.
+  *
   * The salt is DETERMINISTIC (xxhash64 of the big row's values, mod
   * `salts`), not `rand()`: results are reproducible across retries and
   * partitionings, which task re-execution on a real cluster requires
   * (a nondeterministic salt can double-count rows when a stage retries).
+  * Corollary of the measurement above: value-hashing makes salt balance
+  * only as good as the row-value entropy on the hot keys — if hot rows
+  * are near-duplicates, project extra distinguishing columns into the
+  * big side before salting.
   */
 object Skew {
 

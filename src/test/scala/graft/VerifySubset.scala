@@ -35,8 +35,12 @@ object VerifySubset {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = names.filter(SparkEntry.oracleSql.contains)
-      .map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
+    // The FULL oracle map, not just the subset: check.py reads this
+    // file for whatever queries it is asked to gate, and a subset dump
+    // into a dir produced by a full Verify must not clobber the other
+    // queries' oracle entries.
+    val json = SparkEntry.oracleSql
+      .map { case (n, sql) => s"${q(n)}: ${q(sql)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

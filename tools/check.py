@@ -96,18 +96,23 @@ def compare(want, got):
     # driver sorts columns by name then hashes values; emulate by sorting rows
     w = w.sort_values(by=wc, kind="mergesort").reset_index(drop=True)
     g = g.sort_values(by=gc, kind="mergesort").reset_index(drop=True)
+    # vectorized exact compare (the per-row Python loop took minutes per
+    # million-row query at sf1): numeric dtypes compare by value with
+    # NaN==NaN; everything else by string repr with a both-missing mask.
+    # str() of float64 is round-trippable, so string compare is exact for
+    # mixed/object columns too; the numeric fast path keeps -0.0 == 0.0.
+    import pandas as pd
     for c in wc:
-        for i in range(len(w)):
-            a, b = w[c][i], g[c][i]
-            if a is None and b is None:
-                continue
-            if isinstance(a, float) and isinstance(b, float):
-                if math.isnan(a) and math.isnan(b):
-                    continue
-                if a != b:
-                    return False, f"col {c} row {i}: oracle={a!r} spark={b!r} (diff={a-b})"
-            elif str(a) != str(b):
-                return False, f"col {c} row {i}: oracle={a!r} spark={b!r}"
+        aw, ag = w[c], g[c]
+        both_na = aw.isna() & ag.isna()
+        if aw.dtype == ag.dtype and pd.api.types.is_numeric_dtype(aw):
+            ok = both_na | (aw == ag)
+        else:
+            ok = both_na | (aw.astype(str) == ag.astype(str))
+        if not ok.all():
+            i = int(ok.idxmin())
+            a, b = aw[i], ag[i]
+            return False, f"col {c} row {i}: oracle={a!r} spark={b!r}"
     return True, ""
 
 if __name__ == "__main__":
