@@ -10,8 +10,12 @@ import graft.sources.Tables
   *
   * IMAGE decode is REAL (`javax.imageio` ships in the JDK:
   * [[mediaTableReal]] PNG-encodes genuine rasters, [[decodeRealPartitioned]]
-  * parses them back). The container has no audio/video codecs, so THOSE
-  * kernels are deterministic fakes (clearly marked below) — and
+  * parses them back). AUDIO decode is REAL too (`javax.sound.sampled`
+  * ships in the JDK and parses RIFF/PCM WAV natively: [[mediaTableReal]]
+  * writes genuine 8 kHz 16-bit mono WAV bytes, the decoder recovers the
+  * duration from the parsed header, not from any formula). The container
+  * has no VIDEO codec — that one kernel stays a deterministic fake
+  * (clearly marked below) — and
   * everything Spark-side is real and tested either way: the schema
   * shape, the binary column flow, byte slicing, per-partition batch
   * processing (the Scala analog of `mapInPandas`: one decoder instance
@@ -147,10 +151,46 @@ object Multimodal {
   def imageWidth(id: Long): Int = (id % 48 + 16).toInt
   def imageHeight(id: Long): Int = (id * 7 % 48 + 16).toInt
 
-  /** Media table with REAL payloads for the image rows: a PNG-encoded
-    * RGB gradient of the formula dims (deterministic pixels from the
-    * id), written with `javax.imageio`. Non-image rows keep the UTF-8
-    * text payload (their fake-decode path is what the container
+  /** Deterministic synthetic audio duration (50..499 ms): a pure function
+    * of media_id so the DuckDB oracle can recompute what the real WAV
+    * parser must read back out of the RIFF header. At 8 kHz the frame
+    * count is duration_ms × 8 exactly, so the decoded duration is
+    * integer-exact. */
+  def audioDurationMs(id: Long): Int = (id * 13 % 450 + 50).toInt
+  val AudioRate = 8000
+
+  /** A genuine RIFF/PCM WAV file: 44-byte canonical header + 16-bit LE
+    * mono samples (deterministic id-keyed values). `javax.sound.sampled`
+    * parses this with zero external codecs — the audio analog of the PNG
+    * path. */
+  def wavBytes(id: Long): Array[Byte] = {
+    val frames = audioDurationMs(id) * (AudioRate / 1000)
+    val dataLen = frames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(AudioRate)
+      .putInt(AudioRate * 2)             // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < frames) {
+      bb.putShort((((id * 2654435761L) ^ (i * 31L)) & 0xFFFF).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Media table with REAL payloads for the image AND audio rows: a
+    * PNG-encoded RGB raster of the formula dims (deterministic pixels
+    * from the id, written with `javax.imageio`) and a genuine RIFF/PCM
+    * WAV of the formula duration ([[wavBytes]]). Video rows keep the
+    * UTF-8 text payload (their fake-decode path is what the container
     * supports). One encoder per partition, rows streamed — the same
     * batch shape as the decoder. */
   def mediaTableReal(s: SparkSession, dir: String): Dataset[MediaRow] = {
@@ -176,17 +216,22 @@ object Multimodal {
           buf.reset()
           javax.imageio.ImageIO.write(img, "png", buf)
           MediaRow(r.media_id, r.kind, buf.toByteArray)
+        } else if (r.kind == "audio") {
+          MediaRow(r.media_id, r.kind, wavBytes(r.media_id))
         } else r
       }
     }
   }
 
-  /** REAL decode for images — `ImageIO` parses the PNG bytes and the
-    * width/height come from the decoded raster, not from any formula —
-    * and the documented deterministic fake for audio/video. One
+  /** REAL decode for images AND audio — `ImageIO` parses the PNG bytes
+    * (width/height come from the decoded raster, not from any formula);
+    * `AudioSystem` parses the WAV bytes (duration_ms = frame count /
+    * sample rate from the parsed RIFF header; width/height 0 for sound,
+    * like duration 0 for a still image). Video keeps the documented
+    * deterministic fake — the one kind with no JDK codec. One
     * MessageDigest per partition (the expensive-init pattern); the
-    * ImageIO reader is instantiated per image by the codec registry.
-    * duration_ms for a still image is 0. */
+    * ImageIO/AudioSystem readers are instantiated per row by their codec
+    * registries. */
   def decodeRealPartitioned(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -198,6 +243,17 @@ object Multimodal {
           require(img != null, s"undecodable image payload for media ${r.media_id}")
           DecodedRow(r.media_id, r.kind, img.getWidth, img.getHeight,
             r.content.length.toLong * 8, 0)
+        } else if (r.kind == "audio") {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          try {
+            val fmt = in.getFormat
+            require(fmt.getSampleRate > 0 && in.getFrameLength >= 0,
+              s"undecodable audio payload for media ${r.media_id}")
+            val durMs = (in.getFrameLength * 1000L / fmt.getSampleRate.toLong).toInt
+            DecodedRow(r.media_id, r.kind, 0, 0,
+              r.content.length.toLong * 8, durMs)
+          } finally in.close()
         } else {
           digest.reset()
           val h = digest.digest(r.content).map("%02x".format(_)).mkString
@@ -213,8 +269,10 @@ object Multimodal {
 
   /** Oracle-checked REAL-decode query: encode → PNG bytes → ImageIO
     * decode for images (the decoded raster dims must reproduce the
-    * formula the oracle computes), fake-decode for the codec-less
-    * kinds. */
+    * formula the oracle computes), encode → WAV bytes → AudioSystem
+    * decode for audio (the parsed RIFF duration must reproduce the
+    * duration formula), fake-decode for video — the one codec-less
+    * kind. */
   def qMediaDecode(s: SparkSession, dir: String): DataFrame =
     decodeRealPartitioned(mediaTableReal(s, dir))
       .select(col("media_id"), col("kind"), col("width"), col("height"),
@@ -230,14 +288,18 @@ object Multimodal {
       |SELECT media_id, kind,
       |       CASE WHEN kind = 'image'
       |            THEN CAST(media_id % 48 + 16 AS INT)
+      |            WHEN kind = 'audio' THEN 0
       |            ELSE CAST(CAST('0x' || substr(h, 1, 4) AS BIGINT) % 3840 + 128 AS INT)
       |       END AS width,
       |       CASE WHEN kind = 'image'
       |            THEN CAST(media_id * 7 % 48 + 16 AS INT)
+      |            WHEN kind = 'audio' THEN 0
       |            ELSE CAST(CAST('0x' || substr(h, 5, 4) AS BIGINT) % 2160 + 96 AS INT)
       |       END AS height,
       |       CASE WHEN kind = 'image'
       |            THEN 0
+      |            WHEN kind = 'audio'
+      |            THEN CAST(media_id * 13 % 450 + 50 AS INT)
       |            ELSE CAST(CAST('0x' || substr(h, 9, 4) AS BIGINT) % 60000 AS INT)
       |       END AS duration_ms
       |FROM m ORDER BY media_id""".stripMargin

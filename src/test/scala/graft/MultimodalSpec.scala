@@ -111,7 +111,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("real decoder: formula dims for images, fake-path parity for codec-less kinds") {
+  test("real audio payloads are genuine WAVs; real decode recovers the exact duration") {
+    val real = Multimodal.mediaTableReal(spark, sf)
+    val wavs = real.filter(_.kind == "audio").collect()
+    assert(wavs.nonEmpty)
+    wavs.foreach { r =>
+      // RIFF/WAVE magic, then an independent AudioSystem parse on the driver
+      assert(r.content.take(4).toSeq == "RIFF".getBytes("US-ASCII").toSeq &&
+        r.content.slice(8, 12).toSeq == "WAVE".getBytes("US-ASCII").toSeq,
+        s"media ${r.media_id} payload is not a WAV")
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      try {
+        assert(in.getFormat.getSampleRate.toInt == Multimodal.AudioRate)
+        assert(in.getFormat.getChannels == 1)
+        assert((in.getFrameLength * 1000L / Multimodal.AudioRate).toInt ==
+          Multimodal.audioDurationMs(r.media_id))
+      } finally in.close()
+    }
+  }
+
+  test("real decoder: formula dims for images, parsed duration for audio, fake parity for video") {
     val real = Multimodal.mediaTableReal(spark, sf)
     val decoded = Multimodal.decodeRealPartitioned(real.repartition(5)).collect()
     decoded.filter(_.kind == "image").foreach { d =>
@@ -119,12 +139,18 @@ class MultimodalSpec extends SparkSpec {
         d.height == Multimodal.imageHeight(d.media_id) && d.duration_ms == 0)
       assert(d.bit_size % 8 == 0 && d.bit_size > 0)
     }
-    // non-image rows: real decoder must agree exactly with the
-    // documented fake (same interface, same values — interchangeable)
+    // audio: the duration the RIFF parser reads back must equal the
+    // formula the payload was synthesized from (width/height 0 for sound)
+    decoded.filter(_.kind == "audio").foreach { d =>
+      assert(d.width == 0 && d.height == 0)
+      assert(d.duration_ms == Multimodal.audioDurationMs(d.media_id))
+    }
+    // video rows: real decoder must agree exactly with the documented
+    // fake (same interface, same values — interchangeable)
     val fake = Multimodal.decodePartitioned(media.as[MediaRow])
-      .filter(_.kind != "image").collect()
+      .filter(_.kind == "video").collect()
       .map(d => (d.media_id, d.width, d.height, d.bit_size, d.duration_ms)).sortBy(_._1)
-    val viaReal = decoded.filter(_.kind != "image")
+    val viaReal = decoded.filter(_.kind == "video")
       .map(d => (d.media_id, d.width, d.height, d.bit_size, d.duration_ms)).sortBy(_._1)
     assert(viaReal.toSeq == fake.toSeq)
   }
