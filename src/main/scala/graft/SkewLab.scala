@@ -106,6 +106,21 @@ object SkewLab {
     def salted: DataFrame = Skew.saltedJoin(big, small, "jkey", salts = 16)
       .groupBy("bucket").agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
 
+    // Listener events arrive on an async bus — the LAST TaskEnd (often
+    // the straggler this experiment exists to observe) can land after
+    // the action returns. No public flush API, so quiesce by polling
+    // the snapshot until it stops changing (bounded).
+    def quiesce(): Unit = {
+      var prev = stages.synchronized(stages.map { case (k, v) => (k, (v.n, v.sum)) }.toMap)
+      var stable = 0
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val cur = stages.synchronized(stages.map { case (k, v) => (k, (v.n, v.sum)) }.toMap)
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+    }
+
     case class Arm(wall: Double, rows: Long, joinTasks: Int, maxTask: Double)
     def time(mk: () => DataFrame, skewJoin: Boolean,
              useCount: Boolean = false): Arm = {
@@ -116,6 +131,7 @@ object SkewLab {
         val t0 = System.nanoTime()
         val rows = if (useCount) mk().count() else mk().collect().length.toLong
         val wall = (System.nanoTime() - t0) / 1e9
+        quiesce()
         val join = stages.synchronized(stages.values.maxBy(_.sum))
         if (best == null || wall < best.wall)
           best = Arm(wall, rows, join.n, join.max / 1e3)
@@ -123,15 +139,17 @@ object SkewLab {
       best
     }
 
-    // warmup both shapes
-    time(() => plain, skewJoin = true); time(() => salted, skewJoin = true)
+    // warmup both shapes once each (not reps×)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    plain.collect(); salted.collect()
 
     val on = time(() => plain, skewJoin = true)
     val off = time(() => plain, skewJoin = false)
     val salt = time(() => salted, skewJoin = true)
     val onCount = time(() => plain, skewJoin = true, useCount = true)
-    require(on.rows == off.rows && on.rows == salt.rows,
-      s"arms disagree: aqe_on=${on.rows} aqe_off=${off.rows} salted=${salt.rows}")
+    require(on.rows == off.rows && on.rows == salt.rows && on.rows == onCount.rows,
+      s"arms disagree: aqe_on=${on.rows} aqe_off=${off.rows} " +
+        s"salted=${salt.rows} aqe_on_count=${onCount.rows}")
     def j(a: Arm) =
       f"""{"wall_sec":${a.wall}%.3f,"join_tasks":${a.joinTasks},"max_task_sec":${a.maxTask}%.3f}"""
     println(s"""{"experiment":"skew_join","sf":"$sfDir","hot_fraction":0.5,""" +

@@ -451,8 +451,15 @@ object Kpi {
         .cast(netT).as("lo"),
       expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY net)")
         .cast(netT).as("hi"))
+    // NULL discipline: a missing net contributes NOTHING to the
+    // winsorized sum (both sums skip it identically). Spark's
+    // greatest/least SKIP nulls — unguarded, a NULL net would clamp to
+    // a bound and contribute it to the sum, silently diverging from the
+    // oracle's CASE WHEN (which propagates NULL into SUM's skip).
+    // Guarding makes both engines null-dropping by construction.
     f.join(broadcast(bounds), "dept")
-      .withColumn("wnet", greatest(least(col("net"), col("hi")), col("lo")))
+      .withColumn("wnet", when(col("net").isNotNull,
+        greatest(least(col("net"), col("hi")), col("lo"))))
       .groupBy("dept")
       .agg(count(lit(1)).as("n"),
         dbl(sum(col("net"))).as("sum_net"),

@@ -161,6 +161,23 @@ class KpiSpec extends SparkSpec {
       s"discrete bounds, got p05=${r.getDouble(4)} p95=${r.getDouble(5)}")
   }
 
+  test("winsorize: NULL net contributes to neither sum (null-dropping clamp)") {
+    import org.apache.spark.sql.functions._
+    // Unguarded greatest/least SKIP nulls in Spark, so a NULL net would
+    // clamp to a bound and inflate the winsorized sum while the raw sum
+    // drops the row — the guard keeps both sums null-dropping, matching
+    // the oracle's CASE WHEN + SUM skip. n still counts the row
+    // (COUNT(*) semantics, same on both engines).
+    val f = ((1 to 20).map(i => ("X", Some(BigDecimal(i)))) :+ ("X", None))
+      .toDF("dept", "net")
+      .withColumn("net", col("net").cast("decimal(18,4)"))
+    val r = Kpi.winsorizeFrom(f).collect().head
+    assert(r.getLong(1) === 21L, "count includes the null-net row")
+    assert(r.getDouble(2) === 210.0, "raw sum skips the NULL")
+    assert(r.getDouble(3) === 209.0,
+      "winsorized sum skips the NULL too (no bound contributed)")
+  }
+
   test("forwardFill: leading gap stays NULL, observations restart groups, fill carries") {
     // key A over t1..t5: null, 10, null, null, 20 -> null, 10, 10, 10, 20
     // key B over t1..t2: null, null                -> stays all-null

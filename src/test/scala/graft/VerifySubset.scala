@@ -15,8 +15,9 @@ object VerifySubset {
     val (sfDir, outDir, names) = (args(0), args(1), args.drop(2).toSeq)
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"not declared in SparkEntry.queries: ${unknown.mkString(", ")}")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -4,6 +4,11 @@ the sf tables and compare with the Spark parquet output written by
 graft.Verify. Usage:
   tools/check.py <sfDir> <verifyOutDir> [--json OUT.json] [query ...]
 
+A VerifySubset dump writes the FULL oracle map but only the named
+queries' parquet — when checking such a dir, pass those query names;
+a no-names invocation checks every oracle entry and will fail on the
+queries the subset run never dumped.
+
 Handles both table layouts: the driver's flat `<table>.parquet` files and
 ScaleUp's `<table>.parquet/` directories of part files. ScaleUp writes
 `events.ts` as raw INT64 nanoseconds (Spark cannot write parquet
@@ -14,8 +19,9 @@ With --json, writes a per-query artifact in the driver's CORRECTNESS
 format plus an `sf` field per run — the per-scale-factor evidence ADVICE
 r7 asked for (a single flat file cannot back a cross-scale claim).
 """
-import json, math, os, sys
+import json, os, sys
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -101,7 +107,6 @@ def compare(want, got):
     # NaN==NaN; everything else by string repr with a both-missing mask.
     # str() of float64 is round-trippable, so string compare is exact for
     # mixed/object columns too; the numeric fast path keeps -0.0 == 0.0.
-    import pandas as pd
     for c in wc:
         aw, ag = w[c], g[c]
         both_na = aw.isna() & ag.isna()
@@ -109,6 +114,10 @@ def compare(want, got):
             ok = both_na | (aw == ag)
         else:
             ok = both_na | (aw.astype(str) == ag.astype(str))
+        # nullable (extension) dtypes propagate NA through == and
+        # Series.all() SKIPS NA — a one-sided NULL would silently pass.
+        # Force NA -> mismatch.
+        ok = ok.fillna(False)
         if not ok.all():
             i = int(ok.idxmin())
             a, b = aw[i], ag[i]
