@@ -43,6 +43,15 @@ object Bench {
     def sweep(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // Single-JVM bench hygiene: ~100 sequential heavy queries fragment
+      // the old gen, and by late session queries measure GC, not plans —
+      // at sf10 the inflation reached 10× (59 s in-session vs 4.9 s
+      // isolated for text_langid). An explicit collection between
+      // queries runs OUTSIDE the timed window and keeps each query's
+      // min-of-reps measuring its own plan. Multi-executor clusters
+      // don't share one old gen across a whole suite — this is harness
+      // fidelity, not an engine lever.
+      System.gc()
     }
 
     // Optional comma-separated name filter for local iteration on one

@@ -32,7 +32,7 @@ import scala.collection.mutable
   * Two findings the numbers pin (sf1, local[32], min of 3):
   *   1. When the split engages it wins outright: the join stage fans
   *      out to 32+split tasks, the straggler disappears (max task
-  *      ~1.5 s vs ~9.6 s), wall 3.2 s vs 11.2 s — and salting is the
+  *      ~1.6 s vs ~9.2 s), wall ~4 s vs ~11 s — and salting is the
   *      WORST arm, because replicating the small side ×16 costs ~5×
   *      total task-time, and the deterministic value-hash salt
   *      collides (hot-key rows here carry only ~50 distinct
@@ -40,7 +40,7 @@ import scala.collection.mutable
   *      documented preference order is measured, not argued.
   *   2. The split is plan-shape dependent: the IDENTICAL join driven
   *      through `Dataset.count()` never received the split in 4.1.2
-  *      (same confs, repeated runs — max task ~11 s, straggler
+  *      (same confs, repeated runs — max task ~8-11 s, straggler
   *      intact), while `collect()` always did. AQE is the first rung,
   *      not a guarantee — which is exactly why the manual lever stays
   *      in the toolbox for "patterns AQE can't split".

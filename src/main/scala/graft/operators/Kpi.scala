@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Num._
 import graft.sources.Tables
-import graft.sources.Tables.{factSql, inMonthSql}
+import graft.sources.Tables.{dblSql, factSql, inMonthSql}
 
 /** The reference's five analytic endpoints (`src/api.py:13-275`) rebuilt as
   * native Spark DataFrame programs over the testdata star schema. Each query
@@ -121,11 +121,11 @@ object Kpi {
   def summarySql(m: String = M1): String =
     s"""WITH ${factSql(inMonthSql("o.o_orderdate", m))},
        |agg AS (
-       |  SELECT CAST(SUM(gross + bonus + overtime) AS DOUBLE) AS fot,
-       |         CAST(SUM(taxes) AS DOUBLE) AS taxes,
-       |         CAST(SUM(gross) AS DOUBLE) AS gross,
-       |         CAST(SUM(net) AS DOUBLE) AS net,
-       |         CAST(SUM(fte) AS DOUBLE) AS fte,
+       |  SELECT ${dblSql("SUM(gross + bonus + overtime)")} AS fot,
+       |         ${dblSql("SUM(taxes)")} AS taxes,
+       |         ${dblSql("SUM(gross)")} AS gross,
+       |         ${dblSql("SUM(net)")} AS net,
+       |         ${dblSql("SUM(fte)")} AS fte,
        |         COUNT(DISTINCT emp_id) AS headcount
        |  FROM fact
        |)
@@ -156,13 +156,13 @@ object Kpi {
   def byDeptSql(m: String = M1): String =
     s"""WITH ${factSql(inMonthSql("o.o_orderdate", m))}
        |SELECT dept,
-       |       CAST(SUM(gross) AS DOUBLE) AS gross,
-       |       CAST(SUM(bonus) AS DOUBLE) AS bonus,
-       |       CAST(SUM(overtime) AS DOUBLE) AS overtime,
-       |       CAST(SUM(gross + bonus + overtime) AS DOUBLE) AS fot,
-       |       CAST(SUM(net) AS DOUBLE) AS net,
-       |       CAST(SUM(taxes) AS DOUBLE) AS taxes,
-       |       CAST(SUM(fte) AS DOUBLE) AS fte,
+       |       ${dblSql("SUM(gross)")} AS gross,
+       |       ${dblSql("SUM(bonus)")} AS bonus,
+       |       ${dblSql("SUM(overtime)")} AS overtime,
+       |       ${dblSql("SUM(gross + bonus + overtime)")} AS fot,
+       |       ${dblSql("SUM(net)")} AS net,
+       |       ${dblSql("SUM(taxes)")} AS taxes,
+       |       ${dblSql("SUM(fte)")} AS fte,
        |       COUNT(DISTINCT emp_id) AS headcount
        |FROM fact GROUP BY dept ORDER BY dept""".stripMargin
 
@@ -207,10 +207,10 @@ object Kpi {
        |    SUM(CASE WHEN month = '$m2' THEN overtime ELSE CAST(0 AS DECIMAL(18,4)) END) AS o2
        |  FROM fact
        |)
-       |SELECT CAST(COALESCE(g2 - g1, 0) AS DOUBLE) AS gross_delta,
-       |       CAST(COALESCE(b2 - b1, 0) AS DOUBLE) AS bonus_delta,
-       |       CAST(COALESCE(o2 - o1, 0) AS DOUBLE) AS overtime_delta,
-       |       CAST(COALESCE((g2 - g1) + (b2 - b1) + (o2 - o1), 0) AS DOUBLE) AS fot_delta
+       |SELECT ${dblSql("COALESCE(g2 - g1, 0)")} AS gross_delta,
+       |       ${dblSql("COALESCE(b2 - b1, 0)")} AS bonus_delta,
+       |       ${dblSql("COALESCE(o2 - o1, 0)")} AS overtime_delta,
+       |       ${dblSql("COALESCE((g2 - g1) + (b2 - b1) + (o2 - o1), 0)")} AS fot_delta
        |FROM agg""".stripMargin
 
   // -------------------------------------------------------------------
@@ -255,10 +255,10 @@ object Kpi {
        |  FROM fact GROUP BY dept
        |)
        |SELECT dept,
-       |       CAST(g2 - g1 AS DOUBLE) AS gross_delta,
-       |       CAST(b2 - b1 AS DOUBLE) AS bonus_delta,
-       |       CAST(o2 - o1 AS DOUBLE) AS overtime_delta,
-       |       CAST((g2 - g1) + (b2 - b1) + (o2 - o1) AS DOUBLE) AS fot_delta
+       |       ${dblSql("g2 - g1")} AS gross_delta,
+       |       ${dblSql("b2 - b1")} AS bonus_delta,
+       |       ${dblSql("o2 - o1")} AS overtime_delta,
+       |       ${dblSql("(g2 - g1) + (b2 - b1) + (o2 - o1)")} AS fot_delta
        |FROM agg ORDER BY dept""".stripMargin
 
   // -------------------------------------------------------------------
@@ -295,8 +295,8 @@ object Kpi {
     s"""WITH ${factSql(pred)},
        |monthly AS (SELECT dept, month, SUM(gross) AS g FROM fact GROUP BY dept, month),
        |lagd AS (
-       |  SELECT dept, month, CAST(g AS DOUBLE) AS gross,
-       |         CAST(lag(g) OVER (PARTITION BY dept ORDER BY month) AS DOUBLE) AS prev_gross
+       |  SELECT dept, month, ${dblSql("g")} AS gross,
+       |         ${dblSql("lag(g) OVER (PARTITION BY dept ORDER BY month)")} AS prev_gross
        |  FROM monthly)
        |SELECT dept, month, gross, prev_gross,
        |       CASE WHEN prev_gross IS NOT NULL AND prev_gross <> 0
@@ -329,10 +329,10 @@ object Kpi {
     val pred = months.map(m => inMonthSql("o.o_orderdate", m)).mkString(" OR ")
     s"""WITH ${factSql(pred)},
        |monthly AS (SELECT month, SUM(gross) AS g FROM fact GROUP BY month)
-       |SELECT month, CAST(g AS DOUBLE) AS gross,
-       |       CAST(SUM(g) OVER w AS DOUBLE) AS gross_3m,
+       |SELECT month, ${dblSql("g")} AS gross,
+       |       ${dblSql("SUM(g) OVER w")} AS gross_3m,
        |       COUNT(*) OVER w AS n_3m,
-       |       CAST(SUM(g) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS gross_3m_avg
+       |       ${dblSql("SUM(g) OVER w")} / (COUNT(*) OVER w) AS gross_3m_avg
        |FROM monthly
        |WINDOW w AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
        |ORDER BY month""".stripMargin
@@ -477,10 +477,9 @@ object Kpi {
        |  SELECT dept, quantile_disc(net, $pLo) AS lo, quantile_disc(net, $pHi) AS hi
        |  FROM fact GROUP BY dept)
        |SELECT f.dept, COUNT(*) AS n,
-       |       CAST(SUM(f.net) AS DOUBLE) AS sum_net,
-       |       CAST(SUM(CASE WHEN f.net > b.hi THEN b.hi
-       |                     WHEN f.net < b.lo THEN b.lo ELSE f.net END)
-       |            AS DOUBLE) AS sum_winsorized,
+       |       ${dblSql("SUM(f.net)")} AS sum_net,
+       |       ${dblSql("""SUM(CASE WHEN f.net > b.hi THEN b.hi
+       |          WHEN f.net < b.lo THEN b.lo ELSE f.net END)""".stripMargin)} AS sum_winsorized,
        |       CAST(MIN(b.lo) AS DOUBLE) AS p05, CAST(MIN(b.hi) AS DOUBLE) AS p95
        |FROM fact f JOIN b USING (dept)
        |GROUP BY f.dept ORDER BY dept""".stripMargin
@@ -511,7 +510,7 @@ object Kpi {
 
   def inactiveSql(m: String = M1): String =
     s"""SELECT n.n_name AS dept, COUNT(*) AS n_inactive,
-       |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+       |       ${dblSql("SUM(CAST(c.c_acctbal AS DECIMAL(18,4)))")} AS sum_acctbal
        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
        |WHERE NOT EXISTS (
        |  SELECT 1 FROM orders o
@@ -545,7 +544,7 @@ object Kpi {
   def rollupSql(m1: String = M1, m2: String = M2): String =
     s"""WITH ${factSql(s"${inMonthSql("o.o_orderdate", m1)} OR ${inMonthSql("o.o_orderdate", m2)}")}
        |SELECT COALESCE(dept, 'ALL') AS dept, COALESCE(month, 'ALL') AS month,
-       |       CAST(SUM(gross) AS DOUBLE) AS gross, CAST(SUM(net) AS DOUBLE) AS net,
+       |       ${dblSql("SUM(gross)")} AS gross, ${dblSql("SUM(net)")} AS net,
        |       COUNT(*) AS n, CAST(GROUPING(dept, month) AS INT) AS gid
        |FROM fact GROUP BY ROLLUP(dept, month)
        |ORDER BY gid, dept, month""".stripMargin
@@ -570,7 +569,7 @@ object Kpi {
   def cubeSql(m1: String = M1, m2: String = M2): String =
     s"""WITH ${factSql(s"${inMonthSql("o.o_orderdate", m1)} OR ${inMonthSql("o.o_orderdate", m2)}")}
        |SELECT COALESCE(dept, 'ALL') AS dept, COALESCE(month, 'ALL') AS month,
-       |       CAST(SUM(gross) AS DOUBLE) AS gross, CAST(SUM(net) AS DOUBLE) AS net,
+       |       ${dblSql("SUM(gross)")} AS gross, ${dblSql("SUM(net)")} AS net,
        |       COUNT(*) AS n, CAST(GROUPING(dept, month) AS INT) AS gid
        |FROM fact GROUP BY CUBE(dept, month)
        |ORDER BY gid, dept, month""".stripMargin
@@ -629,7 +628,7 @@ object Kpi {
   def pivotSql(months: Seq[(String, String)] = PivotMonths): String = {
     val pred = months.map { case (m, _) => inMonthSql("o.o_orderdate", m) }.mkString(" OR ")
     val arms = months.map { case (m, alias) =>
-      s"CAST(SUM(CASE WHEN month = '$m' THEN gross END) AS DOUBLE) AS $alias"
+      dblSql(s"SUM(CASE WHEN month = '$m' THEN gross END)") + s" AS $alias"
     }.mkString(",\n       ")
     s"""WITH ${factSql(pred)}
        |SELECT dept,
@@ -709,7 +708,7 @@ object Kpi {
     val deptPred = dept.fold("TRUE")(d => s"dept = ${Tables.sqlLit(d)}")
     s"""WITH data AS (
        |  SELECT o.o_custkey AS emp_id, n.n_name AS dept,
-       |         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS net
+       |         ${dblSql("SUM(CAST(o.o_totalprice AS DECIMAL(18,4)))")} AS net
        |  FROM orders o
        |  JOIN customer c ON o.o_custkey = c.c_custkey
        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -812,8 +811,8 @@ object Kpi {
        |         COUNT(m.net_m) OVER (PARTITION BY s.emp_id ORDER BY s.month) AS grp
        |  FROM spine s LEFT JOIN monthly m
        |    ON m.emp_id = s.emp_id AND m.month = s.month)
-       |SELECT emp_id, month, CAST(net_m AS DOUBLE) AS net,
-       |       CAST(MAX(net_m) OVER (PARTITION BY emp_id, grp) AS DOUBLE) AS net_filled,
+       |SELECT emp_id, month, ${dblSql("net_m")} AS net,
+       |       ${dblSql("MAX(net_m) OVER (PARTITION BY emp_id, grp)")} AS net_filled,
        |       net_m IS NULL AS is_gap
        |FROM j ORDER BY emp_id, month""".stripMargin
   }
@@ -903,9 +902,9 @@ object Kpi {
        |  GROUP BY dept),
        |r AS (
        |  SELECT dept, n,
-       |         CAST(n * sxy - sx * sy AS DOUBLE)
+       |         ${dblSql("n * sxy - sx * sy")}
        |           / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS slope,
-       |         CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+       |         ${dblSql("sy")} AS syd, CAST(sx AS DOUBLE) AS sxd
        |  FROM g)
        |SELECT dept, n AS n_months, slope,
        |       (syd - slope * sxd) / CAST(n AS DOUBLE) AS intercept
@@ -960,8 +959,8 @@ object Kpi {
        |         SUM(net) OVER () AS total
        |  FROM d),
        |r AS (
-       |  SELECT dept, rank, CAST(net AS DOUBLE) AS net,
-       |         CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+       |  SELECT dept, rank, ${dblSql("net")} AS net,
+       |         ${dblSql("cum")} / ${dblSql("total")} AS cum_share
        |  FROM w)
        |SELECT dept, rank, net, cum_share,
        |       CASE WHEN cum_share <= $ParetoA THEN 'A'

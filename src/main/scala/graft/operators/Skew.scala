@@ -19,7 +19,7 @@ import graft.sources.Tables
   * MEASURED (graft.SkewLab, sf1 ×8 amplification, one key owning 50% of
   * 48 M rows, local[32], SKEWLAB_r08.json): when AQE's split engages it
   * wins outright — the join stage fans out past 32 tasks, the straggler
-  * disappears (max task ~1.5 s vs ~9.6 s unsplit) and wall drops 3.5×;
+  * disappears (max task ~1.6 s vs ~9.2 s unsplit) and wall drops ~3×;
   * this salted join is then the WORST arm, because replicating the small
   * side ×salts costs ~5× total task-time and the value-hash salt
   * collides when hot-key rows carry few distinct values (here ~50

@@ -87,6 +87,18 @@ object Tables {
   /** Escape a string literal for splicing into oracle SQL. */
   def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** Correctly-rounded DECIMAL→DOUBLE boundary for oracle SQL. DuckDB's
+    * direct decimal→double cast computes double(int128 unscaled) ÷
+    * double(10^scale) — TWO roundings — and goes wrong by 1 ULP once
+    * the unscaled value exceeds 2^53 (first observed at sf10: money
+    * sums at scale 8 pass 10^16). Routing through VARCHAR prints the
+    * exact digits and re-parses with strtod — ONE correct rounding,
+    * matching the JVM's `BigDecimal.doubleValue` that [[graft.functions
+    * .Num.dbl]] compiles to on the Spark side. Use this for every
+    * decimal AGGREGATE crossing to double in oracle SQL; per-row money
+    * values are far below the threshold and may cast directly. */
+  def dblSql(e: String): String = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+
   def inMonth(c: org.apache.spark.sql.Column, m0: String): org.apache.spark.sql.Column = {
     val m = requireMonth(m0)
     val lo = java.sql.Timestamp.valueOf(s"$m-01 00:00:00")
