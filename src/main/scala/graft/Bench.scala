@@ -48,10 +48,16 @@ object Bench {
       // at sf10 the inflation reached 10× (59 s in-session vs 4.9 s
       // isolated for text_langid). An explicit collection between
       // queries runs OUTSIDE the timed window and keeps each query's
-      // min-of-reps measuring its own plan. Multi-executor clusters
-      // don't share one old gen across a whole suite — this is harness
-      // fidelity, not an engine lever.
-      System.gc()
+      // min-of-reps measuring its own plan. But an UNCONDITIONAL
+      // System.gc() is a full collection that also unloads cold JIT'd
+      // codegen classes — measured as a uniform ~0.1-0.3 s re-JIT tax
+      // per query at sf0.1 (62 s → 76 s session total) where the heap
+      // was never pressured. Collect only when the heap is actually
+      // past half its ceiling: a no-op at small sf, the tail-rescuer at
+      // sf10. Multi-executor clusters don't share one old gen across a
+      // whole suite — this is harness fidelity, not an engine lever.
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
     }
 
     // Optional comma-separated name filter for local iteration on one
