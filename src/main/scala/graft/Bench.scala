@@ -115,6 +115,24 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
+    // Second, compact line: the driver's bench artifact keeps only the
+    // final ~2000 chars of stdout, which the full-precision flat line has
+    // never fit (rounds 1-8 all record parsed:null and a mid-line tail).
+    // Grouping query names by family prefix ("kpi_summary" ->
+    // kpi:{summary:...}) and quantizing to whole milliseconds fits every
+    // per-query timing inside the window, so the driver artifact carries
+    // the complete map; bench_full.json stays the full-precision copy.
+    val grouped = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[String, Long]]()
+    results.foreach { case (name, sec) =>
+      val i = name.indexOf('_')
+      val (p, rest) = if (i > 0) (name.substring(0, i), name.substring(i + 1)) else (name, name)
+      grouped.getOrElseUpdate(p, scala.collection.mutable.LinkedHashMap.empty).update(rest, math.round(sec * 1000))
+    }
+    val gq = grouped.map { case (p, sub) =>
+      "\"" + p + "\":{" + sub.map { case (r, ms) => "\"" + r + "\":" + ms }.mkString(",") + "}"
+    }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n":${results.size},"queries_ms":$gq,"errors":$errs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    println(compact)
     // Also persist the full JSON to a file: the driver captures stdout
     // through a bounded tail window that has truncated mid-object (round
     // 7 kept 66 of 101 per-query timings), leaving the recorded total

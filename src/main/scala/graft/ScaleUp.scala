@@ -137,6 +137,12 @@ object ScaleUp {
       .withColumn("l_suppkey", shifted("l_suppkey", suppOff)),
       "lineitem", 16, Seq("l_orderkey", "l_linenumber"))
 
+    // Replication contract: events.user_id is a STANDALONE partition key
+    // (sessionization / funnel / as-of grouping), NOT a foreign key into
+    // customer or any other entity table — no query joins it across
+    // tables, so it shifts by its own domain. If a future query treats
+    // user_id as a customer key, offset by custOff instead or the
+    // replicated copies dangle. (ADVICE r8: made explicit.)
     write(replicate(read("events"))
       .withColumn("event_id", shifted("event_id", eventOff))
       .withColumn("user_id", shifted("user_id", userOff)),

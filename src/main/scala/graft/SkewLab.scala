@@ -73,9 +73,14 @@ object SkewLab {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Straggler evidence: per-stage task count + max task millis; the
-    // join stage is the one with the largest summed task time.
-    case class St(var n: Int = 0, var sum: Long = 0, var max: Long = 0)
+    // Straggler evidence: per-stage task count + max task millis. The
+    // join stage is the largest-summed-task-time stage AMONG the stages
+    // that actually read shuffle data (ADVICE r8: at small sf a scan or
+    // exchange-write stage can out-sum the join stage; scans read no
+    // shuffle, so the shuffle-read filter pins the post-exchange stage
+    // the skew split acts on).
+    case class St(var n: Int = 0, var sum: Long = 0, var max: Long = 0,
+                  var shufRead: Long = 0)
     val stages = mutable.LinkedHashMap[Int, St]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
@@ -83,6 +88,8 @@ object SkewLab {
           val s = stages.getOrElseUpdate(t.stageId, St())
           s.n += 1; s.sum += t.taskInfo.duration
           s.max = s.max max t.taskInfo.duration
+          s.shufRead += Option(t.taskMetrics)
+            .map(_.shuffleReadMetrics.totalBytesRead).getOrElse(0L)
         }
     })
 
@@ -132,16 +139,23 @@ object SkewLab {
         val rows = if (useCount) mk().count() else mk().collect().length.toLong
         val wall = (System.nanoTime() - t0) / 1e9
         quiesce()
-        val join = stages.synchronized(stages.values.maxBy(_.sum))
+        val join = stages.synchronized {
+          val all = stages.values.toSeq
+          val post = all.filter(_.shufRead > 0)
+          (if (post.nonEmpty) post else all).maxBy(_.sum)
+        }
         if (best == null || wall < best.wall)
           best = Arm(wall, rows, join.n, join.max / 1e3)
       }
       best
     }
 
-    // warmup both shapes once each (not reps×)
+    // warmup all THREE plan shapes once each (not reps×): collect-shaped
+    // plain/salted AND count-shaped plain, so the aqe_on_count_action
+    // arm doesn't pay first-use codegen/JIT that the others skipped
+    // (ADVICE r8)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    plain.collect(); salted.collect()
+    plain.collect(); salted.collect(); plain.count()
 
     val on = time(() => plain, skewJoin = true)
     val off = time(() => plain, skewJoin = false)

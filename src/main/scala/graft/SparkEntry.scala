@@ -150,11 +150,13 @@ object SparkEntry {
     // REAL image decode: PNG-encode (javax.imageio) then genuinely
     // decode back; the raster dims must reproduce the oracle's formula
     "media_decode" -> ((s, d) => Multimodal.qMediaDecode(s, d)),
-    // HLL sketch next to exact distinct — NOT oracle-gated (the sketch
-    // value is engine-specific, so no DuckDB oracle exists and the gate
-    // records err=no_oracle). The engine-independent property — the
-    // estimate's relative error bound vs the exact count — is hash-gated
-    // separately as kpi_headcount_audit; KpiSpec also bounds the error.
+    // HLL sketch next to exact distinct — rows+schema-gated with the
+    // VALUE waived by design (the sketch is engine-specific, so the
+    // oracle substitutes the exact distinct and hash_match is expected
+    // false; see Kpi.headcountApproxOracleSql). The engine-independent
+    // property — the estimate's relative error bound vs the exact
+    // count — is hash-gated separately as kpi_headcount_audit; KpiSpec
+    // also bounds the error.
     "kpi_headcount_approx" -> ((s, d) => Kpi.headcountApprox(s, d)),
     // Same anomalies semantics via the spillable sort-based exact median
     // (SURVEY §7.2 scale path) — same oracle, different physical plan.
@@ -332,6 +334,9 @@ object SparkEntry {
     "text_index" -> operators.Index.qIndexSql,
     "events_new_users" -> Events.qNewUsersSql,
     "kpi_headcount_audit" -> Kpi.headcountAuditSql(),
+    // value-waived rows+schema gate; hash divergence on `approx` is the
+    // documented engine-specific HLL (bound gated by kpi_headcount_audit)
+    "kpi_headcount_approx" -> Kpi.headcountApproxOracleSql(),
     "etl_quarantine" -> Etl.qQuarantineSql,
     "etl_union_evolve" -> Etl.qUnionEvolveSql,
     "pipeline_match" -> Sample.qMatchSql,

@@ -29,8 +29,10 @@ import graft.sources.Tables
   *     reach the output: candidates are a superset of the true heavy
   *     hitters, and the verify phase is exact.
   *
-  * The summary is localCheckpoint-ed: it is consumed twice (total +
-  * candidate set) and must not recompute the corpus scan each time.
+  * The summary is lineage-cut ([[graft.functions.Lineage.cut]]): it is
+  * consumed twice (total + candidate set) and must not recompute the
+  * corpus scan each time; the cut is reliable when a checkpoint dir is
+  * configured, executor-local otherwise.
   */
 object Heavy {
   /** Threshold denominator: heavy ⇔ count × M > N (count > N/M). */
@@ -65,9 +67,10 @@ object Heavy {
     val summary = tokens.as[String].mapPartitions { it =>
       val (cands, n) = misraGries(it, m)
       cands.keysIterator.map(w => (w, 0L, false)) ++ Iterator(("", n, true))
-    }.toDF("token", "np", "is_total").localCheckpoint(true)
-    val total = summary.filter(col("is_total")).agg(sum("np").as("total"))
-    val cands = summary.filter(!col("is_total")).select("token").distinct()
+    }.toDF("token", "np", "is_total")
+    val cut = graft.functions.Lineage.cut(summary)
+    val total = cut.filter(col("is_total")).agg(sum("np").as("total"))
+    val cands = cut.filter(!col("is_total")).select("token").distinct()
     tokens.join(broadcast(cands), "token")
       .groupBy("token").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))

@@ -88,6 +88,21 @@ object Kpi {
       col("exact").as("headcount"),
       (col("rel_err") <= ApproxTol).as("approx_ok"))
 
+  /** Rows+schema oracle for [[headcountApprox]] (VERDICT r8 next-round
+    * #5): the HLL estimate is engine-specific, so the VALUE comparison
+    * is waived BY DESIGN — the oracle reproduces the exact row count and
+    * the exact schema (exact, approx, rel_err), substituting the exact
+    * distinct for the sketch value. The driver row therefore reads
+    * rows_match=true, schema_match=true, hash_match=false with no err —
+    * the hash flag records the expected engine divergence, not a defect.
+    * The engine-independent property (estimate within [[ApproxTol]] of
+    * exact) is fully hash-gated by [[headcountAudit]]. */
+  def headcountApproxOracleSql(m: String = M1): String =
+    s"""WITH ${Tables.factSql(Tables.inMonthSql("o.o_orderdate", m))}
+       |SELECT COUNT(DISTINCT emp_id) AS "exact", COUNT(DISTINCT emp_id) AS "approx",
+       |       CAST(0.0 AS DOUBLE) AS "rel_err"
+       |FROM fact""".stripMargin
+
   def headcountAuditSql(m: String = M1): String =
     s"""WITH ${Tables.factSql(Tables.inMonthSql("o.o_orderdate", m))}
        |SELECT COUNT(DISTINCT emp_id) AS headcount, true AS approx_ok

@@ -8,19 +8,20 @@ import graft.sources.Tables
   * opaque `binary` column + typed metadata struct, with decode /
   * feature-extract / frame-sample stages.
   *
-  * IMAGE decode is REAL (`javax.imageio` ships in the JDK:
-  * [[mediaTableReal]] PNG-encodes genuine rasters, [[decodeRealPartitioned]]
-  * parses them back). AUDIO decode is REAL too (`javax.sound.sampled`
-  * ships in the JDK and parses RIFF/PCM WAV natively: [[mediaTableReal]]
-  * writes genuine 8 kHz 16-bit mono WAV bytes, the decoder recovers the
-  * duration from the parsed header, not from any formula). The container
-  * has no VIDEO codec — that one kernel stays a deterministic fake
-  * (clearly marked below) — and
-  * everything Spark-side is real and tested either way: the schema
-  * shape, the binary column flow, byte slicing, per-partition batch
-  * processing (the Scala analog of `mapInPandas`: one decoder instance
-  * per partition, rows streamed through it), and partitioning
-  * preservation.
+  * ALL THREE decode kinds are REAL, through JDK-shipped codecs only:
+  * IMAGE via `javax.imageio` ([[mediaTableReal]] PNG-encodes genuine
+  * rasters, [[decodeRealPartitioned]] parses them back), AUDIO via
+  * `javax.sound.sampled` (genuine 8 kHz 16-bit mono RIFF/PCM WAV bytes;
+  * the decoder recovers the duration from the parsed header, not from
+  * any formula), and VIDEO via the `javax.imageio` GIF plugin's
+  * multi-frame support (genuine animated GIFs; the decoder scans the
+  * actual image sequence for the frame count and sums the parsed
+  * per-frame delays for the duration — the JDK has no mp4/h264 codec,
+  * so animated GIF is the one container whose bytes can be real here).
+  * Everything Spark-side is real and tested: the schema shape, the
+  * binary column flow, byte slicing, per-partition batch processing
+  * (the Scala analog of `mapInPandas`: one decoder instance per
+  * partition, rows streamed through it), and partitioning preservation.
   *
   * Scale notes: media blobs ride the same columnar files as their
   * metadata; the metadata struct lets filters prune (`kind = 'image' AND
@@ -112,11 +113,13 @@ object Multimodal {
   // ---------------------------------------------------------------
   case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
   case class DecodedRow(media_id: Long, kind: String, width: Int, height: Int,
-                        bit_size: Long, duration_ms: Int)
+                        bit_size: Long, duration_ms: Int, n_frames: Int)
 
   /** FAKE per-partition decoder: instantiated ONCE per partition (the
     * expensive-codec-init pattern), then streamed. Must agree with
-    * [[decodeMeta]] — pinned by MultimodalSpec. */
+    * [[decodeMeta]] on the shared fields — pinned by MultimodalSpec.
+    * n_frames is 1 (a single still): the hash formula has no frame
+    * notion; the REAL decoders below parse actual frame counts. */
   def decodePartitioned(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -129,19 +132,19 @@ object Multimodal {
           (java.lang.Long.parseLong(h.substring(0, 4), 16) % 3840 + 128).toInt,
           (java.lang.Long.parseLong(h.substring(4, 8), 16) % 2160 + 96).toInt,
           r.content.length.toLong * 8,
-          (java.lang.Long.parseLong(h.substring(8, 12), 16) % 60000).toInt)
+          (java.lang.Long.parseLong(h.substring(8, 12), 16) % 60000).toInt, 1)
       }
     }
   }
 
   // ---------------------------------------------------------------
-  // REAL image decode (javax.imageio — in the JDK, zero extra deps).
-  // The container has no audio/video codecs, so those kinds keep the
-  // deterministic fake; images are genuinely encoded to PNG and
-  // genuinely decoded back. The oracle can still hash-gate the round
-  // trip because the synthetic image DIMENSIONS are a pure function of
-  // media_id — the decoder must recover exactly those numbers from the
-  // actual PNG bytes, which DuckDB recomputes from the formula.
+  // REAL decode, all three kinds (javax.imageio + javax.sound.sampled —
+  // in the JDK, zero extra deps): PNG for stills, RIFF/PCM WAV for
+  // audio, multi-frame animated GIF for video. The oracle can hash-gate
+  // each round trip because the synthetic payload SHAPE (dims, duration,
+  // frame count, per-frame delay) is a pure function of media_id — the
+  // decoder must recover exactly those numbers from the actual bytes,
+  // which DuckDB recomputes from the formulas.
   // ---------------------------------------------------------------
 
   /** Deterministic synthetic image dims: a pure function of media_id so
@@ -158,6 +161,103 @@ object Multimodal {
     * integer-exact. */
   def audioDurationMs(id: Long): Int = (id * 13 % 450 + 50).toInt
   val AudioRate = 8000
+
+  /** Deterministic synthetic video shape — pure functions of media_id so
+    * the DuckDB oracle can recompute what the GIF container parser must
+    * read back out of real bytes: frame count 2..13, small dims, and a
+    * per-frame delay in the GIF container's native 10 ms units (1..5),
+    * so total duration = frames × delay × 10 ms is integer-exact. */
+  def videoFrames(id: Long): Int = (id * 11 % 12 + 2).toInt
+  def videoWidth(id: Long): Int = (id * 3 % 40 + 12).toInt
+  def videoHeight(id: Long): Int = (id * 7 % 40 + 12).toInt
+  def videoDelay10(id: Long): Int = (id % 5 + 1).toInt
+  def videoDurationMs(id: Long): Int = videoFrames(id) * videoDelay10(id) * 10
+
+  /** A genuine multi-frame ANIMATED GIF: the JDK ships no mp4/h264 codec,
+    * but `javax.imageio`'s GIF plugin both writes and reads multi-frame
+    * sequences — which makes frame-count / dimension / per-frame-delay
+    * extraction testable against real container bytes, the same way
+    * [[wavBytes]] made audio real. Frames are palette-indexed rasters
+    * (GIF is a palette format) with deterministic id-keyed pixels; each
+    * frame carries a GraphicControlExtension with the formula delay.
+    * `writer` is partition-scoped (expensive-init pattern, like the
+    * MessageDigest in [[decodePartitioned]]). */
+  def gifBytes(id: Long, writer: javax.imageio.ImageWriter): Array[Byte] = {
+    val w = videoWidth(id); val h = videoHeight(id); val nf = videoFrames(id)
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (((id * 2654435761L) ^ (x * 31L + y * 17L + f * 101L)) & 0xFFFFFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = {
+        val kids = root.getElementsByTagName("GraphicControlExtension")
+        if (kids.getLength > 0)
+          kids.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        else {
+          val n = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+          root.appendChild(n); n
+        }
+      }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", videoDelay10(id).toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    buf.toByteArray
+  }
+
+  /** Parse real GIF bytes back: (n_frames, width, height, duration_ms).
+    * Frame count comes from `getNumImages(allowSearch = true)` — an
+    * actual scan of the image sequence — and the duration from summing
+    * each frame's parsed GraphicControlExtension delay. Nothing here
+    * consults the synthesis formulas. */
+  def gifDecode(bytes: Array[Byte],
+                reader: javax.imageio.ImageReader): (Int, Int, Int, Int) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    reader.setInput(iis, false, false)
+    val n = reader.getNumImages(true)
+    val w = reader.getWidth(0); val h = reader.getHeight(0)
+    var durMs = 0
+    var i = 0
+    while (i < n) {
+      val meta = reader.getImageMetadata(i)
+      val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val kids = root.getElementsByTagName("GraphicControlExtension")
+      if (kids.getLength > 0)
+        durMs += kids.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          .getAttribute("delayTime").toInt * 10
+      i += 1
+    }
+    reader.setInput(null)
+    iis.close()
+    (n, w, h, durMs)
+  }
 
   /** A genuine RIFF/PCM WAV file: 44-byte canonical header + 16-bit LE
     * mono samples (deterministic id-keyed values). `javax.sound.sampled`
@@ -186,17 +286,19 @@ object Multimodal {
     bb.array()
   }
 
-  /** Media table with REAL payloads for the image AND audio rows: a
-    * PNG-encoded RGB raster of the formula dims (deterministic pixels
-    * from the id, written with `javax.imageio`) and a genuine RIFF/PCM
-    * WAV of the formula duration ([[wavBytes]]). Video rows keep the
-    * UTF-8 text payload (their fake-decode path is what the container
-    * supports). One encoder per partition, rows streamed — the same
-    * batch shape as the decoder. */
+  /** Media table with REAL payloads for ALL THREE kinds: a PNG-encoded
+    * RGB raster of the formula dims (deterministic pixels from the id,
+    * written with `javax.imageio`), a genuine RIFF/PCM WAV of the
+    * formula duration ([[wavBytes]]), and a genuine multi-frame animated
+    * GIF of the formula frame count / dims / delays ([[gifBytes]]).
+    * One encoder per partition, rows streamed — the same batch shape as
+    * the decoder. */
   def mediaTableReal(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
       val buf = new java.io.ByteArrayOutputStream()
+      lazy val gifWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       rows.map { r =>
         if (r.kind == "image") {
           val w = imageWidth(r.media_id); val h = imageHeight(r.media_id)
@@ -218,31 +320,35 @@ object Multimodal {
           MediaRow(r.media_id, r.kind, buf.toByteArray)
         } else if (r.kind == "audio") {
           MediaRow(r.media_id, r.kind, wavBytes(r.media_id))
-        } else r
+        } else {
+          MediaRow(r.media_id, r.kind, gifBytes(r.media_id, gifWriter))
+        }
       }
     }
   }
 
-  /** REAL decode for images AND audio — `ImageIO` parses the PNG bytes
+  /** REAL decode for ALL THREE kinds — `ImageIO` parses the PNG bytes
     * (width/height come from the decoded raster, not from any formula);
     * `AudioSystem` parses the WAV bytes (duration_ms = frame count /
     * sample rate from the parsed RIFF header; width/height 0 for sound,
-    * like duration 0 for a still image). Video keeps the documented
-    * deterministic fake — the one kind with no JDK codec. One
-    * MessageDigest per partition (the expensive-init pattern); the
-    * ImageIO/AudioSystem readers are instantiated per row by their codec
-    * registries. */
+    * like duration 0 for a still image); the GIF plugin parses the
+    * animated-GIF bytes ([[gifDecode]]: n_frames from an actual
+    * sequence scan, duration from the summed per-frame delays). The GIF
+    * reader is partition-scoped (expensive-init pattern); the
+    * ImageIO/AudioSystem readers for stills/sound are instantiated per
+    * row by their codec registries. */
   def decodeRealPartitioned(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val digest = java.security.MessageDigest.getInstance("MD5")
+      lazy val gifReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       rows.map { r =>
         if (r.kind == "image") {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.content))
           require(img != null, s"undecodable image payload for media ${r.media_id}")
           DecodedRow(r.media_id, r.kind, img.getWidth, img.getHeight,
-            r.content.length.toLong * 8, 0)
+            r.content.length.toLong * 8, 0, 1)
         } else if (r.kind == "audio") {
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.content))
@@ -252,56 +358,58 @@ object Multimodal {
               s"undecodable audio payload for media ${r.media_id}")
             val durMs = (in.getFrameLength * 1000L / fmt.getSampleRate.toLong).toInt
             DecodedRow(r.media_id, r.kind, 0, 0,
-              r.content.length.toLong * 8, durMs)
+              r.content.length.toLong * 8, durMs, 0)
           } finally in.close()
         } else {
-          digest.reset()
-          val h = digest.digest(r.content).map("%02x".format(_)).mkString
-          DecodedRow(r.media_id, r.kind,
-            (java.lang.Long.parseLong(h.substring(0, 4), 16) % 3840 + 128).toInt,
-            (java.lang.Long.parseLong(h.substring(4, 8), 16) % 2160 + 96).toInt,
-            r.content.length.toLong * 8,
-            (java.lang.Long.parseLong(h.substring(8, 12), 16) % 60000).toInt)
+          val (nf, w, h, durMs) = gifDecode(r.content, gifReader)
+          require(nf > 0, s"undecodable video payload for media ${r.media_id}")
+          DecodedRow(r.media_id, r.kind, w, h,
+            r.content.length.toLong * 8, durMs, nf)
         }
       }
     }
   }
 
-  /** Oracle-checked REAL-decode query: encode → PNG bytes → ImageIO
-    * decode for images (the decoded raster dims must reproduce the
-    * formula the oracle computes), encode → WAV bytes → AudioSystem
-    * decode for audio (the parsed RIFF duration must reproduce the
-    * duration formula), fake-decode for video — the one codec-less
-    * kind. */
+  /** Oracle-checked REAL-decode query, all three kinds real: encode →
+    * PNG bytes → ImageIO decode for images (the decoded raster dims
+    * must reproduce the formula the oracle computes), encode → WAV
+    * bytes → AudioSystem decode for audio (the parsed RIFF duration
+    * must reproduce the duration formula), encode → animated-GIF bytes
+    * → GIF-plugin decode for video (the scanned frame count, frame
+    * dims, and summed per-frame delays must reproduce the video
+    * formulas). */
   def qMediaDecode(s: SparkSession, dir: String): DataFrame =
     decodeRealPartitioned(mediaTableReal(s, dir))
       .select(col("media_id"), col("kind"), col("width"), col("height"),
-        col("duration_ms"))
+        col("duration_ms"), col("n_frames"))
       .orderBy("media_id")
 
   def qMediaDecodeSql: String =
     """WITH m AS (
       |  SELECT doc_id AS media_id,
-      |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-      |         md5(text) AS h
+      |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind
       |  FROM documents)
       |SELECT media_id, kind,
       |       CASE WHEN kind = 'image'
       |            THEN CAST(media_id % 48 + 16 AS INT)
       |            WHEN kind = 'audio' THEN 0
-      |            ELSE CAST(CAST('0x' || substr(h, 1, 4) AS BIGINT) % 3840 + 128 AS INT)
+      |            ELSE CAST(media_id * 3 % 40 + 12 AS INT)
       |       END AS width,
       |       CASE WHEN kind = 'image'
       |            THEN CAST(media_id * 7 % 48 + 16 AS INT)
       |            WHEN kind = 'audio' THEN 0
-      |            ELSE CAST(CAST('0x' || substr(h, 5, 4) AS BIGINT) % 2160 + 96 AS INT)
+      |            ELSE CAST(media_id * 7 % 40 + 12 AS INT)
       |       END AS height,
       |       CASE WHEN kind = 'image'
       |            THEN 0
       |            WHEN kind = 'audio'
       |            THEN CAST(media_id * 13 % 450 + 50 AS INT)
-      |            ELSE CAST(CAST('0x' || substr(h, 9, 4) AS BIGINT) % 60000 AS INT)
-      |       END AS duration_ms
+      |            ELSE CAST((media_id * 11 % 12 + 2) * (media_id % 5 + 1) * 10 AS INT)
+      |       END AS duration_ms,
+      |       CASE WHEN kind = 'image' THEN 1
+      |            WHEN kind = 'audio' THEN 0
+      |            ELSE CAST(media_id * 11 % 12 + 2 AS INT)
+      |       END AS n_frames
       |FROM m ORDER BY media_id""".stripMargin
 
   /** Oracle-checked query: media identity + size + content hash + decoded

@@ -26,8 +26,9 @@ object Sinks {
     *
     * Steps: semi-join existing rows down to affected months (partition
     * pruning makes that read cheap) -> keyed last-write-wins merge ->
-    * localCheckpoint to cut the lineage on the source path (Spark refuses
-    * to overwrite a path it is reading from) -> dynamic-overwrite write.
+    * [[graft.functions.Lineage.cut]] to cut the lineage on the source
+    * path (Spark refuses to overwrite a path it is reading from) ->
+    * dynamic-overwrite write.
     *
     * Production note: a table format with a transactional MERGE (Delta/
     * Iceberg) replaces the checkpoint dance; Parquet-only keeps the
@@ -37,10 +38,10 @@ object Sinks {
                            keys: Seq[String]): Unit = {
     val existing = s.read.parquet(path)
       .join(broadcast(incoming.select("month").distinct()), Seq("month"), "left_semi")
-    val merged = graft.operators.Merge.upsert(existing, incoming, keys)
-      // align column order: partition column must be last for the writer
-      .select(existing.columns.map(col).toSeq: _*)
-      .localCheckpoint(true)
+    val merged = graft.functions.Lineage.cut(
+      graft.operators.Merge.upsert(existing, incoming, keys)
+        // align column order: partition column must be last for the writer
+        .select(existing.columns.map(col).toSeq: _*))
     merged.write
       // per-write option, NOT the session conf: setting the session-wide
       // partitionOverwriteMode would silently turn every later overwrite

@@ -151,8 +151,8 @@ object Streams {
         val merged =
           if (pathExists(s, tablePath)) {
             val existing = s.read.parquet(tablePath)
-            graft.operators.Merge.upsert(existing, dedup.select(existing.columns.map(col).toSeq: _*), keys)
-              .localCheckpoint(true)
+            graft.functions.Lineage.cut(
+              graft.operators.Merge.upsert(existing, dedup.select(existing.columns.map(col).toSeq: _*), keys))
           } else dedup
         merged.write.mode("overwrite").parquet(tablePath)
       }
@@ -288,8 +288,8 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val bands = graft.operators.Dedup.bandIndex(batch)
-          .localCheckpoint(true) // two consumers below; shingle once
+        val bands = graft.functions.Lineage.cut(
+          graft.operators.Dedup.bandIndex(batch)) // two consumers below; shingle once
         if (pathExists(s, indexPath)) {
           val idx = s.read.parquet(indexPath)
             // a replayed batch must not match its own previous write

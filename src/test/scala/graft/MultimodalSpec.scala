@@ -131,28 +131,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("real decoder: formula dims for images, parsed duration for audio, fake parity for video") {
+  test("real video payloads are genuine animated GIFs; real decode recovers frames/dims/delays") {
+    val real = Multimodal.mediaTableReal(spark, sf)
+    val gifs = real.filter(_.kind == "video").collect()
+    assert(gifs.nonEmpty)
+    gifs.foreach { r =>
+      // GIF magic, then an independent ImageIO sequence parse on the driver
+      assert(r.content.take(6).toSeq == "GIF89a".getBytes("US-ASCII").toSeq ||
+        r.content.take(6).toSeq == "GIF87a".getBytes("US-ASCII").toSeq,
+        s"media ${r.media_id} payload is not a GIF")
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val (nf, w, h, durMs) = Multimodal.gifDecode(r.content, reader)
+      reader.dispose()
+      assert(nf == Multimodal.videoFrames(r.media_id), s"media ${r.media_id} frame count")
+      assert(w == Multimodal.videoWidth(r.media_id) &&
+        h == Multimodal.videoHeight(r.media_id), s"media ${r.media_id} dims")
+      assert(durMs == Multimodal.videoDurationMs(r.media_id), s"media ${r.media_id} duration")
+    }
+  }
+
+  test("real decoder: formula dims for images, parsed duration for audio, parsed frames for video") {
     val real = Multimodal.mediaTableReal(spark, sf)
     val decoded = Multimodal.decodeRealPartitioned(real.repartition(5)).collect()
     decoded.filter(_.kind == "image").foreach { d =>
       assert(d.width == Multimodal.imageWidth(d.media_id) &&
         d.height == Multimodal.imageHeight(d.media_id) && d.duration_ms == 0)
       assert(d.bit_size % 8 == 0 && d.bit_size > 0)
+      assert(d.n_frames == 1)
     }
     // audio: the duration the RIFF parser reads back must equal the
     // formula the payload was synthesized from (width/height 0 for sound)
     decoded.filter(_.kind == "audio").foreach { d =>
-      assert(d.width == 0 && d.height == 0)
+      assert(d.width == 0 && d.height == 0 && d.n_frames == 0)
       assert(d.duration_ms == Multimodal.audioDurationMs(d.media_id))
     }
-    // video rows: real decoder must agree exactly with the documented
-    // fake (same interface, same values — interchangeable)
-    val fake = Multimodal.decodePartitioned(media.as[MediaRow])
-      .filter(_.kind == "video").collect()
-      .map(d => (d.media_id, d.width, d.height, d.bit_size, d.duration_ms)).sortBy(_._1)
-    val viaReal = decoded.filter(_.kind == "video")
-      .map(d => (d.media_id, d.width, d.height, d.bit_size, d.duration_ms)).sortBy(_._1)
-    assert(viaReal.toSeq == fake.toSeq)
+    // video: everything the GIF parser reads back — frame count from the
+    // sequence scan, dims, duration from summed per-frame delays — must
+    // equal the synthesis formulas
+    decoded.filter(_.kind == "video").foreach { d =>
+      assert(d.n_frames == Multimodal.videoFrames(d.media_id))
+      assert(d.width == Multimodal.videoWidth(d.media_id) &&
+        d.height == Multimodal.videoHeight(d.media_id))
+      assert(d.duration_ms == Multimodal.videoDurationMs(d.media_id))
+      assert(d.bit_size % 8 == 0 && d.bit_size > 0)
+    }
   }
 
   test("metadata pruning: filter on meta fields reads no blob bytes (column pruning)") {
