@@ -18,12 +18,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * would provide natively; at 100 TB the fingerprint swaps for the
   * Delta/Iceberg snapshot id with no change to the call shape.
   *
-  * Concurrency: the write is an atomic-rename parquet overwrite into a
-  * fingerprint-unique directory; two racing trainers of the same
-  * (kind, source, fingerprint) write identical content (training is
-  * deterministic — exact integer arithmetic throughout), so the race is
-  * benign. Old fingerprints accumulate as superseded directories;
-  * [[sweep]] is the retention janitor.
+  * Concurrency: two racing trainers of the same (kind, source,
+  * fingerprint) train identical content (training is deterministic —
+  * exact integer arithmetic throughout), but they must NOT write the
+  * same path: two Spark jobs writing one directory share its
+  * `_temporary` staging dir, and either job's commit/cleanup deletes
+  * the other's in-flight task files (ArtifactsSpec's race test caught
+  * exactly that — the naive same-path overwrite is not benign).
+  * [[cached]] therefore stages each writer's output in its own
+  * UNIQUE temp directory, then publishes via an atomic claim-file
+  * create (`overwrite = false` — atomic on HDFS and close enough on
+  * the local fs) followed by a rename of the winner's staging dir
+  * onto the final path; losers delete their staging dir (content was
+  * identical) and wait for the winner's rename. Old fingerprints
+  * accumulate as superseded directories; [[sweep]] is the retention
+  * janitor.
   */
 object Artifacts {
   /** Artifact store root — env-overridable so the bench/driver can
@@ -64,8 +73,32 @@ object Artifacts {
   def cached(s: SparkSession, kind: String, src: String)(train: => DataFrame): DataFrame = {
     val p = path(s, kind, src)
     val hp = new Path(p)
-    if (!fs(s, hp).exists(hp))
-      train.write.mode("overwrite").parquet(p)
+    val f = fs(s, hp)
+    if (!f.exists(hp)) {
+      // Stage in a writer-unique dir: concurrent Spark jobs must never
+      // share one output path's _temporary staging (see scaladoc).
+      val tmp = new Path(p + s".train-${java.util.UUID.randomUUID}")
+      train.write.mode("overwrite").parquet(tmp.toString)
+      val claimed =
+        try { f.create(new Path(p + ".claim"), false).close(); true }
+        catch { case _: java.io.IOException => false } // racer claimed first
+      if (claimed) {
+        if (!f.rename(tmp, hp)) {
+          f.delete(tmp, true)
+          require(f.exists(hp), s"artifact publish failed for $p")
+        }
+        // claim served its purpose once the artifact is visible: every
+        // later writer short-circuits on the exists(hp) check
+        f.delete(new Path(p + ".claim"), false)
+      } else {
+        // Lost the publish race: our content is identical by determinism —
+        // discard it and wait out the winner's (post-training) rename.
+        f.delete(tmp, true)
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (!f.exists(hp) && System.nanoTime() < deadline) Thread.sleep(50)
+        require(f.exists(hp), s"artifact claim exists but $p never appeared")
+      }
+    }
     s.read.parquet(p)
   }
 

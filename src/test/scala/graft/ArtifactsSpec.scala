@@ -47,6 +47,37 @@ class ArtifactsSpec extends SparkSpec {
     rmKind(kind)
   }
 
+  test("benign race: two concurrent writers of one fingerprint converge on identical content") {
+    val kind = "test_race"
+    rmKind(kind)
+    val src = java.nio.file.Files.createTempDirectory("graft_art_race").toString + "/t.parquet"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(src)
+    val expect = Seq((1L, 10L), (2L, 20L))
+    def model = expect.toDF("id", "score")
+    // Both writers pass the exists() check before either writes — the
+    // claimed-benign overlap. Deterministic training means both write
+    // byte-identical content; the overwrite into the fingerprint dir must
+    // leave a readable artifact equal to the trained frame either way.
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        gate.countDown(); gate.await() // maximize overlap
+        try Artifacts.cached(spark, kind, src)(model)
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer threw: ${Option(errs.peek()).map(_.toString)}")
+    val got = Artifacts.cached(spark, kind, src)(fail("must not retrain"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == expect)
+    // exactly one artifact dir for this source
+    val dirs = new java.io.File(s"${Artifacts.root}/$kind").listFiles.map(_.getName)
+    assert(dirs.length == 1, s"got ${dirs.toList}")
+    rmKind(kind)
+  }
+
   test("persisted k-means ANN equals the in-flight training path") {
     rmKind(Similarity.CodebookKind)
     val inflight = Similarity.qIvfKmeans(spark, sf).collect().map(_.toString).toList
