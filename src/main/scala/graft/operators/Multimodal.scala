@@ -295,7 +295,15 @@ object Multimodal {
     * the decoder. */
   def mediaTableReal(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
-    mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
+    // Rebalance to session parallelism BEFORE the codec work: the media
+    // table inherits the documents scan's file-split count (4 part files
+    // at the self-gate sfs), and per-row encode cost is ~10^3× the row's
+    // scan cost, so a narrow input would serialize the expensive stage on
+    // a handful of cores (measured at sf10: 4 active threads of 32, the
+    // whole dump gated on GIF encode). Same pre-explosion discipline as
+    // Dedup.shingles; at real scale the scan is already multi-split and
+    // the rebalance is a cheap shuffle of ids+text.
+    Tables.balanced(mediaTable(s, dir)).as[MediaRow].mapPartitions { rows =>
       val buf = new java.io.ByteArrayOutputStream()
       lazy val gifWriter =
         javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
