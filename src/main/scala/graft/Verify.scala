@@ -16,10 +16,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Single-file dumps by default, via repartition(1) NOT coalesce(1):
+    // coalesce narrows the whole post-shuffle stage to ONE task, so a
+    // query whose last stage is wide (a 10 M-row window at sf10) computes
+    // serially in the write task — measured 12+ min/query with a spilling
+    // single-partition sort. repartition keeps the computation wide and
+    // only funnels the finished rows. The compare (driver and check.py)
+    // is row-order-insensitive, so the extra exchange is free semantics-
+    // wise; SPARK_GRAFT_VERIFY_NATURAL=1 skips the funnel entirely for
+    // big self-gate sfs (check.py globs the part files).
+    val natural = sys.env.contains("SPARK_GRAFT_VERIFY_NATURAL")
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        (if (natural) df else df.repartition(1)).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Release eager localCheckpoint blocks (iterative operators) so 46
