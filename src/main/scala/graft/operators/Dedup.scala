@@ -252,9 +252,17 @@ object Dedup {
     *     a resolution pipeline consumes).
     */
   def fuzzyNeighbors(entities: DataFrame, idCol: String, nameCol: String): DataFrame = {
+    // Rebalance BEFORE the explode+join: entity tables are small on disk
+    // (supplier at sf10 is one ~5 MB part file → a 1-partition scan) but
+    // the per-row work downstream — |name| deletion keys, bucket join,
+    // levenshtein per candidate — is ~10^4× the row's scan cost, so a
+    // narrow input serializes the whole stage on one core (measured at
+    // sf10: single task, 32× under session parallelism). Same
+    // pre-explosion discipline as Dedup.shingles / Multimodal.
     // two steps: explode in the same select as the `name` alias would
     // read as a lateral alias reference when nameCol == "name"
-    val keyed = entities.select(col(idCol).as("id"), col(nameCol).as("name"))
+    val keyed = Tables.balanced(entities)
+      .select(col(idCol).as("id"), col(nameCol).as("name"))
       .withColumn("k", explode(deletionKeys(col("name"))))
     val pairs = keyed.as("x").join(keyed.as("y"),
         col("x.k") === col("y.k") && col("x.id") < col("y.id"))
