@@ -24,9 +24,14 @@ object VerifySubset {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    // Same funnel discipline as Verify: repartition(1), not coalesce(1)
+    // (coalesce serializes the whole final stage into the write task),
+    // and SPARK_GRAFT_VERIFY_NATURAL=1 skips the funnel for big sfs.
+    val natural = sys.env.contains("SPARK_GRAFT_VERIFY_NATURAL")
     names.foreach { n =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).coalesce(1)
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      (if (natural) df else df.repartition(1))
         .write.mode("overwrite").parquet(s"$outDir/$n")
       println(f"PROBE $n done ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
