@@ -71,10 +71,13 @@ import graft.sources.Schemas
   * single-file layout has — `orders` clusters on `o_orderdate` so the
   * month-range pushdown still prunes row groups at sf1.
   *
-  * `events.ts` is written as raw INT64 nanoseconds. The driver's files are
-  * parquet TIMESTAMP(NANOS), which Spark can read (via nanosAsLong) but
-  * not write; [[graft.sources.Tables.events]] reads both encodings
-  * identically because its declared schema is already LongType-nanos.
+  * `events.ts` is written as plain µs TIMESTAMP: the source is read
+  * through [[graft.sources.Tables.events]], which normalizes BOTH
+  * driver encodings seen across testdata generations (TIMESTAMP(NANOS)
+  * → ns-as-long → µs truncation, the truncation DuckDB applies anyway;
+  * plain µs TIMESTAMP → direct) to a µs TimestampType column, and Spark
+  * writes that as standard timestamp[us] parquet — which every reader
+  * (Tables.events' probe, check.py's view layer) takes verbatim.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
@@ -134,9 +137,13 @@ object ScaleUp {
     val custOff = domainOffset(read("customer"), "c_custkey")
     val suppOff = domainOffset(read("supplier"), "s_suppkey")
     val partOff = domainOffset(read("part"), "p_partkey")
+    // events goes through Tables.events (ns-vs-µs probe), not read():
+    // a declared LongType schema over a µs TIMESTAMP file would take the
+    // raw µs values for nanos and write a corrupted replica
+    def eventsSrc: DataFrame = graft.sources.Tables.events(spark, srcDir)
     val orderOff = domainOffset(read("orders"), "o_orderkey")
-    val eventOff = domainOffset(read("events"), "event_id")
-    val userOff = domainOffset(read("events"), "user_id")
+    val eventOff = domainOffset(eventsSrc, "event_id")
+    val userOff = domainOffset(eventsSrc, "user_id")
     val docOff = domainOffset(read("documents"), "doc_id")
     val vecOff = domainOffset(read("embeddings"), "vec_id")
     println(s"[scaleup] offsets cust=$custOff supp=$suppOff part=$partOff " +
@@ -174,7 +181,7 @@ object ScaleUp {
     // tables, so it shifts by its own domain. If a future query treats
     // user_id as a customer key, offset by custOff instead or the
     // replicated copies dangle. (ADVICE r8: made explicit.)
-    write(replicate(read("events"))
+    write(replicate(eventsSrc)
       .withColumn("event_id", shifted("event_id", eventOff))
       .withColumn("user_id", shifted("user_id", userOff)),
       "events", 8, Seq("ts", "event_id"))

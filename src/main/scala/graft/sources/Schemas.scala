@@ -71,11 +71,14 @@ object Schemas {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  // `ts` is physically TIMESTAMP(NANOS) which Spark's vectorized reader
-  // cannot decode as TimestampType; we read it as raw nanos (LongType,
-  // with spark.sql.legacy.parquet.nanosAsLong) and Tables.events converts
-  // to a microsecond TimestampType — the same truncation DuckDB applies
-  // (its TIMESTAMP is µs), so oracle comparisons agree.
+  // `ts` arrives in two physical encodings across testdata generations:
+  // TIMESTAMP(NANOS) (which Spark's vectorized reader cannot decode as
+  // TimestampType — read as raw nanos LongType via
+  // spark.sql.legacy.parquet.nanosAsLong, then truncated to µs by
+  // Tables.events, the same truncation DuckDB applies) and plain µs
+  // TIMESTAMP (read directly with `eventsMicros`). Tables.events probes
+  // the parquet footer and picks the right schema; either way the frame
+  // it returns carries a µs TimestampType `ts`.
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -83,6 +86,11 @@ object Schemas {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** The µs-TIMESTAMP encoding of `events` (see comment above). */
+  val eventsMicros: StructType = StructType(
+    events.fields.map(f =>
+      if (f.name == "ts") StructField("ts", TimestampType) else f))
 
   val documents: StructType = StructType(Seq(
     StructField("doc_id", LongType),

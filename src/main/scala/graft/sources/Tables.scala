@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import graft.functions.Num._
 
 /** Readers for the driver-provided parquet tables (TESTDATA.md) plus the
@@ -28,13 +29,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); read as raw nanos and convert
-    * to µs TimestampType (matches DuckDB's µs TIMESTAMP — see Schemas). */
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: TIMESTAMP(NANOS) (unreadable as TimestampType by the
+    * vectorized reader — taken as raw nanos and truncated to µs, the
+    * same truncation DuckDB applies) and plain µs TIMESTAMP (read
+    * directly). Probe the footer-inferred type and pick the path; both
+    * return a µs TimestampType `ts`. The probe is one driver-side footer
+    * read per call — metadata-scale, like any file listing. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integral `div`, not `/`: ns epoch values exceed 2^53, double division
-    // would silently lose precision
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$d/events.parquet"
+    s.read.parquet(path).schema("ts").dataType match {
+      case tsType @ (TimestampType | TimestampNTZType) =>
+        // µs file — NTZ (driver testdata) or instant (a Spark writer's
+        // INT96/µs): declare the file's own flavor, then normalize NTZ
+        // to TimestampType, a value-identity under the UTC session tz
+        // (DuckDB's TIMESTAMP is the same naive-µs reading).
+        val declared = org.apache.spark.sql.types.StructType(
+          Schemas.eventsMicros.fields.map(f =>
+            if (f.name == "ts") f.copy(dataType = tsType) else f))
+        val df = s.read.schema(declared).parquet(path)
+        if (tsType == TimestampNTZType) df.withColumn("ts", col("ts").cast(TimestampType))
+        else df
+      case _ =>
+        // TIMESTAMP(NANOS) read as raw ns longs. Integral `div`, not
+        // `/`: ns epoch values exceed 2^53, double division would
+        // silently lose precision
+        t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -313,17 +313,32 @@ object Streams {
     * `dir` is the sf directory; only the events files are ingested (the
     * sibling tables share the directory — a glob over all of them would
     * read ~10x the bytes as all-null rows). The nanos conf is set here,
-    * not inherited from a prior batch `Tables.events` call. */
+    * not inherited from a prior batch `Tables.events` call. A stream
+    * needs a DECLARED schema, so the ns-vs-µs encoding probe (see
+    * [[graft.sources.Tables.events]]) runs as one batch footer read up
+    * front — the same metadata cost the source's own listing pays. */
   def fileStreamQuery(s: SparkSession, dir: String, checkpoint: String,
                       outPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream
-      .schema(graft.sources.Schemas.events)
+    import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val declared = tsType match {
+      case TimestampType | TimestampNTZType => StructType(
+        graft.sources.Schemas.eventsMicros.fields.map(f =>
+          if (f.name == "ts") f.copy(dataType = tsType) else f))
+      case _ => graft.sources.Schemas.events
+    }
+    val raw = s.readStream
+      .schema(declared)
       // glob filter, not a file path: FileStreamSource requires a
       // directory (basePath), and the filter prunes at listing time
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = tsType match {
+      case TimestampType => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
     hourlyWindows(stream).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)

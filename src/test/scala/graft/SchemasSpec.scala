@@ -23,16 +23,47 @@ class SchemasSpec extends SparkSpec {
     }
   }
 
-  test("events.ts converts ns -> µs TimestampType without precision loss") {
+  test("events.ts: driver file reads as µs TimestampType, value-exact") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
     val e = Tables.events(spark, sf)
     assert(e.schema("ts").dataType == TimestampType)
-    val raw = spark.read.schema(Schemas.events).parquet(s"$sf/events.parquet")
-    assert(raw.schema("ts").dataType == LongType)
-    val rawNs = raw.orderBy("event_id").select("ts").head.getLong(0)
-    val conv = e.orderBy("event_id").select("ts").head.getTimestamp(0)
-    // epoch µs of the converted value == ns div 1000
-    val us = conv.getTime * 1000L + (conv.getNanos / 1000L) % 1000L
-    assert(us == rawNs / 1000L, s"ns=$rawNs µs=$us")
+    val got = e.orderBy("event_id")
+      .select(unix_micros(col("ts"))).head.getLong(0)
+    // expected µs from the file's own inferred encoding (the driver has
+    // shipped both TIMESTAMP(NANOS) and µs NTZ across generations)
+    val raw = spark.read.parquet(s"$sf/events.parquet").orderBy("event_id")
+    val want = raw.schema("ts").dataType match {
+      case LongType => raw.select("ts").head.getLong(0) / 1000L
+      case _ => raw.select(unix_micros(col("ts").cast(TimestampType)))
+        .head.getLong(0)
+    }
+    assert(got == want, s"µs=$got want=$want")
+  }
+
+  test("events.ts legacy ns-long encoding converts ns -> µs exactly") {
+    // The driver's current files are µs, so pin the ns branch with a
+    // synthesized raw-INT64 events table (what a NANOS file reads as
+    // under nanosAsLong, and what pre-r9 ScaleUp outputs contain).
+    import org.apache.spark.sql.{functions => F}
+    val dir = java.nio.file.Files.createTempDirectory("evns").toFile
+    try {
+      val ns = 1704067798778549123L // 2024-01-01T00:09:58.778549123Z
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericRow(
+        Array[Any](1L, ns, 5L, "click", 1.0, "{}"))
+      spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(row.toSeq)),
+          Schemas.events)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val e = Tables.events(spark, dir.toString)
+      assert(e.schema("ts").dataType == TimestampType)
+      val us = e.select(F.unix_micros(F.col("ts"))).head.getLong(0)
+      assert(us == ns / 1000L, s"ns=$ns µs=$us")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
   }
 
   test("profile: one pass, hand-checkable stats, nulls counted") {
