@@ -270,8 +270,16 @@ object Dedup {
         col("y.id").as("b"), col("y.name").as("bn"))
       .distinct()
       .filter(levenshtein(col("an"), col("bn")) <= 1)
-    pairs.select(col("a").as("id"), col("bn").as("nn"))
-      .unionByName(pairs.select(col("b").as("id"), col("an").as("nn")))
+    // Each verified pair contributes a neighbor row in BOTH directions.
+    // An in-row explode of the two (id, nn) orientations emits them from
+    // ONE pass over the pair stream; the union-of-two-projections form
+    // re-plans the whole candidate pipeline (self-join + levenshtein +
+    // distinct) once PER BRANCH — ReusedExchange does not canonicalize
+    // across the union here, so the expensive stage genuinely ran twice.
+    pairs.select(explode(array(
+        struct(col("a").as("id"), col("bn").as("nn")),
+        struct(col("b").as("id"), col("an").as("nn")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nn").as("nn"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_neighbors"), min("nn").as("nearest_name"))
   }

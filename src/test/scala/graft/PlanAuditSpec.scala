@@ -132,8 +132,11 @@ class PlanAuditSpec extends SparkSpec {
       "catalog_histogram" -> 3, "kpi_retention" -> 4, "text_bigrams" -> 5,
       // winsorize = bounds agg + clamped agg + sort (bounds broadcast
       // back); anti = anti-join key shuffle + agg/sort; fuzzy = the
-      // deletion-key self-join + neighbor agg + top-k
-      "kpi_winsorize" -> 3, "join_anti" -> 2, "dedup_fuzzy" -> 3,
+      // entity-table-sized pre-explode rebalance counted on BOTH
+      // self-join sides (one inside the broadcast build) + pair
+      // distinct + neighbor agg — the deletion-key join itself
+      // broadcasts, top-k is TakeOrdered
+      "kpi_winsorize" -> 3, "join_anti" -> 2, "dedup_fuzzy" -> 4,
       // scd2 = full-outer join sides + sort; tfidf counts its tf subtree
       // in BOTH the weight and score branches plus the n-docs scan
       // (ReusedExchange dedupes at runtime, as the jaccard test proves) —
