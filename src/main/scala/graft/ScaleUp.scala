@@ -71,13 +71,16 @@ import graft.sources.Schemas
   * single-file layout has — `orders` clusters on `o_orderdate` so the
   * month-range pushdown still prunes row groups at sf1.
   *
-  * `events.ts` is written as plain µs TIMESTAMP: the source is read
-  * through [[graft.sources.Tables.events]], which normalizes BOTH
-  * driver encodings seen across testdata generations (TIMESTAMP(NANOS)
-  * → ns-as-long → µs truncation, the truncation DuckDB applies anyway;
-  * plain µs TIMESTAMP → direct) to a µs TimestampType column, and Spark
-  * writes that as standard timestamp[us] parquet — which every reader
-  * (Tables.events' probe, check.py's view layer) takes verbatim.
+  * `events.ts` is written as µs TIMESTAMP **NTZ** — the driver's own
+  * current encoding. The source is read through
+  * [[graft.sources.Tables.events]], which normalizes BOTH driver
+  * encodings seen across testdata generations (TIMESTAMP(NANOS) →
+  * ns-as-long → µs truncation, the truncation DuckDB applies anyway;
+  * plain µs TIMESTAMP → direct) to a µs TimestampType column; the write
+  * casts back to NTZ (value-identity under the UTC session tz) so
+  * DuckDB's view of the replica is a naive TIMESTAMP, exactly like the
+  * driver files — an instant (isAdjustedToUTC) column would read as
+  * TIMESTAMPTZ there and diverge from every oracle's naive output.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
@@ -93,6 +96,9 @@ object ScaleUp {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write TimestampType as modern µs TIMESTAMP, not legacy INT96
+      // (deprecated, and nanos-boxed in some readers)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -183,7 +189,10 @@ object ScaleUp {
     // replicated copies dangle. (ADVICE r8: made explicit.)
     write(replicate(eventsSrc)
       .withColumn("event_id", shifted("event_id", eventOff))
-      .withColumn("user_id", shifted("user_id", userOff)),
+      .withColumn("user_id", shifted("user_id", userOff))
+      // NTZ on disk, like the driver's files (see scaladoc): identity
+      // on the value under the UTC session tz
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampNTZType)),
       "events", 8, Seq("ts", "event_id"))
 
     // Duplication-profile transforms (see the replication contract above).
