@@ -1,0 +1,233 @@
+#!/usr/bin/env python3
+"""Out-of-core staged evaluation of the shingle-heavy dedup oracles, for
+the big self-gate scale factors where the monolithic oracle SQL exceeds
+local disk.
+
+Why this exists: `dedup_jaccard` / `dedup_clusters` / `pipeline_curate`
+share a CTE prefix in which the exploded shingle stream `shx` (~1 B rows
+at sf10: 5 M docs x ~200 word-3-shingles) is referenced by BOTH the
+minhash signature aggregate (`sig`) and the exact-token-set CTE (`tok`),
+and `tok` is itself joined twice in the Jaccard intersection. DuckDB
+materializes a CTE referenced more than once, so the monolith needs
+out-of-core temp proportional to the FULL shingle stream (measured:
+>77 GB at sf10 -> ENOSPC), even though the rows actually *consumed*
+downstream are only those of candidate-pair docs.
+
+The staging below evaluates the SAME SQL text in stages, with one
+semantics-preserving restriction:
+
+  tok  ->  tokc = tok restricted to docs appearing in `pairs`.
+
+Proof obligation: in the monolith, `tok` is consumed only via
+  inter: JOIN tok ta ON ta.doc_id = p.doc_a / tb.doc_id = p.doc_b
+  sizes: joined to inter on sa.doc_id = i.doc_a / sb.doc_id = i.doc_b
+and inter's doc_a/doc_b come from `pairs` — so every consumed `tok` /
+`sizes` row has doc_id in (SELECT doc_a FROM pairs UNION SELECT doc_b
+FROM pairs). Restricting tok to that set changes no consumed row, hence
+no result row. Every other stage is the oracle text verbatim; `sig` is
+evaluated in a single pass (its only reference), so nothing forces the
+shingle stream to materialize.
+
+Usage:
+  tools/check_staged.py <sfDir> <verifyOutDir> [--json OUT.json] [query ...]
+
+With --json pointing at an existing check.py artifact, the staged
+results are MERGED into it (each record tagged "staged": true).
+"""
+import json, os, sys
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check import TABLES, table_source, compare
+
+# --- oracle text, staged ----------------------------------------------------
+# Stage SQL is the oracle text verbatim (same CTE bodies, same casts);
+# only the materialization boundaries and the tok->tokc restriction
+# differ, per the module docstring.
+
+PREFIX = """
+CREATE TEMP TABLE sig AS
+WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws, t FROM d),
+shx AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= 3
+         THEN list_transform(range(1, len(ws) - 3 + 2),
+                             i -> array_to_string(ws[i:i+2], ' '))
+         ELSE [t] END) AS sh
+  FROM w)
+SELECT doc_id,
+       MIN(CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT)) AS s0,
+       MIN(CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT)) AS s1,
+       MIN(CAST('0x' || substr(md5(sh), 17, 8) AS BIGINT)) AS s2,
+       MIN(CAST('0x' || substr(md5(sh), 25, 8) AS BIGINT)) AS s3,
+       MIN(CAST('0x' || substr(md5('1:' || sh), 1, 8) AS BIGINT)) AS s4,
+       MIN(CAST('0x' || substr(md5('1:' || sh), 9, 8) AS BIGINT)) AS s5,
+       MIN(CAST('0x' || substr(md5('1:' || sh), 17, 8) AS BIGINT)) AS s6,
+       MIN(CAST('0x' || substr(md5('1:' || sh), 25, 8) AS BIGINT)) AS s7
+FROM shx GROUP BY doc_id;
+
+CREATE TEMP TABLE pairs AS
+WITH bands AS (
+  SELECT doc_id, 0 AS band, md5(s0 || ':' || s1) AS bh FROM sig
+  UNION ALL SELECT doc_id, 1 AS band, md5(s2 || ':' || s3) AS bh FROM sig
+  UNION ALL SELECT doc_id, 2 AS band, md5(s4 || ':' || s5) AS bh FROM sig
+  UNION ALL SELECT doc_id, 3 AS band, md5(s6 || ':' || s7) AS bh FROM sig)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+WHERE a.doc_id < b.doc_id;
+
+CREATE TEMP TABLE tokc AS
+WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       FROM documents
+       WHERE doc_id IN (SELECT doc_a FROM pairs UNION SELECT doc_b FROM pairs)),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws, t FROM d),
+shx AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= 3
+         THEN list_transform(range(1, len(ws) - 3 + 2),
+                             i -> array_to_string(ws[i:i+2], ' '))
+         ELSE [t] END) AS sh
+  FROM w)
+SELECT DISTINCT doc_id, sh FROM shx;
+
+CREATE TEMP TABLE verified AS
+WITH sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokc GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN tokc ta ON ta.doc_id = p.doc_a
+  JOIN tokc tb ON tb.doc_id = p.doc_b AND tb.sh = ta.sh
+  GROUP BY p.doc_a, p.doc_b)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.5;
+"""
+
+CC = """
+WITH RECURSIVE
+cedges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+           UNION SELECT doc_b, doc_a FROM verified),
+cnodes AS (SELECT DISTINCT a AS v FROM cedges),
+reach AS (
+  SELECT v AS src, v AS dst FROM cnodes
+  UNION
+  SELECT r.src, e.b AS dst FROM reach r JOIN cedges e ON e.a = r.dst),
+cc AS (SELECT src AS doc_id, MIN(dst) AS canonical_id FROM reach GROUP BY src)
+"""
+
+FINALS = {
+    "dedup_jaccard": """
+SELECT doc_a, doc_b, jaccard FROM verified
+ORDER BY doc_a, doc_b""",
+    "dedup_clusters": CC + """,
+csize AS (SELECT canonical_id, COUNT(*) AS n_members FROM cc GROUP BY canonical_id)
+SELECT doc_id, canonical_id, n_members
+FROM cc JOIN csize USING (canonical_id) ORDER BY doc_id""",
+    "pipeline_curate": CC + """,
+noncanon AS (SELECT doc_id FROM cc WHERE doc_id <> canonical_id),
+d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       FROM documents),
+fp AS (SELECT doc_id, md5(t) AS f FROM d),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+qd AS (
+  SELECT doc_id, text, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS qt
+  FROM documents),
+qbase AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(qt, ' ')) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(qt, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(string_split(qt, ' '), w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS n_stop
+  FROM qd),
+qual AS (
+  SELECT doc_id,
+         (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END
+        + CASE WHEN CAST(n_stop AS DOUBLE) / n_words >= 0.01 THEN 0.3 ELSE 0.0 END
+        + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars <= 0.1 THEN 0.3 ELSE 0.0 END) AS quality
+  FROM qbase),
+rates(lang, rate) AS (VALUES ('en', 8000), ('de', 5000), ('fr', 5000), ('es', 2500), ('zh', 2500)),
+keyed AS (
+  SELECT doc_id, lang, CAST('0x' || substr(md5('sample:' || doc_id), 1, 15) AS BIGINT) % 10000 AS bucket
+  FROM documents)
+SELECT k.doc_id, k.lang, q.quality, k.bucket
+FROM keyed k
+JOIN canon c ON c.doc_id = k.doc_id
+JOIN qual q ON q.doc_id = k.doc_id
+JOIN rates r ON r.lang = k.lang
+WHERE NOT EXISTS (SELECT 1 FROM noncanon n WHERE n.doc_id = k.doc_id)
+  AND q.quality >= 0.7
+  AND k.bucket < r.rate
+ORDER BY k.doc_id""",
+}
+
+
+def main():
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sf_dir, out_dir = args[0], args[1]
+    names = args[2:] or sorted(FINALS)
+    unknown = [n for n in names if n not in FINALS]
+    if unknown:
+        sys.exit(f"no staged oracle for: {unknown}; have {sorted(FINALS)}")
+
+    con = duckdb.connect()
+    con.execute("SET preserve_insertion_order = false")
+    con.execute(f"SET memory_limit = '{os.environ.get('CHECK_MEM', '100GB')}'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {table_source(sf_dir, t)}")
+
+    print("staging shared prefix (sig/pairs/tokc/verified)...", flush=True)
+    con.execute(PREFIX)
+    for t in ("sig", "pairs", "tokc", "verified"):
+        n = con.sql(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
+        print(f"  {t}: {n} rows", flush=True)
+
+    report = {}
+    n_fail = 0
+    for name in names:
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None,
+               "sf": sf_dir, "staged": True}
+        report[name] = rec
+        want = con.sql(FINALS[name]).df()
+        try:
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            rec["err"] = f"spark output missing: {e}"
+            print(f"FAIL {name}: {rec['err']}")
+            n_fail += 1
+            continue
+        rec["spark_rows"], rec["oracle_rows"] = len(got), len(want)
+        ok, msg = compare(want, got)
+        rec["rows_match"] = len(want) == len(got)
+        rec["schema_match"] = sorted(want.columns) == sorted(got.columns)
+        rec["hash_match"] = ok
+        if ok:
+            print(f"PASS {name} ({len(got)} rows, staged oracle)")
+        else:
+            n_fail += 1
+            rec["err"] = msg
+            print(f"FAIL {name}: {msg}")
+
+    if json_out:
+        merged = {}
+        if os.path.exists(json_out):
+            merged = json.load(open(json_out))
+        merged.update(report)
+        with open(json_out, "w") as f:
+            json.dump(merged, f, indent=2, sort_keys=True)
+        print(f"merged {len(report)} staged records into {json_out}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

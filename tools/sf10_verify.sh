@@ -3,8 +3,8 @@
 # are reclaimed between chunks (a single 106-query JVM accumulated ~80 GB
 # of spills at sf10 and hit ENOSPC). Natural mode: check.py globs parts.
 set -u
-SF=/root/repo/testdata-sf10
-OUT=/root/verify_out_r9_sf10
+SF=testdata-sf10
+OUT=verify_out_r9_sf10
 CHUNKS=(
   "catalog_audit catalog_benford catalog_checksum catalog_columns catalog_corr catalog_drift catalog_histogram catalog_histogram_depth catalog_profile"
   "dedup_exact dedup_minhash dedup_simhash dedup_fuzzy"
