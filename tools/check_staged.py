@@ -44,6 +44,15 @@ from check import TABLES, table_source, compare
 # Stage SQL is the oracle text verbatim (same CTE bodies, same casts);
 # only the materialization boundaries and the tok->tokc restriction
 # differ, per the module docstring.
+#
+# dedup_embed gets the same treatment for a different blowup: its `bits`
+# CTE joins every vector — carrying its full 64-element int list — against
+# all 3,840 (band, j) hyperplane rows, a ~2 B-row stream of ~500-byte rows
+# through a spilling aggregate. The staged form unnests the list once
+# (32 M skinny (vec_id, pos, val) rows) and joins the hyperplane table on
+# position: the summed terms h*val are INTEGERS, so the regrouped sum is
+# bit-identical to the monolith's (integer addition is exact and
+# order-independent), and every later stage is the oracle text verbatim.
 
 PREFIX = """
 CREATE TEMP TABLE sig AS
@@ -108,6 +117,46 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.5;
 """
 
+EMBED_PREFIX = """
+CREATE TEMP TABLE ivn AS
+WITH iv AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS ie
+  FROM embeddings)
+SELECT vec_id, ie,
+       sqrt(CAST(CAST(list_sum(list_transform(ie, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+FROM iv;
+
+CREATE TEMP TABLE ebits AS
+WITH hyper AS (
+  SELECT b, j, CASE WHEN substr(md5('rp:' || b || ':' || j), 1, 1)
+                    IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS h
+  FROM range(60) t(b), range(64) u(j)),
+flat AS (
+  SELECT vec_id, t.j, ie[t.j + 1] AS val
+  FROM ivn, range(64) t(j))
+SELECT f.vec_id, hp.b,
+       CASE WHEN sum(hp.h * f.val) >= 0 THEN 1 ELSE 0 END AS bt
+FROM flat f JOIN hyper hp ON hp.j = f.j
+GROUP BY f.vec_id, hp.b;
+"""
+
+EMBED_FINAL = """
+WITH bands AS (
+  SELECT vec_id, b // 6 AS k,
+         CAST(sum(bt * (1 << (5 - (b % 6)))) AS BIGINT) AS bv
+  FROM ebits GROUP BY vec_id, b // 6),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.vec_id < b.vec_id),
+verified AS (
+  SELECT c.a_id, c.b_id,
+         CAST(CAST(list_sum(list_transform(list_zip(x.ie, y.ie), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+           / (x.nrm * y.nrm) AS cosine
+  FROM cand c JOIN ivn x ON x.vec_id = c.a_id JOIN ivn y ON y.vec_id = c.b_id)
+SELECT a_id, b_id, cosine FROM verified
+WHERE cosine >= 0.45 ORDER BY a_id, b_id"""
+
 CC = """
 WITH RECURSIVE
 cedges AS (SELECT doc_a AS a, doc_b AS b FROM verified
@@ -128,6 +177,7 @@ ORDER BY doc_a, doc_b""",
 csize AS (SELECT canonical_id, COUNT(*) AS n_members FROM cc GROUP BY canonical_id)
 SELECT doc_id, canonical_id, n_members
 FROM cc JOIN csize USING (canonical_id) ORDER BY doc_id""",
+    "dedup_embed": EMBED_FINAL,
     "pipeline_curate": CC + """,
 noncanon AS (SELECT doc_id FROM cc WHERE doc_id <> canonical_id),
 d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
@@ -185,11 +235,18 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {table_source(sf_dir, t)}")
 
-    print("staging shared prefix (sig/pairs/tokc/verified)...", flush=True)
-    con.execute(PREFIX)
-    for t in ("sig", "pairs", "tokc", "verified"):
-        n = con.sql(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
-        print(f"  {t}: {n} rows", flush=True)
+    if any(n != "dedup_embed" for n in names):
+        print("staging shingle prefix (sig/pairs/tokc/verified)...", flush=True)
+        con.execute(PREFIX)
+        for t in ("sig", "pairs", "tokc", "verified"):
+            n = con.sql(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
+            print(f"  {t}: {n} rows", flush=True)
+    if "dedup_embed" in names:
+        print("staging embed prefix (ivn/ebits)...", flush=True)
+        con.execute(EMBED_PREFIX)
+        for t in ("ivn", "ebits"):
+            n = con.sql(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
+            print(f"  {t}: {n} rows", flush=True)
 
     report = {}
     n_fail = 0
