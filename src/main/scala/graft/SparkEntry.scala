@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, d) => Dedup.qJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.qSimhash(s, d)),
     "dedup_embed" -> ((s, d) => Dedup.qEmbed(s, d)),
+    "dedup_embed_scaled" -> ((s, d) => Dedup.qEmbedScaled(s, d)),
     // Incremental: new batch vs persisted corpus band index
     "dedup_incremental" -> ((s, d) => Dedup.qIncremental(s, d)),
     // Edit-distance fuzzy entity matching (deletion-neighborhood
@@ -276,6 +277,7 @@ object SparkEntry {
     "dedup_jaccard" -> Dedup.qJaccardSql,
     "dedup_simhash" -> Dedup.qSimhashSql,
     "dedup_embed" -> Dedup.qEmbedSql,
+    "dedup_embed_scaled" -> Dedup.qEmbedScaledSql,
     "dedup_incremental" -> Dedup.qIncrementalSql,
     "dedup_fuzzy" -> Dedup.qFuzzySql,
     "dedup_clusters" -> Cluster.qClustersSql,

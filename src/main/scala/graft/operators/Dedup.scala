@@ -474,18 +474,41 @@ object Dedup {
   val EmbedDim: Int = Similarity.EmbedDim
   val EmbedThreshold = 0.45
 
+  /** Production-scale signature: 8 bands × 16 bits (128-bit signature),
+    * verify threshold 0.95 — the constants the demo-parameter scaladoc
+    * below has always named as the 100 TB configuration. Why both exist:
+    * band value space bounds the candidate join. The demo's 6-bit bands
+    * have 10 × 64 = 640 possible (band, value) buckets TOTAL, so bucket
+    * occupancy — and the candidate-pair mass Σ C(occupancy, 2) — grows
+    * quadratically with corpus size (measured at the r9 sf10 gate:
+    * 200 k vectors → all 640 buckets live, max bucket 7,573, pair mass
+    * 3.5e9; see BASELINE.md). 16-bit bands give 8 × 65,536 buckets:
+    * random-pair collision ~1.5e-5 per band keeps candidates linear in
+    * the true near-identical population, which is the only population
+    * sign-LSH can retrieve at scale anyway — at cosine 0.45 (θ ≈ 63°)
+    * per-band recall decays as 0.65^w, so no banding both finds such
+    * pairs and bounds candidates; production dedup thresholds
+    * (0.95+, θ ≤ 18°, per-band recall 0.9^16 ≈ 0.19, 8 bands → 0.81+)
+    * are precisely the regime where the scheme works. */
+  val ScaledRpBits = 128
+  val ScaledBandBits = 16
+  val ScaledBands: Int = ScaledRpBits / ScaledBandBits
+  val ScaledThreshold = 0.95
+
   /** Deterministic ±1 hyperplanes for the sign projection, derived from
     * md5 parity so DuckDB reproduces the identical matrix
     * (`substr(md5('rp:b:j'),1,1)` even ⇔ +1). A fixed pseudo-random
     * matrix is exactly what sign-LSH needs; md5 just makes it
     * cross-engine. */
-  lazy val hyperplanes: Seq[Seq[Long]] = {
+  def hyperplaneMatrix(bits: Int): Seq[Seq[Long]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def firstNibbleEven(s: String): Boolean =
       ((md.digest(s.getBytes("UTF-8"))(0) >> 4) & 0xf) % 2 == 0
-    (0 until RpBits).map(b =>
+    (0 until bits).map(b =>
       (0 until EmbedDim).map(j => if (firstNibbleEven(s"rp:$b:$j")) 1L else -1L))
   }
+  lazy val hyperplanes: Seq[Seq[Long]] = hyperplaneMatrix(RpBits)
+  lazy val hyperplanesWide: Seq[Seq[Long]] = hyperplaneMatrix(ScaledRpBits)
 
   /** (vec_id, k, bv): LSH band values from the sign pattern. One narrow
     * map-side projection — 60 integer dot products per row against a
@@ -493,12 +516,16 @@ object Dedup {
     * the extension is registered), then bit-packing; no shuffle until the
     * band self-join. Input is `Similarity.prepared` shape
     * (vec_id, ie, nrm). */
-  def embedBands(s: SparkSession, vecs: DataFrame): DataFrame = {
+  def embedBands(s: SparkSession, vecs: DataFrame,
+                 fnName: String = graft.plans.GraftExtensions.SignBandsName): DataFrame = {
     val banded =
-      if (s.catalog.functionExists(graft.plans.GraftExtensions.SignBandsName))
-        vecs.withColumn("bands",
-          call_function(graft.plans.GraftExtensions.SignBandsName, col("ie")))
-      else hofBands(s, vecs)
+      if (s.catalog.functionExists(fnName))
+        vecs.withColumn("bands", call_function(fnName, col("ie")))
+      else hofBands(s, vecs,
+        if (fnName == graft.plans.GraftExtensions.SignBandsWideName) hyperplanesWide
+        else hyperplanes,
+        if (fnName == graft.plans.GraftExtensions.SignBandsWideName) ScaledBandBits
+        else RpBandBits)
     banded.select(col("vec_id"), posexplode(col("bands"))).toDF("vec_id", "k", "bv")
   }
 
@@ -507,14 +534,17 @@ object Dedup {
     * lambdas), then MSB-first bit-pack per band. Fallback for sessions
     * without GraftExtensions; DedupSpec pins its equality with the
     * native expression. */
-  def hofBands(s: SparkSession, vecs: DataFrame): DataFrame = {
+  def hofBands(s: SparkSession, vecs: DataFrame,
+               matrix: Seq[Seq[Long]] = hyperplanes,
+               bandBits: Int = RpBandBits): DataFrame = {
     val d = Similarity.dot(s) _
+    val nBands = matrix.length / bandBits
     vecs
       .withColumn("bits",
-        transform(typedLit(hyperplanes), h => (d(col("ie"), h) >= 0).cast("long")))
+        transform(typedLit(matrix), h => (d(col("ie"), h) >= 0).cast("long")))
       .withColumn("bands",
-        transform(sequence(lit(0), lit(RpBands - 1)),
-          k => aggregate(slice(col("bits"), k * lit(RpBandBits) + lit(1), lit(RpBandBits)),
+        transform(sequence(lit(0), lit(nBands - 1)),
+          k => aggregate(slice(col("bits"), k * lit(bandBits) + lit(1), lit(bandBits)),
             lit(0L), (acc, x) => acc * 2 + x)))
   }
 
@@ -526,8 +556,9 @@ object Dedup {
     * corpus deduped at cosine >= 0.95 wants 16-bit bands × 8 (128-bit
     * signature): ~1.5e-5 random-pair collision per band while keeping
     * >0.999 recall at θ ≈ 18° — same plan, different constants. */
-  def embedCandidates(s: SparkSession, vecs: DataFrame): DataFrame = {
-    val bands = embedBands(s, vecs)
+  def embedCandidates(s: SparkSession, vecs: DataFrame,
+                      fnName: String = graft.plans.GraftExtensions.SignBandsName): DataFrame = {
+    val bands = embedBands(s, vecs, fnName)
     val a = bands.toDF("a_id", "k", "bv")
     val b = bands.toDF("b_id", "k", "bv")
     a.join(b, Seq("k", "bv")).filter(col("a_id") < col("b_id"))
@@ -538,11 +569,12 @@ object Dedup {
     * candidate set back to the vectors and keep pairs >= threshold. All
     * arithmetic is the integerized exact form shared with Similarity. */
   def embedNearDup(s: SparkSession, vecs: DataFrame,
-                   threshold: Double = EmbedThreshold): DataFrame = {
+                   threshold: Double = EmbedThreshold,
+                   fnName: String = graft.plans.GraftExtensions.SignBandsName): DataFrame = {
     val d = Similarity.dot(s) _
     val va = vecs.select(col("vec_id").as("a_id"), col("ie").as("ia"), col("nrm").as("na"))
     val vb = vecs.select(col("vec_id").as("b_id"), col("ie").as("ib"), col("nrm").as("nb"))
-    embedCandidates(s, vecs)
+    embedCandidates(s, vecs, fnName)
       .join(va, "a_id").join(vb, "b_id")
       .withColumn("cosine", d(col("ia"), col("ib")).cast("double") / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
@@ -552,7 +584,23 @@ object Dedup {
   def qEmbed(s: SparkSession, dir: String): DataFrame =
     embedNearDup(s, Similarity.prepared(s, dir)).orderBy("a_id", "b_id")
 
-  def qEmbedSql: String =
+  /** The production-parameter twin of [[qEmbed]] (see the ScaledRpBits
+    * scaladoc): 128-bit signature, 8 × 16-bit bands, verify at 0.95.
+    * On the driver's base corpus its result is EMPTY — the max pairwise
+    * cosine there is ~0.51 (measured, BASELINE.md r9) and that emptiness
+    * is the correct answer, hash-gated like any other; on the scaled-up
+    * realistic-duplication corpora the verbatim replica clusters put
+    * real near-identical mass in range and the query returns them with
+    * candidate counts linear in that true population. */
+  def qEmbedScaled(s: SparkSession, dir: String): DataFrame =
+    embedNearDup(s, Similarity.prepared(s, dir), ScaledThreshold,
+      graft.plans.GraftExtensions.SignBandsWideName).orderBy("a_id", "b_id")
+
+  def qEmbedSql: String = embedSql(RpBits, RpBandBits, EmbedThreshold)
+
+  def qEmbedScaledSql: String = embedSql(ScaledRpBits, ScaledBandBits, ScaledThreshold)
+
+  private def embedSql(bits: Int, bandBits: Int, threshold: Double): String =
     s"""WITH iv AS (
        |  SELECT vec_id, list_transform(embedding,
        |           x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.Scale}) AS BIGINT)) AS ie
@@ -564,15 +612,15 @@ object Dedup {
        |hyper AS (
        |  SELECT b, j, CASE WHEN substr(md5('rp:' || b || ':' || j), 1, 1)
        |                    IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS h
-       |  FROM range($RpBits) t(b), range($EmbedDim) u(j)),
+       |  FROM range($bits) t(b), range($EmbedDim) u(j)),
        |bits AS (
        |  SELECT v.vec_id, hp.b,
        |         CASE WHEN sum(hp.h * v.ie[hp.j + 1]) >= 0 THEN 1 ELSE 0 END AS bt
        |  FROM ivn v, hyper hp GROUP BY v.vec_id, hp.b),
        |bands AS (
-       |  SELECT vec_id, b // $RpBandBits AS k,
-       |         CAST(sum(bt * (1 << (${RpBandBits - 1} - (b % $RpBandBits)))) AS BIGINT) AS bv
-       |  FROM bits GROUP BY vec_id, b // $RpBandBits),
+       |  SELECT vec_id, b // $bandBits AS k,
+       |         CAST(sum(bt * (1 << (${bandBits - 1} - (b % $bandBits)))) AS BIGINT) AS bv
+       |  FROM bits GROUP BY vec_id, b // $bandBits),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |  FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.vec_id < b.vec_id),
@@ -582,5 +630,5 @@ object Dedup {
        |           / (x.nrm * y.nrm) AS cosine
        |  FROM cand c JOIN ivn x ON x.vec_id = c.a_id JOIN ivn y ON y.vec_id = c.b_id)
        |SELECT a_id, b_id, cosine FROM verified
-       |WHERE cosine >= $EmbedThreshold ORDER BY a_id, b_id""".stripMargin
+       |WHERE cosine >= $threshold ORDER BY a_id, b_id""".stripMargin
 }

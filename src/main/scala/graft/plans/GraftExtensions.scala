@@ -22,6 +22,7 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
 object GraftExtensions {
   val DotLongName = "graft_dot_long"
   val SignBandsName = "graft_sign_bands"
+  val SignBandsWideName = "graft_sign_bands_wide"
 
   def install(ext: SparkSessionExtensions): Unit = {
     // the whole-operator path: plans AsOfJoinNode -> AsOfJoinExec
@@ -37,5 +38,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SignBands].getName, SignBandsName),
       (args: Seq[Expression]) => SignBands(args(0),
         graft.operators.Dedup.hyperplanes, graft.operators.Dedup.RpBandBits)))
+    // production-scale signature (128-bit, 16-bit bands): same expression
+    // class, wider fixed matrix — see Dedup.ScaledRpBits scaladoc
+    ext.injectFunction((
+      FunctionIdentifier(SignBandsWideName),
+      new ExpressionInfo(classOf[SignBands].getName, SignBandsWideName),
+      (args: Seq[Expression]) => SignBands(args(0),
+        graft.operators.Dedup.hyperplanesWide, graft.operators.Dedup.ScaledBandBits)))
   }
 }

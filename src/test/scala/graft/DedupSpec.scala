@@ -137,6 +137,45 @@ class DedupSpec extends SparkSpec {
       s"banding must prune ($candidates of $allPairs pairs)")
   }
 
+  test("scaled embed dedup: exact-duplicate vectors always collide; base corpus is empty") {
+    val wide = graft.plans.GraftExtensions.SignBandsWideName
+    // identical vectors have identical signatures -> collide in EVERY band
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val far = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val vecs = Seq((1L, base.toSeq), (2L, base.toSeq), (3L, far.toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("ie", Similarity.intVec(col("embedding")))
+      .withColumn("nrm", sqrt(Similarity.dotL(col("ie"), col("ie")).cast("double")))
+    val bands = Dedup.embedBands(spark, vecs, wide)
+    val shared = bands.toDF("a", "k", "bv").join(bands.toDF("b", "k", "bv"), Seq("k", "bv"))
+      .filter(col("a") === 1L && col("b") === 2L).count()
+    assert(shared == Dedup.ScaledBands.toLong,
+      s"exact dup must collide in all ${Dedup.ScaledBands} wide bands, got $shared")
+    val dups = Dedup.embedNearDup(spark, vecs, Dedup.ScaledThreshold, wide)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == Set((1L, 2L)), s"only the exact pair survives 0.95 verify, got $dups")
+    // the driver's base corpus has no pairs at cosine >= 0.95 (max ~0.51,
+    // measured in BASELINE.md r9): the scaled query's EMPTY result there
+    // is the correct answer, and the wide bands produce near-zero
+    // candidate mass on unrelated vectors
+    assert(Dedup.qEmbedScaled(spark, sf).count() == 0L)
+  }
+
+  test("wide sign-bands: native == composed HOF form; values within 16-bit range") {
+    val wide = graft.plans.GraftExtensions.SignBandsWideName
+    val vecs = Similarity.prepared(spark, sf)
+    val native = vecs.select(col("vec_id"),
+      call_function(wide, col("ie")).as("bands"))
+    val hof = Dedup.hofBands(spark, vecs, Dedup.hyperplanesWide, Dedup.ScaledBandBits)
+      .select("vec_id", "bands")
+    assert(native.except(hof).isEmpty && hof.except(native).isEmpty,
+      "wide band values must be identical between the codegen'd and HOF paths")
+    val bounds = native.select(explode(col("bands")).as("bv"))
+      .agg(min("bv"), max("bv")).collect()(0)
+    assert(bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << Dedup.ScaledBandBits))
+  }
+
   test("fuzzy: deletion-neighborhood finds sub/ins/identical at d<=1") {
     val sp2 = spark
     import sp2.implicits._

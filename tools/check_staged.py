@@ -117,8 +117,8 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.5;
 """
 
-EMBED_PREFIX = """
-CREATE TEMP TABLE ivn AS
+EMBED_IVN = """
+CREATE TEMP TABLE IF NOT EXISTS ivn AS
 WITH iv AS (
   SELECT vec_id, list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS ie
@@ -126,12 +126,15 @@ WITH iv AS (
 SELECT vec_id, ie,
        sqrt(CAST(CAST(list_sum(list_transform(ie, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
 FROM iv;
+"""
 
-CREATE TEMP TABLE ebits AS
+def embed_bits_sql(bits, tag):
+    return f"""
+CREATE TEMP TABLE ebits{tag} AS
 WITH hyper AS (
   SELECT b, j, CASE WHEN substr(md5('rp:' || b || ':' || j), 1, 1)
                     IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS h
-  FROM range(60) t(b), range(64) u(j)),
+  FROM range({bits}) t(b), range(64) u(j)),
 flat AS (
   SELECT vec_id, t.j, ie[t.j + 1] AS val
   FROM ivn, range(64) t(j))
@@ -141,11 +144,12 @@ FROM flat f JOIN hyper hp ON hp.j = f.j
 GROUP BY f.vec_id, hp.b;
 """
 
-EMBED_FINAL = """
+def embed_final_sql(bandbits, threshold, tag):
+    return f"""
 WITH bands AS (
-  SELECT vec_id, b // 6 AS k,
-         CAST(sum(bt * (1 << (5 - (b % 6)))) AS BIGINT) AS bv
-  FROM ebits GROUP BY vec_id, b // 6),
+  SELECT vec_id, b // {bandbits} AS k,
+         CAST(sum(bt * (1 << ({bandbits - 1} - (b % {bandbits})))) AS BIGINT) AS bv
+  FROM ebits{tag} GROUP BY vec_id, b // {bandbits}),
 cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
   FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.vec_id < b.vec_id),
@@ -155,7 +159,7 @@ verified AS (
            / (x.nrm * y.nrm) AS cosine
   FROM cand c JOIN ivn x ON x.vec_id = c.a_id JOIN ivn y ON y.vec_id = c.b_id)
 SELECT a_id, b_id, cosine FROM verified
-WHERE cosine >= 0.45 ORDER BY a_id, b_id"""
+WHERE cosine >= {threshold} ORDER BY a_id, b_id"""
 
 CC = """
 WITH RECURSIVE
@@ -177,7 +181,8 @@ ORDER BY doc_a, doc_b""",
 csize AS (SELECT canonical_id, COUNT(*) AS n_members FROM cc GROUP BY canonical_id)
 SELECT doc_id, canonical_id, n_members
 FROM cc JOIN csize USING (canonical_id) ORDER BY doc_id""",
-    "dedup_embed": EMBED_FINAL,
+    "dedup_embed": embed_final_sql(6, 0.45, 60),
+    "dedup_embed_scaled": embed_final_sql(16, 0.95, 128),
     "pipeline_curate": CC + """,
 noncanon AS (SELECT doc_id FROM cc WHERE doc_id <> canonical_id),
 d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
@@ -235,18 +240,21 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {table_source(sf_dir, t)}")
 
-    if any(n != "dedup_embed" for n in names):
+    embed_variants = {"dedup_embed": 60, "dedup_embed_scaled": 128}
+    if any(n not in embed_variants for n in names):
         print("staging shingle prefix (sig/pairs/tokc/verified)...", flush=True)
         con.execute(PREFIX)
         for t in ("sig", "pairs", "tokc", "verified"):
             n = con.sql(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
             print(f"  {t}: {n} rows", flush=True)
-    if "dedup_embed" in names:
-        print("staging embed prefix (ivn/ebits)...", flush=True)
-        con.execute(EMBED_PREFIX)
-        for t in ("ivn", "ebits"):
-            n = con.sql(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
-            print(f"  {t}: {n} rows", flush=True)
+    for name, bits in embed_variants.items():
+        if name in names:
+            print(f"staging embed prefix (ivn/ebits{bits})...", flush=True)
+            con.execute(EMBED_IVN)
+            con.execute(embed_bits_sql(bits, bits))
+            for t in ("ivn", f"ebits{bits}"):
+                n = con.sql(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
+                print(f"  {t}: {n} rows", flush=True)
 
     report = {}
     n_fail = 0
