@@ -161,6 +161,113 @@ verified AS (
 SELECT a_id, b_id, cosine FROM verified
 WHERE cosine >= {threshold} ORDER BY a_id, b_id"""
 
+
+# --- dedup_simhash, staged --------------------------------------------------
+# Oracle text verbatim through `fps`; the one transformation is pushing
+# the `hamming <= 6` filter INSIDE the DISTINCT: hamming is a pure
+# function of the selected tuple (doc_a, doc_b, hamming), so
+# DISTINCT(filter(S)) = filter(DISTINCT(S)) row-for-row. The monolith
+# materializes the full chunk-join stream as the DISTINCT aggregate's
+# input (>78 GB temp at sf10 -> ENOSPC); filtered first, the distinct
+# table holds only true near-dup pairs.
+SIMHASH_PREFIX = """
+CREATE TEMP TABLE fps AS
+WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws, t FROM d),
+shx AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= 3
+         THEN list_transform(range(1, len(ws) - 3 + 2),
+                             i -> array_to_string(ws[i:i+2], ' '))
+         ELSE [t] END) AS sh
+  FROM w),
+tok AS (SELECT DISTINCT doc_id, sh AS tok FROM shx),
+th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+counts AS (
+  SELECT doc_id,
+         SUM(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
+         SUM(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
+         SUM(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
+         SUM(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
+         SUM(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
+         SUM(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
+         SUM(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
+         SUM(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7,
+         SUM(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8,
+         SUM(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9,
+         SUM(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10,
+         SUM(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11,
+         SUM(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12,
+         SUM(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13,
+         SUM(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14,
+         SUM(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15,
+         SUM(CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b16,
+         SUM(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b17,
+         SUM(CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b18,
+         SUM(CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b19,
+         SUM(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b20,
+         SUM(CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b21,
+         SUM(CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b22,
+         SUM(CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b23,
+         SUM(CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b24,
+         SUM(CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b25,
+         SUM(CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b26,
+         SUM(CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b27,
+         SUM(CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b28,
+         SUM(CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b29,
+         SUM(CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b30,
+         SUM(CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b31,
+         SUM(CASE WHEN (h >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS b32,
+         SUM(CASE WHEN (h >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS b33,
+         SUM(CASE WHEN (h >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS b34,
+         SUM(CASE WHEN (h >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS b35,
+         SUM(CASE WHEN (h >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS b36,
+         SUM(CASE WHEN (h >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS b37,
+         SUM(CASE WHEN (h >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS b38,
+         SUM(CASE WHEN (h >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS b39,
+         SUM(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS b40,
+         SUM(CASE WHEN (h >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS b41,
+         SUM(CASE WHEN (h >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS b42,
+         SUM(CASE WHEN (h >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS b43,
+         SUM(CASE WHEN (h >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS b44,
+         SUM(CASE WHEN (h >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS b45,
+         SUM(CASE WHEN (h >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS b46,
+         SUM(CASE WHEN (h >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS b47,
+         SUM(CASE WHEN (h >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS b48,
+         SUM(CASE WHEN (h >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS b49,
+         SUM(CASE WHEN (h >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS b50,
+         SUM(CASE WHEN (h >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS b51,
+         SUM(CASE WHEN (h >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS b52,
+         SUM(CASE WHEN (h >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS b53,
+         SUM(CASE WHEN (h >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS b54,
+         SUM(CASE WHEN (h >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS b55,
+         SUM(CASE WHEN (h >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS b56,
+         SUM(CASE WHEN (h >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS b57,
+         SUM(CASE WHEN (h >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS b58,
+         SUM(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS b59
+  FROM th GROUP BY doc_id)
+SELECT doc_id, CASE WHEN b0 > 0 THEN 1 ELSE 0 END + CASE WHEN b1 > 0 THEN 2 ELSE 0 END + CASE WHEN b2 > 0 THEN 4 ELSE 0 END + CASE WHEN b3 > 0 THEN 8 ELSE 0 END + CASE WHEN b4 > 0 THEN 16 ELSE 0 END + CASE WHEN b5 > 0 THEN 32 ELSE 0 END + CASE WHEN b6 > 0 THEN 64 ELSE 0 END + CASE WHEN b7 > 0 THEN 128 ELSE 0 END + CASE WHEN b8 > 0 THEN 256 ELSE 0 END + CASE WHEN b9 > 0 THEN 512 ELSE 0 END + CASE WHEN b10 > 0 THEN 1024 ELSE 0 END + CASE WHEN b11 > 0 THEN 2048 ELSE 0 END + CASE WHEN b12 > 0 THEN 4096 ELSE 0 END + CASE WHEN b13 > 0 THEN 8192 ELSE 0 END + CASE WHEN b14 > 0 THEN 16384 ELSE 0 END + CASE WHEN b15 > 0 THEN 32768 ELSE 0 END + CASE WHEN b16 > 0 THEN 65536 ELSE 0 END + CASE WHEN b17 > 0 THEN 131072 ELSE 0 END + CASE WHEN b18 > 0 THEN 262144 ELSE 0 END + CASE WHEN b19 > 0 THEN 524288 ELSE 0 END + CASE WHEN b20 > 0 THEN 1048576 ELSE 0 END + CASE WHEN b21 > 0 THEN 2097152 ELSE 0 END + CASE WHEN b22 > 0 THEN 4194304 ELSE 0 END + CASE WHEN b23 > 0 THEN 8388608 ELSE 0 END + CASE WHEN b24 > 0 THEN 16777216 ELSE 0 END + CASE WHEN b25 > 0 THEN 33554432 ELSE 0 END + CASE WHEN b26 > 0 THEN 67108864 ELSE 0 END + CASE WHEN b27 > 0 THEN 134217728 ELSE 0 END + CASE WHEN b28 > 0 THEN 268435456 ELSE 0 END + CASE WHEN b29 > 0 THEN 536870912 ELSE 0 END + CASE WHEN b30 > 0 THEN 1073741824 ELSE 0 END + CASE WHEN b31 > 0 THEN 2147483648 ELSE 0 END + CASE WHEN b32 > 0 THEN 4294967296 ELSE 0 END + CASE WHEN b33 > 0 THEN 8589934592 ELSE 0 END + CASE WHEN b34 > 0 THEN 17179869184 ELSE 0 END + CASE WHEN b35 > 0 THEN 34359738368 ELSE 0 END + CASE WHEN b36 > 0 THEN 68719476736 ELSE 0 END + CASE WHEN b37 > 0 THEN 137438953472 ELSE 0 END + CASE WHEN b38 > 0 THEN 274877906944 ELSE 0 END + CASE WHEN b39 > 0 THEN 549755813888 ELSE 0 END + CASE WHEN b40 > 0 THEN 1099511627776 ELSE 0 END + CASE WHEN b41 > 0 THEN 2199023255552 ELSE 0 END + CASE WHEN b42 > 0 THEN 4398046511104 ELSE 0 END + CASE WHEN b43 > 0 THEN 8796093022208 ELSE 0 END + CASE WHEN b44 > 0 THEN 17592186044416 ELSE 0 END + CASE WHEN b45 > 0 THEN 35184372088832 ELSE 0 END + CASE WHEN b46 > 0 THEN 70368744177664 ELSE 0 END + CASE WHEN b47 > 0 THEN 140737488355328 ELSE 0 END + CASE WHEN b48 > 0 THEN 281474976710656 ELSE 0 END + CASE WHEN b49 > 0 THEN 562949953421312 ELSE 0 END + CASE WHEN b50 > 0 THEN 1125899906842624 ELSE 0 END + CASE WHEN b51 > 0 THEN 2251799813685248 ELSE 0 END + CASE WHEN b52 > 0 THEN 4503599627370496 ELSE 0 END + CASE WHEN b53 > 0 THEN 9007199254740992 ELSE 0 END + CASE WHEN b54 > 0 THEN 18014398509481984 ELSE 0 END + CASE WHEN b55 > 0 THEN 36028797018963968 ELSE 0 END + CASE WHEN b56 > 0 THEN 72057594037927936 ELSE 0 END + CASE WHEN b57 > 0 THEN 144115188075855872 ELSE 0 END + CASE WHEN b58 > 0 THEN 288230376151711744 ELSE 0 END + CASE WHEN b59 > 0 THEN 576460752303423488 ELSE 0 END AS fp FROM counts;
+"""
+
+SIMHASH_FINAL = """
+WITH chunks AS (
+  SELECT doc_id, fp, 0 AS chunk, (fp >> 0) & 511 AS cv FROM fps
+  UNION ALL SELECT doc_id, fp, 1 AS chunk, (fp >> 9) & 511 AS cv FROM fps
+  UNION ALL SELECT doc_id, fp, 2 AS chunk, (fp >> 18) & 511 AS cv FROM fps
+  UNION ALL SELECT doc_id, fp, 3 AS chunk, (fp >> 27) & 511 AS cv FROM fps
+  UNION ALL SELECT doc_id, fp, 4 AS chunk, (fp >> 36) & 255 AS cv FROM fps
+  UNION ALL SELECT doc_id, fp, 5 AS chunk, (fp >> 44) & 255 AS cv FROM fps
+  UNION ALL SELECT doc_id, fp, 6 AS chunk, (fp >> 52) & 255 AS cv FROM fps),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.fp, b.fp)) AS hamming
+  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv
+  WHERE a.doc_id < b.doc_id
+    AND bit_count(xor(a.fp, b.fp)) <= 6)
+SELECT doc_a, doc_b, hamming FROM pairs
+ORDER BY doc_a, doc_b"""
+
 CC = """
 WITH RECURSIVE
 cedges AS (SELECT doc_a AS a, doc_b AS b FROM verified
@@ -182,6 +289,7 @@ csize AS (SELECT canonical_id, COUNT(*) AS n_members FROM cc GROUP BY canonical_
 SELECT doc_id, canonical_id, n_members
 FROM cc JOIN csize USING (canonical_id) ORDER BY doc_id""",
     "dedup_embed": embed_final_sql(6, 0.45, 60),
+    "dedup_simhash": SIMHASH_FINAL,
     "dedup_embed_scaled": embed_final_sql(16, 0.95, 128),
     "pipeline_curate": CC + """,
 noncanon AS (SELECT doc_id FROM cc WHERE doc_id <> canonical_id),
@@ -241,12 +349,18 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {table_source(sf_dir, t)}")
 
     embed_variants = {"dedup_embed": 60, "dedup_embed_scaled": 128}
-    if any(n not in embed_variants for n in names):
+    solo = set(embed_variants) | {"dedup_simhash"}
+    if any(n not in solo for n in names):
         print("staging shingle prefix (sig/pairs/tokc/verified)...", flush=True)
         con.execute(PREFIX)
         for t in ("sig", "pairs", "tokc", "verified"):
             n = con.sql(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
             print(f"  {t}: {n} rows", flush=True)
+    if "dedup_simhash" in names:
+        print("staging simhash prefix (fps)...", flush=True)
+        con.execute(SIMHASH_PREFIX)
+        n = con.sql("SELECT COUNT(*) FROM fps").fetchone()[0]
+        print(f"  fps: {n} rows", flush=True)
     for name, bits in embed_variants.items():
         if name in names:
             print(f"staging embed prefix (ivn/ebits{bits})...", flush=True)
