@@ -70,7 +70,11 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.qMinhash(s, d)),
     "dedup_jaccard" -> ((s, d) => Dedup.qJaccard(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.qSimhash(s, d)),
-    "dedup_embed" -> ((s, d) => Dedup.qEmbed(s, d)),
+    // Embedding near-dup at production banding (8×16-bit bands, 0.95
+    // verify). The narrow demo banding (10×6-bit, 0.45) was RETIRED from
+    // the declared surface in round 10: ProbeCand measured its 640-bucket
+    // value space quadratic in corpus size (sf10 exclusion in r9); it
+    // lives on as a DedupSpec/PlanAuditSpec fixture via Dedup.qEmbed.
     "dedup_embed_scaled" -> ((s, d) => Dedup.qEmbedScaled(s, d)),
     // Incremental: new batch vs persisted corpus band index
     "dedup_incremental" -> ((s, d) => Dedup.qIncremental(s, d)),
@@ -276,7 +280,6 @@ object SparkEntry {
     "dedup_minhash" -> Dedup.qMinhashSql,
     "dedup_jaccard" -> Dedup.qJaccardSql,
     "dedup_simhash" -> Dedup.qSimhashSql,
-    "dedup_embed" -> Dedup.qEmbedSql,
     "dedup_embed_scaled" -> Dedup.qEmbedScaledSql,
     "dedup_incremental" -> Dedup.qIncrementalSql,
     "dedup_fuzzy" -> Dedup.qFuzzySql,

@@ -7,13 +7,31 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Round-10 gate knobs, all driver-contract-neutral (defaults match
+    // the driver's invocation exactly):
+    //  - SPARK_GRAFT_MASTER: e.g. local-cluster[4,8,8192] to run every
+    //    query through REAL multi-process executors (serialized custom
+    //    expressions, remote shuffle/broadcast) instead of local[n].
+    //  - SPARK_GRAFT_EXECUTOR_CLASSPATH: the compiled classes dir, needed
+    //    by local-cluster executors (sbt's classpath is driver-only).
+    //  - SPARK_GRAFT_AQE: "false" sweeps the suite without adaptive
+    //    execution, guarding against silent AQE-dependence.
+    //  - SPARK_GRAFT_CHECKPOINT_DIR: switches Lineage.cut to reliable
+    //    checkpoint() — mandatory whenever executors can die (cluster).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH")
+      .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
+    sys.env.get("SPARK_GRAFT_AQE")
+      .foreach(v => builder.config("spark.sql.adaptive.enabled", v))
+    val spark = builder.getOrCreate()
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Single-file dumps by default, via repartition(1) NOT coalesce(1):

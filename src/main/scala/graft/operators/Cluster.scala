@@ -28,10 +28,11 @@ import graft.sources.Tables
   * smaller than the corpus (only near-dups appear); labels are one row
   * per CLUSTERED doc. Both are checkpointed per iteration, so plans stay
   * O(1) and the candidate pipeline upstream is evaluated exactly once.
-  * At extreme diameters (adversarial chains) the alternating large-star/
-  * small-star variant caps rounds at O(log n) with the same join shape —
-  * the swap is local to this function. Determinism: min over a total
-  * order — the same labels on any partitioning.
+  * At extreme diameters (adversarial chains) the loop degrades
+  * automatically to [[connectedComponentsStars]] — the alternating
+  * large-star/small-star variant with O(log n) rounds and the same join
+  * shape. Determinism: min over a total order — the same labels on any
+  * partitioning.
   */
 object Cluster {
   val MaxIter = 15
@@ -46,9 +47,10 @@ object Cluster {
     * improvements are still outstanding (verified by one final probe
     * round — the last improvement may legitimately land exactly on the
     * cap), the labels are NOT a fixpoint and returning them would
-    * silently split true clusters; we throw instead (the caller either
-    * raises the cap or switches to the O(log n)-round
-    * large-star/small-star variant).
+    * silently split true clusters; the loop then hands the (already
+    * checkpointed) edge set to [[connectedComponentsStars]], whose
+    * round count is logarithmic in component size instead of linear in
+    * diameter — correct-by-completion on adversarially deep graphs.
     * Superseded label generations are small (one row per clustered doc)
     * and reclaimed by Spark's ContextCleaner once unreferenced —
     * checkpoint blocks have no public eager-release API.
@@ -93,9 +95,87 @@ object Cluster {
     if (!done)
       done = nbrMin(labels).join(labels.select("v", "label"), "v")
         .filter(col("nl") < col("label")).isEmpty
-    require(done, s"connectedComponents did not converge in $maxIter rounds " +
-      "(graph deeper than the guard); raise maxIter or use a log-round variant")
-    labels.select(col("v").as("doc_id"), col("label").as("canonical_id"))
+    if (done)
+      labels.select(col("v").as("doc_id"), col("label").as("canonical_id"))
+    else
+      // graph deeper than the propagation guard (an adversarial chain):
+      // degrade to the O(log n)-round star variant instead of throwing —
+      // correct-by-completion, same output contract. Restarting from the
+      // (checkpointed) edge set is safe: the star rounds are logarithmic
+      // in component size, so the discarded propagation progress costs
+      // less than one extra diameter-length round would.
+      connectedComponentsStars(sym)
+  }
+
+  /** Round cap for [[connectedComponentsStars]]. The alternation
+    * contracts every component toward its minimum in O(log n) rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14); vertex ids are longs, so components can't exceed 2^63
+    * members and ~63 rounds is the analytical worst case. This is a
+    * RUNAWAY GUARD like [[MaxIter]], not a tuning knob. */
+  val StarMaxRounds = 80
+
+  /** Connected components via alternating large-star/small-star — the
+    * O(log n)-round variant the propagation loop's scaladoc names, used
+    * automatically when [[connectedComponents]] hits its round cap on a
+    * deep graph. Same contract: one row per edge-endpoint vertex,
+    * `canonical_id` = min reachable id.
+    *
+    * Each round is two grouped-min aggregates + two keyed joins over the
+    * CURRENT edge set (which only ever shrinks toward one edge per
+    * non-root vertex) — the same dataflow shape per round as
+    * propagation, but the star moves label mass exponentially:
+    *   large-star: every neighbor v > u re-attaches to
+    *               m = min(N(u) ∪ {u});
+    *   small-star: every smaller-or-self member of u's group attaches
+    *               to m = min of that group.
+    * Both preserve connectivity and never lose a vertex (every group
+    * member reappears as a source or as the target m).
+    *
+    * Convergence detection is STRUCTURAL, not count-based: the edge set
+    * is a union of depth-1 stars iff every source has exactly one parent
+    * and no parent is itself a source. Returning only on that condition
+    * makes correctness independent of the round-complexity argument —
+    * the cap is just a runaway guard. Edges directed u > v throughout,
+    * so each star's root is smaller than all members; at the fixpoint
+    * the root is the component minimum (a smaller member would need an
+    * edge (root, member) violating the direction invariant). */
+  def connectedComponentsStars(edges: DataFrame,
+                               maxRounds: Int = StarMaxRounds): DataFrame = {
+    var e = Lineage.cut(edges
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var converged = e.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star over the symmetric neighborhood: (v, m) for v > u
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m1 = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(m1, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star over the (u > v)-directed edges: group u's smaller
+      // neighbors N, m = min(N); emit (u, m) and (v, m) for v in N \ {m}
+      val m2 = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(m2, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m2.select(col("u"), col("m").as("v")))
+        .distinct()
+      val next = Lineage.cut(small)
+      // stars ⟺ functional parents (one per source) ∧ flat (no parent is
+      // a source) — two driver-side boolean probes on the checkpointed set
+      converged =
+        next.groupBy("u").agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty &&
+        next.join(next.select(col("u").as("v")).distinct(), Seq("v"), "left_semi").isEmpty
+      e = next
+      round += 1
+    }
+    require(converged, s"connectedComponentsStars did not reach a star " +
+      s"fixpoint in $maxRounds rounds — impossible for long vertex ids " +
+      "unless the alternation is broken; refusing to return a non-fixpoint")
+    e.select(col("u").as("doc_id"), col("v").as("canonical_id"))
+      .unionByName(e.select(col("v").as("doc_id"), col("v").as("canonical_id")).distinct())
   }
 
   /** Declared query: clusters over the Jaccard-VERIFIED near-dup pairs

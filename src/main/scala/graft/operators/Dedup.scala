@@ -516,16 +516,24 @@ object Dedup {
     * the extension is registered), then bit-packing; no shuffle until the
     * band self-join. Input is `Similarity.prepared` shape
     * (vec_id, ie, nrm). */
+  /** Banding configuration per registered sign-band function name. The
+    * EXPLICIT map (not string-dispatch-with-fallback) makes an
+    * unrecognized name a loud error instead of silently banding with the
+    * narrow demo matrix — a typo'd or future third variant must be added
+    * here, next to its matrix and band width (ADVICE r9). */
+  private lazy val bandConfigs: Map[String, (Seq[Seq[Long]], Int)] = Map(
+    graft.plans.GraftExtensions.SignBandsName -> ((hyperplanes, RpBandBits)),
+    graft.plans.GraftExtensions.SignBandsWideName -> ((hyperplanesWide, ScaledBandBits)))
+
   def embedBands(s: SparkSession, vecs: DataFrame,
                  fnName: String = graft.plans.GraftExtensions.SignBandsName): DataFrame = {
+    val (matrix, bandBits) = bandConfigs.getOrElse(fnName,
+      throw new IllegalArgumentException(
+        s"unknown sign-band function '$fnName'; known: ${bandConfigs.keys.mkString(", ")}"))
     val banded =
       if (s.catalog.functionExists(fnName))
         vecs.withColumn("bands", call_function(fnName, col("ie")))
-      else hofBands(s, vecs,
-        if (fnName == graft.plans.GraftExtensions.SignBandsWideName) hyperplanesWide
-        else hyperplanes,
-        if (fnName == graft.plans.GraftExtensions.SignBandsWideName) ScaledBandBits
-        else RpBandBits)
+      else hofBands(s, vecs, matrix, bandBits)
     banded.select(col("vec_id"), posexplode(col("bands"))).toDF("vec_id", "k", "bv")
   }
 
@@ -581,6 +589,12 @@ object Dedup {
       .select("a_id", "b_id", "cosine")
   }
 
+  /** Demo-parameter embed near-dup (10×6-bit bands, 0.45 verify). NOT a
+    * declared query since round 10: the 640-bucket band value space makes
+    * candidate mass quadratic in corpus size (measured, ProbeCand r9), so
+    * it cannot be offered as something a user could run at scale. Kept as
+    * the DedupSpec/PlanAuditSpec fixture exercising the narrow native
+    * kernel; [[qEmbedScaled]] is the declared production configuration. */
   def qEmbed(s: SparkSession, dir: String): DataFrame =
     embedNearDup(s, Similarity.prepared(s, dir)).orderBy("a_id", "b_id")
 

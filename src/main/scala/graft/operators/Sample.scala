@@ -244,7 +244,7 @@ object Sample {
     val cDocs = d.filter(col("source") === MatchCand)
     val c = cDocs.groupBy("bin").agg(count(lit(1)).as("c_cnt"))
     val tot = t.agg(sum("t_cnt").as("t_tot"))
-      .crossJoin(c.agg(sum("c_cnt").as("c_tot")))
+      .crossJoin(broadcast(c.agg(sum("c_cnt").as("c_tot"))))
     val h = pmod(graft.functions.Hashes.hash60(
       concat(lit(MatchSalt), col("doc_id").cast("string"))), lit(Denom))
     def big(x: Column) = x.cast("decimal(19,0)")

@@ -35,12 +35,45 @@ class ClusterSpec extends SparkSpec {
     assert(one.map(_._2) == Set(1L, 11L))
   }
 
-  test("cap exhaustion throws instead of returning split clusters") {
+  test("cap exhaustion falls back to the star variant, never split clusters") {
+    // a 6-chain needs 5 propagation rounds; maxIter = 2 forces the
+    // automatic large-star/small-star fallback, which must return the
+    // SAME fixpoint (previously this threw)
     val chain = (1L to 6L).sliding(2).map(s => (s(1), s(0))).toSeq
-    val e = intercept[IllegalArgumentException] {
-      Cluster.connectedComponents(chain.toDF("a", "b"), maxIter = 2).collect()
-    }
-    assert(e.getMessage.contains("converge"))
+    val labels = cc(chain) // default cap, converges by propagation
+    val viaFallback = Cluster.connectedComponents(chain.toDF("a", "b"), maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFallback == labels && labels.values.toSet == Set(1L))
+  }
+
+  test("adversarial chain deeper than the default cap completes correctly") {
+    // diameter 39 > MaxIter 15: propagation alone cannot converge; the
+    // star fallback must close the whole chain to its minimum in
+    // O(log n) rounds (this exact shape hard-failed before round 10)
+    val chain = (1L to 40L).sliding(2).map(s => (s(1), s(0))).toSeq
+    val labels = cc(chain)
+    assert(labels.size == 40 && labels.values.toSet == Set(1L))
+  }
+
+  test("star variant alone matches propagation on a mixed multi-component graph") {
+    val edges = Seq((1L, 9L), (9L, 4L), (6L, 2L), (2L, 9L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (23L, 22L), (5L, 4L))
+    val prop = cc(edges)
+    val stars = Cluster.connectedComponentsStars(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == prop, s"star=$stars prop=$prop")
+  }
+
+  test("star variant: empty input, single edge, already-star input") {
+    assert(Cluster.connectedComponentsStars(
+      Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
+    val one = Cluster.connectedComponentsStars(Seq((2L, 1L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 1L, 2L -> 1L))
+    val star = Cluster.connectedComponentsStars(
+      Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
   test("fencepost: last improvement landing exactly on the cap is accepted") {

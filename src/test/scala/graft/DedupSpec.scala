@@ -111,6 +111,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"pigeonhole recall must hold, got $pairs")
   }
 
+  test("staged-oracle constants pin: tools/check_staged.py hardcodes these") {
+    // tools/check_staged.py's SIMHASH_PREFIX / shingle PREFIX / embed
+    // stages re-state these constants as SQL literals (it cannot import
+    // Scala). This pin makes a Scala-side constant change fail HERE with
+    // a pointer, instead of silently desyncing the staged sf>=1 oracles.
+    assert(Dedup.ShingleK == 3)
+    assert(Dedup.SimhashBits == 60 && Dedup.SimhashChunks == 7 && Dedup.HammingMax == 6)
+    assert(Dedup.chunkSpans == Seq((0, 9), (9, 9), (18, 9), (27, 9), (36, 8), (44, 8), (52, 8)))
+    assert(Similarity.Scale == 10000000L && Dedup.EmbedDim == 64)
+    assert(Dedup.ScaledRpBits == 128 && Dedup.ScaledBandBits == 16 &&
+      Dedup.ScaledThreshold == 0.95)
+  }
+
+  test("embedBands rejects an unknown sign-band function name loudly") {
+    val vecs = Similarity.prepared(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embedBands(spark, vecs, "graft_sign_bands_typo")
+    }
+    assert(e.getMessage.contains("unknown sign-band function"))
+  }
+
   test("embedding near-dup: planted high-cosine pair found, far pairs pruned by verify") {
     val rnd = new scala.util.Random(7)
     val base = Array.fill(64)(rnd.nextFloat() - 0.5f)

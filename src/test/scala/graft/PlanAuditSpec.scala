@@ -69,7 +69,13 @@ class PlanAuditSpec extends SparkSpec {
   test("native codegen'd kernels are in the hot-path projections") {
     assert(executed("similar_topk").toString.contains("graft_dot_long"),
       "similarity dot should be the native expression under the test session")
-    val embed = executed("dedup_embed").toString
+    // the demo-banding embed query is a spec fixture since r10 (retired
+    // from the declared surface); its plan still pins the native kernel
+    val embedDf = graft.operators.Dedup.qEmbed(spark, sf)
+    val embed = (embedDf.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
     assert(embed.contains("graft_sign_bands"), "signature stage should be native")
     // the exact-cosine verify is pushed into the join, not a post-filter
     assert(embed.contains(">= 0.45"), "cosine threshold should appear as a join predicate")

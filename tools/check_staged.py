@@ -163,6 +163,15 @@ WHERE cosine >= {threshold} ORDER BY a_id, b_id"""
 
 
 # --- dedup_simhash, staged --------------------------------------------------
+# CONSTANTS PIN (ADVICE r9): this SQL hardcodes the Scala-side constants
+# of src/main/scala/graft/operators/Dedup.scala — SimhashBits=60 (15-hex
+# md5 arms), SimhashChunks=7 with chunkSpans (0,9)(9,9)(18,9)(27,9)
+# (36,8)(44,8)(52,8), HammingMax=6, ShingleK=3 — and the shared shingle
+# prefix above hardcodes ShingleK=3. DedupSpec's "staged-oracle constants
+# pin" test asserts those exact values on the Scala side, so a constant
+# change there fails the suite and points here instead of silently
+# desyncing this staged oracle.
+#
 # Oracle text verbatim through `fps`; the one transformation is pushing
 # the `hamming <= 6` filter INSIDE the DISTINCT: hamming is a pure
 # function of the selected tuple (doc_a, doc_b, hamming), so
@@ -288,7 +297,7 @@ ORDER BY doc_a, doc_b""",
 csize AS (SELECT canonical_id, COUNT(*) AS n_members FROM cc GROUP BY canonical_id)
 SELECT doc_id, canonical_id, n_members
 FROM cc JOIN csize USING (canonical_id) ORDER BY doc_id""",
-    "dedup_embed": embed_final_sql(6, 0.45, 60),
+    # dedup_embed (demo banding) retired from the declared surface in r10
     "dedup_simhash": SIMHASH_FINAL,
     "dedup_embed_scaled": embed_final_sql(16, 0.95, 128),
     "pipeline_curate": CC + """,
@@ -348,7 +357,7 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {table_source(sf_dir, t)}")
 
-    embed_variants = {"dedup_embed": 60, "dedup_embed_scaled": 128}
+    embed_variants = {"dedup_embed_scaled": 128}
     solo = set(embed_variants) | {"dedup_simhash"}
     if any(n not in solo for n in names):
         print("staging shingle prefix (sig/pairs/tokc/verified)...", flush=True)

@@ -8,7 +8,7 @@ OUT=verify_out_r9_sf10
 CHUNKS=(
   "catalog_audit catalog_benford catalog_checksum catalog_columns catalog_corr catalog_drift catalog_histogram catalog_histogram_depth catalog_profile"
   "dedup_exact dedup_minhash dedup_simhash dedup_fuzzy"
-  "dedup_jaccard dedup_embed dedup_incremental"
+  "dedup_jaccard dedup_embed_scaled dedup_incremental"
   "dedup_clusters"
   "etl_cleanse etl_count etl_dedup_employees etl_dim_upsert etl_employee_upsert etl_fact_upsert etl_quarantine etl_scd2 etl_snapshot_diff etl_surrogate_keys etl_union_evolve"
   "events_asof events_asof_inner events_asof_multi events_asof_native events_attribution events_cdc events_funnel events_interval"
