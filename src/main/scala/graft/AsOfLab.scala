@@ -32,18 +32,35 @@ import graft.sources.Tables
   * computed from summed task time. Run:
   *   SPARK_GRAFT_SF_DIR=testdata-sf10 SPARK_GRAFT_CPUS=32 \
   *     sbt "runMain graft.AsOfLab"
+  *
+  * ROUND-10 second arm (`bucketed`): ASOFLAB_r09 measured the merge at
+  * 11.9% of task time under the shuffle layout and named the revisit
+  * condition — a layout where scan/exchange/sort stop dominating. This
+  * arm WRITES both sides as bucketed tables (bucketBy(user_id)
+  * sortBy(key, time[, tie]), one file per bucket so the scan reports
+  * both the hash partitioning and the sort order), verifies the native
+  * as-of plan on them carries ZERO Exchange and ZERO Sort nodes (the
+  * LayoutSpec shape, now measured), and re-attributes:
+  *   merge_share_bucketed = (task_native − task_scanL − task_scanR)
+  *                          / task_native
+  * where the skeletons are now BARE bucketed scans. If the merge share
+  * exceeds ~50% here, whole-stage codegen of the merge is worth
+  * building; below that, even the best layout leaves it I/O-bound.
   */
 object AsOfLab {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "testdata-sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_asoflab_wh").toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -114,9 +131,46 @@ object AsOfLab {
     val share = (n.taskSec - l.taskSec - r.taskSec) / n.taskSec
     def j(a: Arm) =
       f"""{"wall_sec":${a.wall}%.3f,"task_sec":${a.taskSec}%.3f,"rows":${a.rows}}"""
+
+    // ---- arm 2: bucketed zero-Exchange layout ---------------------------
+    // One file per bucket: repartition on the bucket column uses the same
+    // murmur3-hash partitioning bucketBy does, so each write task holds
+    // exactly one bucket — the single-file-per-bucket condition under
+    // which the scan reports its sortBy order and the Sort is elided too.
+    val buckets = cpus.toInt
+    purchases.repartition(buckets, col("user_id"))
+      .write.bucketBy(buckets, "user_id").sortBy("user_id", "ts")
+      .mode("overwrite").saveAsTable("asoflab_purchases_b")
+    clicks.repartition(buckets, col("c_user"))
+      .write.bucketBy(buckets, "c_user").sortBy("c_user", "click_ts", "click_id")
+      .mode("overwrite").saveAsTable("asoflab_clicks_b")
+    def nativeB: DataFrame = graft.plans.AsOfJoin(
+      spark.table("asoflab_purchases_b"), spark.table("asoflab_clicks_b"),
+      "user_id", "c_user", "ts", "click_ts", "click_id")
+    def scanL: DataFrame = spark.table("asoflab_purchases_b")
+    def scanR: DataFrame = spark.table("asoflab_clicks_b")
+
+    // machine-check the zero-Exchange/zero-Sort claim before timing it
+    val planB = nativeB.queryExecution.executedPlan.toString
+    val nExch = "Exchange".r.findAllIn(planB).length
+    val nSort = raw"\bSort\b".r.findAllIn(planB).length
+    require(nExch == 0 && nSort == 0,
+      s"bucketed as-of plan must carry no Exchange/Sort, got $nExch/$nSort:\n" +
+        planB.take(2000))
+
+    drain(nativeB); drain(scanL); drain(scanR)
+    val nb = time(() => nativeB)
+    val lb = time(() => scanL)
+    val rb = time(() => scanR)
+    require(nb.rows == n.rows,
+      s"bucketed native must produce identical cardinality: ${nb.rows} vs ${n.rows}")
+    val shareB = (nb.taskSec - lb.taskSec - rb.taskSec) / nb.taskSec
+
     println(s"""{"experiment":"asof_merge_share","sf":"$sfDir","reps":$reps,""" +
-      s""""native":${j(n)},"skeleton_left":${j(l)},"skeleton_right":${j(r)},""" +
-      f""""merge_share_of_task_time":$share%.3f}""")
+      s""""shuffle_layout":{"native":${j(n)},"skeleton_left":${j(l)},"skeleton_right":${j(r)},""" +
+      f""""merge_share_of_task_time":$share%.3f},""" +
+      s""""bucketed_layout":{"native":${j(nb)},"scan_left":${j(lb)},"scan_right":${j(rb)},""" +
+      f""""merge_share_of_task_time":$shareB%.3f,"n_exchanges":$nExch,"n_sorts":$nSort,"buckets":$buckets}}""")
     spark.stop()
   }
 }

@@ -308,17 +308,19 @@ object Streams {
       }
       .start()
 
-  /** Convenience: run the hourly-window stream from a file source —
-    * the deployment shape (`readStream` → transform → `writeStream`).
-    * `dir` is the sf directory; only the events files are ingested (the
-    * sibling tables share the directory — a glob over all of them would
-    * read ~10x the bytes as all-null rows). The nanos conf is set here,
-    * not inherited from a prior batch `Tables.events` call. A stream
-    * needs a DECLARED schema, so the ns-vs-µs encoding probe (see
-    * [[graft.sources.Tables.events]]) runs as one batch footer read up
-    * front — the same metadata cost the source's own listing pays. */
-  def fileStreamQuery(s: SparkSession, dir: String, checkpoint: String,
-                      outPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+  /** File-source stream over the sf directory's events table — the
+    * deployment-shape source half (`readStream.parquet`). Only the
+    * events files are ingested (the sibling tables share the directory —
+    * a glob over all of them would read ~10x the bytes as all-null
+    * rows). The nanos conf is set here, not inherited from a prior batch
+    * `Tables.events` call. A stream needs a DECLARED schema, so the
+    * ns-vs-µs encoding probe (see [[graft.sources.Tables.events]]) runs
+    * as one batch footer read up front — the same metadata cost the
+    * source's own listing pays. `maxFilesPerTrigger` splits the table
+    * into that many-file micro-batches (0 = all at once) — the StreamEq
+    * harness uses it to force genuine multi-batch incremental state. */
+  def eventsFileStream(s: SparkSession, dir: String,
+                       maxFilesPerTrigger: Int = 0): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
     val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
@@ -328,21 +330,33 @@ object Streams {
           if (f.name == "ts") f.copy(dataType = tsType) else f))
       case _ => graft.sources.Schemas.events
     }
-    val raw = s.readStream
-      .schema(declared)
-      // glob filter, not a file path: FileStreamSource requires a
-      // directory (basePath), and the filter prunes at listing time
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val stream = tsType match {
+    val reader = s.readStream.schema(declared)
+    // FileStreamSource requires a directory (basePath). Two layouts
+    // exist: the driver's flat `<dir>/events.parquet` FILE (stream the
+    // parent dir with a listing-time glob filter) and ScaleUp's
+    // `<dir>/events.parquet/` DIRECTORY of part files (stream it
+    // directly — a leaf-name glob would exclude every part file).
+    val eventsPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val isDir = eventsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(eventsPath).isDirectory
+    if (!isDir) reader.option("pathGlobFilter", "events.parquet")
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val raw = reader.parquet(if (isDir) eventsPath.toString else dir)
+    tsType match {
       case TimestampType => raw
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }
-    hourlyWindows(stream).writeStream
+  }
+
+  /** Convenience: run the hourly-window stream from a file source —
+    * the deployment shape (`readStream` → transform → `writeStream`). */
+  def fileStreamQuery(s: SparkSession, dir: String, checkpoint: String,
+                      outPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    hourlyWindows(eventsFileStream(s, dir)).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .format("parquet")
       .start(outPath)
-  }
 }
