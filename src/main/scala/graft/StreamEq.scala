@@ -29,12 +29,16 @@ import graft.streaming.Streams.Event
   *  - sessions: `sessionize` fed event-time-ordered chunks (the
   *    operator's in-order delivery contract; out-of-order buffering is
   *    funnelStages' domain), flushed by watermark sentinels, vs
-  *    `Events.sessions`. sum_value compared on the data's own 1e-4 grid:
-  *    the stream folds doubles in arrival order, the batch sums exact
-  *    decimals — associativity noise ~1e-11 against a 4-decimal corpus.
-  *  - funnel: `funnelStages` fed UNSORTED chunks (its exactness-under-
-  *    reorder claim), pivoted to per-user (t1,t2,t3), vs
-  *    `Events.funnelUsers`. Exact epoch-µs longs.
+  *    `Events.sessions`. EXACT compare including sums — the operator
+  *    accumulates the same 1e-4-unit decimals the batch `dec()` cast
+  *    sums, at µs-exact gap arithmetic.
+  *  - funnel: `funnelStages` fed time-aligned chunks each INTERNALLY
+  *    SHUFFLED — its exactness-under-reorder claim, exercised across a
+  *    multi-day reorder horizon per batch while honoring the watermark
+  *    contract (arrivals >2 h late are dropped by design, so a full-
+  *    range shuffle would test lateness policy, not reordering) —
+  *    pivoted to per-user (t1,t2,t3), vs `Events.funnelUsers`. Exact
+  *    epoch-µs longs.
   *  - dedup: `dropDuplicatesWithinWatermark` over ordered chunks plus a
   *    10% re-delivery batch, parquet sink, vs batch DISTINCT. A
   *    re-delivered row is dropped whether the state (dup) or the
@@ -135,12 +139,13 @@ object StreamEq {
         ordered.grouped(300000).foreach { c => src.addData(c.toSeq); q.processAllAvailable() }
         flush(src, q)
       } finally q.stop()
-      def grid(df: DataFrame): DataFrame = df.select(col("user_id"),
-        col("session_start"), col("session_end"), col("n_events"),
-        round(col("sum_value"), 4).as("sv4"))
+      // EXACT compare, including sum_value: the stream accumulates the
+      // same 1e-4-unit decimals the batch's dec() cast sums
       record("sessions",
-        grid(spark.table("streameq_sess").filter(col("user_id") >= 0)),
-        grid(Events.sessions(eventsDf)))
+        spark.table("streameq_sess").filter(col("user_id") >= 0)
+          .select("user_id", "session_start", "session_end", "n_events", "sum_value"),
+        Events.sessions(eventsDf)
+          .select("user_id", "session_start", "session_end", "n_events", "sum_value"))
     }
 
     // ---- funnel (unsorted delivery) ------------------------------------
@@ -150,9 +155,15 @@ object StreamEq {
         .writeStream.format("memory").queryName("streameq_funnel")
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", s"$tmp/ckpt_funnel").start()
-      val unsorted = eventsDf.as[Event].collect()
+      // out-of-order WITHIN the watermark contract: time-ordered chunks
+      // (so nothing arrives >2 h late and gets watermark-dropped), each
+      // chunk internally shuffled — a multi-day horizon of reordering
+      // per micro-batch, which the buffered state machine must absorb
+      val rnd = new scala.util.Random(42)
       try {
-        unsorted.grouped(300000).foreach { c => src.addData(c.toSeq); q.processAllAvailable() }
+        ordered.grouped(300000).foreach { c =>
+          src.addData(rnd.shuffle(c.toSeq)); q.processAllAvailable()
+        }
         flush(src, q)
       } finally q.stop()
       val pivoted = spark.table("streameq_funnel").filter(col("user_id") >= 0)

@@ -23,7 +23,6 @@ import graft.functions.Num.{dbl, dec}
   */
 object Streams {
   val WatermarkDelay = "2 hours"
-  val SessionGapMs: Long = graft.operators.Events.SessionGapMin * 60L * 1000L
 
   /** First-batch probe through the Hadoop FS API — works for hdfs://,
     * s3a://, and local paths alike (a `java.io.File` check is driver-local
@@ -46,15 +45,49 @@ object Streams {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
-  case class SessionState(start: Long, end: Long, n: Int, sum: Double)
+  /** start/end in epoch-MICROSECONDS; sum in exact 1e-4 units (longs). */
+  case class SessionState(start: Long, end: Long, n: Int, sum4: Long)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long,
                      sum_value: Double)
 
+  /** Epoch-µs of a Timestamp. `getTime` alone TRUNCATES to milliseconds —
+    * the r10 StreamEq run caught exactly that: at sf1's µs-grain event
+    * times, ms arithmetic silently disagreed with the batch twins' exact
+    * `unix_micros` ordering and gap tests. Same integer-µs discipline as
+    * [[graft.operators.Events]]. */
+  private[graft] def tsUs(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private[graft] def usTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+  /** `value` in exact 1e-4 units, rounding HALF_UP — the same contract as
+    * the batch side's `CAST(value AS DECIMAL(18,4))` (`Num.dec`), so a
+    * session's sum is bit-identical to the batch decimal sum instead of
+    * an arrival-order-dependent double fold. */
+  private def units4(v: Double): Long =
+    BigDecimal.valueOf(v).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+  private def units4ToDouble(u: Long): Double =
+    java.math.BigDecimal.valueOf(u, 4).doubleValue
+  private val SessionGapUs: Long = graft.operators.Events.SessionGapMin * 60L * 1000000L
+  /** Highest µs instant the ms-grain watermark has sealed: every µs
+    * inside millisecond `wm` is older than any event that can still
+    * arrive. */
+  private def sealedUs(wmMs: Long): Long = wmMs * 1000L + 999L
+
   /** Keyed stateful sessionization: the open session per user lives in
     * GroupState; a session closes (and is emitted) when the event-time
     * watermark passes its end + gap. The streaming dual of the batch
-    * gaps-and-islands in `Events.sessions`. */
+    * gaps-and-islands in `Events.sessions` — µs-exact gap/order
+    * arithmetic and decimal-exact sums, so the two faces agree
+    * row-for-row (STREAMEQ artifact), not just approximately.
+    * Contract: events are folded on arrival (state is one OPEN session,
+    * not a buffer), so delivery must be in order per user beyond the
+    * gap tolerance — the deployment shape for sessionization; full
+    * out-of-order buffering is [[funnelStages]]' trade. */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
@@ -63,34 +96,38 @@ object Streams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          def emit(s: SessionState): Session =
+            Session(userId, usTs(s.start), usTs(s.end), s.n.toLong,
+              units4ToDouble(s.sum4))
           if (state.hasTimedOut) {
             // watermark passed end + gap: the open session is final
             val s = state.get
             state.remove()
-            Iterator(Session(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n.toLong, s.sum))
+            Iterator(emit(s))
           } else {
             // fold sorted events into the open session; gaps close it
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = batch.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsUs(e.ts)
               cur match {
-                case Some(s) if t - s.end <= SessionGapMs =>
+                case Some(s) if t - s.end <= SessionGapUs =>
                   cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
-                    sum = s.sum + e.value))
+                    sum4 = s.sum4 + units4(e.value)))
                 case Some(s) =>
-                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n.toLong, s.sum)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  closed ::= emit(s)
+                  cur = Some(SessionState(t, t, 1, units4(e.value)))
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, units4(e.value)))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + SessionGapMs)
+              // timeout clock is ms-grain: round UP so the timeout never
+              // fires before the µs-exact (end + gap) instant is sealed
+              state.setTimeoutTimestamp(
+                Math.floorDiv(s.end + SessionGapUs, 1000L) + 1L)
             }
             closed.reverseIterator
           }
@@ -198,15 +235,19 @@ object Streams {
         (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
           val st0 = state.getOption.getOrElse(FunnelState(None, None, None, Nil))
           val wm = state.getCurrentWatermarkMs()
-          val buf = st0.buf ++ batch.map(e => (e.ts.getTime, e.event_id, e.event_type))
+          // buffered times in epoch-µs: the batch twin orders and reports
+          // stage times by unix_micros, and ms truncation loses sub-ms
+          // order AND emits truncated stage timestamps (caught by the r10
+          // StreamEq run at sf1)
+          val buf = st0.buf ++ batch.map(e => (tsUs(e.ts), e.event_id, e.event_type))
           // finalize only what the watermark has sealed: nothing earlier
           // can still arrive, so sorted processing is total-order correct
-          val (ready, pending) = buf.partition(_._1 <= wm)
+          val (ready, pending) = buf.partition(_._1 <= sealedUs(wm))
           var (t1, t2, t3) = (st0.t1, st0.t2, st0.t3)
           val hits = scala.collection.mutable.ListBuffer.empty[StageHit]
           ready.sortBy(r => (r._1, r._2)).foreach { case (t, _, tp) =>
             def hit(stage: Int, set: Long => Unit): Unit = {
-              set(t); hits += StageHit(userId, stage, new java.sql.Timestamp(t))
+              set(t); hits += StageHit(userId, stage, usTs(t))
             }
             tp match {
               case "signup" if t1.isEmpty => hit(1, x => t1 = Some(x))
@@ -218,11 +259,13 @@ object Streams {
           if (t3.nonEmpty && pending.isEmpty) state.remove()
           else {
             state.update(FunnelState(t1, t2, t3, pending))
-            // wake when the watermark seals the oldest pending event (or
-            // just past the current watermark if none buffered yet)
+            // wake (ms clock) when the watermark seals the oldest pending
+            // µs event (or just past the current watermark if none
+            // buffered yet); floorDiv is safe — the event finalizes once
+            // its whole millisecond is sealed
             val wake = pending.map(_._1) match {
               case Nil => wm + 1L
-              case ps => math.max(ps.min, wm + 1L)
+              case ps => math.max(Math.floorDiv(ps.min, 1000L), wm + 1L)
             }
             state.setTimeoutTimestamp(wake)
           }
