@@ -61,6 +61,13 @@ object AsOfLab {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", warehouse)
+      // bucketed scans stopped reporting their sortBy order by default in
+      // Spark 3.0 because multi-file buckets would need a merge to honor
+      // it; the bucketed arm below writes EXACTLY one file per bucket
+      // (repartition on the bucket column first), the one layout where
+      // the propagated order is sound — and the whole point of the arm
+      // is measuring the merge with scan-provided order, no Sort node
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
