@@ -65,6 +65,10 @@ object SparkEntry {
     // + equi-width value histogram (integer-exact bucket math)
     "catalog_checksum" -> ((s, d) => Catalog.qChecksum(s, d)),
     "catalog_histogram" -> ((s, d) => Catalog.qHistogram(s, d)),
+    // Z-order clustered layout: 2-D box predicate served by footer-stat
+    // row-group skipping (oracle runs on the original table — a layout
+    // may change cost, never an answer)
+    "layout_zorder" -> ((s, d) => sources.ZOrder.qZOrder(s, d)),
     // Training-data dedup family over `documents`
     "dedup_exact" -> ((s, d) => Dedup.qExact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.qMinhash(s, d)),
@@ -276,6 +280,7 @@ object SparkEntry {
     "catalog_profile" -> Catalog.qProfileSql,
     "catalog_checksum" -> Catalog.qChecksumSql,
     "catalog_histogram" -> Catalog.qHistogramSql,
+    "layout_zorder" -> sources.ZOrder.qZOrderSql,
     "dedup_exact" -> Dedup.qExactSql,
     "dedup_minhash" -> Dedup.qMinhashSql,
     "dedup_jaccard" -> Dedup.qJaccardSql,

@@ -44,6 +44,7 @@ object SpillLab {
       val b = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.extensions", "graft.plans.GraftExtensions")
         .config("spark.ui.enabled", "false")

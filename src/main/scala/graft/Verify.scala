@@ -22,6 +22,7 @@ object Verify {
     val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -44,9 +45,22 @@ object Verify {
     // wise; SPARK_GRAFT_VERIFY_NATURAL=1 skips the funnel entirely for
     // big self-gate sfs (check.py globs the part files).
     val natural = sys.env.contains("SPARK_GRAFT_VERIFY_NATURAL")
+    // Dump-boundary timestamp discipline: the session writes INT64 µs
+    // (INT96 is deprecated and stats-blind — see SparkSpec), but a µs
+    // INSTANT column reads as TIMESTAMPTZ in DuckDB/pandas while every
+    // oracle emits naive TIMESTAMP. Cast top-level timestamps to NTZ at
+    // the dump boundary — value-identity under the UTC session tz (the
+    // exact move ScaleUp makes for events.ts).
+    def naiveTs(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        if (f.dataType == org.apache.spark.sql.types.TimestampType)
+          d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
+            .cast(org.apache.spark.sql.types.TimestampNTZType))
+        else d
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
+        val df = naiveTs(fn(spark, sfDir))
         (if (natural) df else df.repartition(1)).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       } catch { case e: Throwable =>

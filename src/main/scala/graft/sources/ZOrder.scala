@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Num.{dbl, dec}
+
+/** Multi-dimensional clustering (Z-order) — the data-skipping layout for
+  * the predicate shape a single sort column cannot serve: a box over TWO
+  * dimensions (cohort × time window, tenant × date, key range × event
+  * window). The reference's answer to "make this predicate cheap" is a
+  * B-tree per column (`/root/reference/src/models.py:41-45`); Parquet has
+  * no index, but every row group carries min/max stats per column, and
+  * the scan-level row-group filter prunes on them. Stats only prune when
+  * the layout CLUSTERS the data: a linear sort gives one column tight
+  * ranges and leaves every other column's min/max spanning the whole
+  * domain. Interleaving the bit representations of both columns (the
+  * Z-order space-filling curve — the same lever as Delta/Iceberg
+  * `OPTIMIZE ZORDER BY`) makes each file a TILE in (a, b) space, so a
+  * box predicate over either or both dimensions prunes to the tiles it
+  * intersects: O(perimeter) of the box instead of O(full span of the
+  * unsorted dimension).
+  *
+  * 100 TB shape: one range shuffle on the z-value at WRITE time — the
+  * same pay-once discipline as every layout in this package (the month
+  * partitioning, the bucketed band index, the bucketed as-of sides).
+  * Every later box query prunes at the footer level before any row I/O.
+  * Z-order (bit interleave) over Hilbert: Hilbert has ~2× better worst-
+  * case tile locality but needs a stateful curve transform; Z's
+  * interleave is a pure per-row expression that whole-stage codegen
+  * compiles inline, and the skipping bound is the same O(perimeter)
+  * class — the standard engineering trade (Delta made the same one).
+  *
+  * Quantization: each column maps to a `bits`-wide integer rank by
+  * linear min/max scaling. The min/max pass rides a 1-row broadcast
+  * aggregate (the package's broadcast-scalar idiom — never a driver
+  * collect): a column-pruned 2-column scan-speed pre-pass, then the
+  * layout job proper is one read + one range shuffle. Linear scaling (vs.
+  * equi-depth ranks) keeps the z expression stateless; heavy skew in a
+  * clustered column degrades tile balance, at which point the cuts from
+  * the catalog's equi-depth histogram (`catalog_histogram_depth`) slot
+  * in as the quantizer with no change to the interleave. `bits`=16 per
+  * dimension: 4 G distinct tiles — far below µs-timestamp resolution,
+  * far above any realistic file count, so the file splits, not the
+  * quantizer, bound pruning granularity.
+  */
+object ZOrder {
+
+  /** Bit-interleave two `bits`-wide non-negative longs: bit i of `a`
+    * lands at 2i, bit i of `b` at 2i+1. Pure column expression — 4·bits
+    * bitwise ops, inlined by codegen; no UDF, no state. */
+  def interleaveBits(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Integer image of a clustering column: timestamps → epoch µs,
+    * integrals pass through. (Doubles/decimals would need an
+    * order-preserving bit trick; the clustering columns here are keys
+    * and timestamps, so it is deliberately not generalized.) */
+  private def asLong(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => unix_micros(col(c))
+    case _ => col(c).cast("long")
+  }
+
+  /** `df` with a `z` column interleaving the min/max-scaled ranks of
+    * `ca` and `cb`. The stats side is a 1-row aggregate broadcast onto
+    * every row; rank scaling runs in double (spans up to 2^53 — a µs
+    * month is ~2.6e12 — stay exact; the quantizer needs no more). */
+  def withZ(df: DataFrame, ca: String, cb: String, bits: Int = 16): DataFrame = {
+    val (aL, bL) = (asLong(df, ca), asLong(df, cb))
+    val stats = df.agg(
+      min(aL).as("__amin"), max(aL).as("__amax"),
+      min(bL).as("__bmin"), max(bL).as("__bmax"))
+    val hi = (1L << bits) - 1
+    def rank(v: Column, lo: Column, up: Column): Column = {
+      val span = greatest(up - lo, lit(1L)).cast("double")
+      least(lit(hi), floor(((v - lo).cast("double") / span) * hi).cast("long"))
+    }
+    df.crossJoin(broadcast(stats))
+      .withColumn("z", interleaveBits(
+        rank(aL, col("__amin"), col("__amax")),
+        rank(bL, col("__bmin"), col("__bmax")), bits))
+      .drop("__amin", "__amax", "__bmin", "__bmax")
+  }
+
+  /** The layout plan: z-compute → ONE range shuffle on z → in-file sort
+    * by z → original schema. Executing `.write.parquet` on this frame
+    * yields `files` parquet files, each a contiguous z-range = a tile in
+    * (ca, cb) space with tight min/max footer stats on BOTH columns. */
+  def zOrdered(df: DataFrame, ca: String, cb: String,
+               files: Int = 64, bits: Int = 16): DataFrame =
+    withZ(df, ca, cb, bits)
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions("z")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+
+  // -------------------------------------------------------------------
+  // Declared query: the box predicate the layout exists for
+  // -------------------------------------------------------------------
+
+  /** Cohort × window box bounds — chosen inside every sf's domain
+    * (user_id 0..14 exists at sf0.001; events span 2024-01). */
+  val UserLo = 3L
+  val UserHi = 11L
+  val TsLo = "2024-01-08 00:00:00"
+  val TsHi = "2024-01-15 00:00:00"
+
+  /** Box query over the z-ordered events layout: activity of a user
+    * cohort inside a time window, per event type. The layout is built
+    * once per source fingerprint through [[Artifacts.cached]] (the
+    * persist-and-reuse discipline of the codebook/band index); the
+    * query plan is a scan of the clustered copy with BOTH predicates
+    * pushed to the footer level, then a |event_type|-sized aggregate.
+    * Correctness gate: the oracle runs on the ORIGINAL table — a layout
+    * may never change an answer, only its cost. */
+  def qZOrder(s: SparkSession, dir: String): DataFrame = {
+    val layout = Artifacts.cached(s, "zorder_events", s"$dir/events.parquet") {
+      zOrdered(Tables.events(s, dir), "user_id", "ts")
+    }
+    layout
+      .filter(col("user_id").between(UserLo, UserHi) &&
+        col("ts") >= lit(TsLo).cast("timestamp") &&
+        col("ts") < lit(TsHi).cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        dbl(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  def qZOrderSql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |       COUNT(DISTINCT user_id) AS n_users,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       |FROM events
+       |WHERE user_id BETWEEN $UserLo AND $UserHi
+       |  AND ts >= TIMESTAMP '$TsLo' AND ts < TIMESTAMP '$TsHi'
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+}

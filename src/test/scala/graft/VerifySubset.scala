@@ -18,6 +18,7 @@ object VerifySubset {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -28,9 +29,18 @@ object VerifySubset {
     // (coalesce serializes the whole final stage into the write task),
     // and SPARK_GRAFT_VERIFY_NATURAL=1 skips the funnel for big sfs.
     val natural = sys.env.contains("SPARK_GRAFT_VERIFY_NATURAL")
+    // NTZ at the dump boundary: see Verify.naiveTs (µs instants read as
+    // TIMESTAMPTZ in DuckDB; oracles emit naive TIMESTAMP).
+    def naiveTs(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        if (f.dataType == org.apache.spark.sql.types.TimestampType)
+          d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
+            .cast(org.apache.spark.sql.types.TimestampNTZType))
+        else d
+      }
     names.foreach { n =>
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(n)(spark, sfDir)
+      val df = naiveTs(SparkEntry.queries(n)(spark, sfDir))
       (if (natural) df else df.repartition(1))
         .write.mode("overwrite").parquet(s"$outDir/$n")
       println(f"PROBE $n done ${(System.nanoTime() - t0) / 1e9}%.2fs")

@@ -1,0 +1,64 @@
+package graft
+
+import graft.sources.{Tables, ZOrder}
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkSpec {
+
+  test("interleaveBits: known values and range bounds") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (0L, 0L), (0L, 3L), (1L, 2L), (3L, 0L), (3L, 3L), (0xFFFFL, 0xFFFFL))
+      .toDF("a", "b")
+      .withColumn("z", ZOrder.interleaveBits(col("a"), col("b"), 16))
+      .orderBy("a", "b").collect().map(_.getLong(2)).toSeq
+    // bit i of a -> position 2i, bit i of b -> position 2i+1
+    val expected = Seq(
+      0L,           // (0,0)
+      10L,          // (0,3): b bits land at 1,3 -> 0b1010
+      9L,           // (1,2): a bit0 -> 0b0001; b bit1 -> 0b1000
+      5L,           // (3,0): a bits land at 0,2 -> 0b0101
+      15L,          // (3,3) -> 0b1111
+      0xFFFFFFFFL)  // (0xFFFF,0xFFFF) -> 32 ones
+    assert(rows == expected, s"unexpected z values: ${rows.mkString(",")}")
+  }
+
+  test("z locality: points close in both dimensions land close on the curve") {
+    val sp = spark
+    import sp.implicits._
+    // quantized ranks are the identity here (min 0, max 65535 present)
+    val df = Seq((0L, 0L), (1L, 1L), (65535L, 65535L))
+      .toDF("user_id", "v")
+    val z = ZOrder.withZ(df, "user_id", "v").orderBy("user_id")
+      .select("z").collect().map(_.getLong(0))
+    assert(z(0) == 0L && z(1) == 3L && z(2) == 0xFFFFFFFFL,
+      s"corner points must map to curve extremes: ${z.mkString(",")}")
+  }
+
+  test("zOrdered preserves rows and schema exactly") {
+    val ev = Tables.events(spark, sf)
+    val out = ZOrder.zOrdered(ev, "user_id", "ts", files = 8)
+    assert(out.schema == ev.schema, "layout must not change the schema")
+    assert(out.count() == ev.count(), "layout must not change the row set")
+    // orderless fingerprint equality: same multiset of event_ids
+    val a = ev.agg(sum(col("event_id"))).collect()(0).getLong(0)
+    val b = out.agg(sum(col("event_id"))).collect()(0).getLong(0)
+    assert(a == b)
+  }
+
+  test("qZOrder over the clustered layout == the same query on the flat table") {
+    val flat = Tables.events(spark, sf)
+      .filter(col("user_id").between(ZOrder.UserLo, ZOrder.UserHi) &&
+        col("ts") >= lit(ZOrder.TsLo).cast("timestamp") &&
+        col("ts") < lit(ZOrder.TsHi).cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.functions.Num.dbl(sum(graft.functions.Num.dec(col("value")))).as("sum_value"))
+      .orderBy("event_type")
+    val viaLayout = ZOrder.qZOrder(spark, sf)
+    assert(viaLayout.collect().toSeq == flat.collect().toSeq)
+    assert(viaLayout.count() > 0, "box must be nonempty at every sf")
+  }
+}
