@@ -495,6 +495,22 @@ object Dedup {
   val ScaledBands: Int = ScaledRpBits / ScaledBandBits
   val ScaledThreshold = 0.95
 
+  /** The next rung of the band-width ladder: the SAME 128-bit signature
+    * re-cut as 4 × 32-bit bands. Why it exists (ShuffleLab r10): at a
+    * FIXED band width w, random-pair collisions cost ~bands · n²/2^w
+    * candidates — quadratic in corpus size no matter how wide w is, it
+    * only divides the constant. Measured: the 16-bit banding's shuffle
+    * grew ×124 for ×10 data at sf1→sf10 (true pairs constant at 2 000)
+    * because n²/2^16 crossed the true-pair mass. The law, not a bug:
+    * production sign-LSH must RE-CUT bands as the corpus grows, keeping
+    * w ≳ 2·log2(n) + margin so random collisions stay below true-dup
+    * mass. 32-bit bands hold that bound to n ≈ 10^6·√(bands⁻¹·slack);
+    * verbatim/near-verbatim duplicates (per-bit agreement → 1) survive
+    * any width, which is the population scale-dedup targets. Re-cutting
+    * costs nothing at write: same signature, different slicing. */
+  val XWideBandBits = 32
+  val XWideBands: Int = ScaledRpBits / XWideBandBits
+
   /** Deterministic ±1 hyperplanes for the sign projection, derived from
     * md5 parity so DuckDB reproduces the identical matrix
     * (`substr(md5('rp:b:j'),1,1)` even ⇔ +1). A fixed pseudo-random
@@ -523,7 +539,8 @@ object Dedup {
     * here, next to its matrix and band width (ADVICE r9). */
   private lazy val bandConfigs: Map[String, (Seq[Seq[Long]], Int)] = Map(
     graft.plans.GraftExtensions.SignBandsName -> ((hyperplanes, RpBandBits)),
-    graft.plans.GraftExtensions.SignBandsWideName -> ((hyperplanesWide, ScaledBandBits)))
+    graft.plans.GraftExtensions.SignBandsWideName -> ((hyperplanesWide, ScaledBandBits)),
+    graft.plans.GraftExtensions.SignBandsXWideName -> ((hyperplanesWide, XWideBandBits)))
 
   def embedBands(s: SparkSession, vecs: DataFrame,
                  fnName: String = graft.plans.GraftExtensions.SignBandsName): DataFrame = {

@@ -23,6 +23,7 @@ object GraftExtensions {
   val DotLongName = "graft_dot_long"
   val SignBandsName = "graft_sign_bands"
   val SignBandsWideName = "graft_sign_bands_wide"
+  val SignBandsXWideName = "graft_sign_bands_xwide"
 
   def install(ext: SparkSessionExtensions): Unit = {
     // the whole-operator path: plans AsOfJoinNode -> AsOfJoinExec
@@ -45,5 +46,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SignBands].getName, SignBandsWideName),
       (args: Seq[Expression]) => SignBands(args(0),
         graft.operators.Dedup.hyperplanesWide, graft.operators.Dedup.ScaledBandBits)))
+    // the corpus-growth re-cut: SAME 128-bit signature, 32-bit bands —
+    // the band-width ladder rung that keeps random collisions (n²/2^w)
+    // below true-dup mass as n grows (see Dedup.XWideBandBits scaladoc)
+    ext.injectFunction((
+      FunctionIdentifier(SignBandsXWideName),
+      new ExpressionInfo(classOf[SignBands].getName, SignBandsXWideName),
+      (args: Seq[Expression]) => SignBands(args(0),
+        graft.operators.Dedup.hyperplanesWide, graft.operators.Dedup.XWideBandBits)))
   }
 }

@@ -183,6 +183,36 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.qEmbedScaled(spark, sf).count() == 0L)
   }
 
+  test("xwide re-cut: exact dups survive any band width; candidates only shrink") {
+    // The band-width ladder (Dedup.XWideBandBits): the same 128-bit
+    // signature sliced as 4 × 32-bit bands. Two pinned properties:
+    //  (a) verbatim duplicates (identical signatures) collide in every
+    //      band at ANY width — widening never loses the population
+    //      scale-dedup targets;
+    //  (b) a 32-bit band match is two adjacent 16-bit matches, so the
+    //      xwide candidate set is a SUBSET of the wide one — re-cutting
+    //      wider can only shed random collisions, never add them.
+    val xwide = graft.plans.GraftExtensions.SignBandsXWideName
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val vecs = Seq((1L, base.toSeq), (2L, base.toSeq),
+        (3L, Array.fill(64)(rnd.nextFloat() - 0.5f).toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("ie", Similarity.intVec(col("embedding")))
+      .withColumn("nrm", sqrt(Similarity.dotL(col("ie"), col("ie")).cast("double")))
+    val dups = Dedup.embedNearDup(spark, vecs, Dedup.ScaledThreshold, xwide)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == Set((1L, 2L)), s"exact pair must survive 32-bit bands, got $dups")
+    val corpus = Similarity.prepared(spark, sf)
+    def cands(fn: String) =
+      Dedup.embedCandidates(spark, corpus, fn)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (wideC, xwideC) =
+      (cands(graft.plans.GraftExtensions.SignBandsWideName), cands(xwide))
+    assert(xwideC.subsetOf(wideC),
+      s"xwide candidates must be a subset of wide (${xwideC.size} vs ${wideC.size})")
+  }
+
   test("wide sign-bands: native == composed HOF form; values within 16-bit range") {
     val wide = graft.plans.GraftExtensions.SignBandsWideName
     val vecs = Similarity.prepared(spark, sf)

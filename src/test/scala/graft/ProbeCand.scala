@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   * produced the r9 evidence that the demo 6-bit banding's candidate
   * mass is quadratic (640 fixed buckets) while the 16-bit production
   * banding's stays linear — see BASELINE.md round 9.
-  * Usage: Test/runMain graft.ProbeCand <sfDir> [demo|wide]
+  * Usage: Test/runMain graft.ProbeCand <sfDir> [demo|wide|xwide]
   */
 object ProbeCand {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val fnName =
-      if (args.length > 1 && args(1) == "wide") graft.plans.GraftExtensions.SignBandsWideName
-      else graft.plans.GraftExtensions.SignBandsName
+    val fnName = (if (args.length > 1) args(1) else "demo") match {
+      case "wide"  => graft.plans.GraftExtensions.SignBandsWideName
+      case "xwide" => graft.plans.GraftExtensions.SignBandsXWideName
+      case _       => graft.plans.GraftExtensions.SignBandsName
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
