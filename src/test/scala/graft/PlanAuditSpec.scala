@@ -112,6 +112,11 @@ class PlanAuditSpec extends SparkSpec {
     val bounds = Map(
       "kpi_summary" -> 2, "kpi_by_dept" -> 3, "kpi_delta_by_dept" -> 3,
       "events_sessions" -> 2, "events_window" -> 2,
+      // round-10: the z-ordered scan must reach the aggregate without
+      // any shuffle beyond the two-phase countDistinct + presentation
+      // sort — a layout query that re-shuffled its layout would defeat
+      // the write-once clustering contract
+      "layout_zorder" -> 3,
       // round-3 additions: sampling and frame slicing are narrow (the 1
       // is the presentation sort); vocab = explode-agg + two-phase
       // count-distinct; bm25's 8 counts BOTH uses of the tf subtree
