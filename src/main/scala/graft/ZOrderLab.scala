@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Sized data-skipping measurement for the Z-order layout (the
+  * LayoutSpec test proves the mechanism at sf0.01; this lab measures it
+  * at the self-gate scale factors, where files carry real row groups and
+  * the scan cost is nontrivial). Three layouts of the same `events`
+  * rows — flat (as generated), linearly ts-sorted, z-ordered on
+  * (user_id, ts) — each probed with the declared `layout_zorder` box
+  * (user cohort × time window), reporting per layout:
+  *
+  *   - rows the SCAN emits (post row-group/page skipping, pre-Filter:
+  *     `FileSourceScanExec.metrics("numOutputRows")` — the ground truth
+  *     pruning measurement the INT96 find proved plan strings cannot
+  *     give)
+  *   - box-query wall (min of 3)
+  *   - one-time layout build wall (the pay-once range shuffle)
+  *
+  * Scale note: at the ScaleUp sfs the box's user range [3, 11] selects
+  * replica-0 users only, so cohort selectivity SHRINKS as the corpus
+  * grows (0.6% at sf1) while the time window stays ~23% — exactly the
+  * regime where a time-only sort leaves 40× too many rows on the table
+  * and 2-D clustering pays. AQE is disabled for the measured probes so
+  * the scan node stays visible to plan collection (same discipline as
+  * LayoutSpec).
+  *
+  * Run: SPARK_GRAFT_SF_DIR=testdata-sf1 SPARK_GRAFT_ZORDERLAB_OUT=zorder_sf1.json \
+  *        sbt "runMain graft.ZOrderLab"
+  */
+object ZOrderLab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "testdata-sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val files = sys.env.getOrElse("SPARK_GRAFT_ZORDER_FILES", "128").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val total = ev.count()
+    val base = java.nio.file.Files.createTempDirectory("graft_zorderlab").toString
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, buildLinear) = timed {
+      ev.repartitionByRange(files, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(s"$base/linear")
+    }
+    val (_, buildZ) = timed {
+      graft.sources.ZOrder.zOrdered(ev, "user_id", "ts", files)
+        .write.mode("overwrite").parquet(s"$base/zorder")
+    }
+
+    import graft.sources.ZOrder.{TsHi, TsLo, UserHi, UserLo}
+    def boxed(df: DataFrame) = df.filter(
+      col("user_id").between(UserLo, UserHi) &&
+        col("ts") >= lit(TsLo).cast("timestamp") &&
+        col("ts") < lit(TsHi).cast("timestamp"))
+
+    def probe(path: String): (Long, Long, Double) = {
+      // Scan SQLMetrics RESET when the same physical plan re-executes
+      // (measured: numOutputRows reads 0 after a second collect), so the
+      // metric is read from a FRESH Dataset after exactly ONE action;
+      // wall timing uses separate fresh instances.
+      def fresh() = boxed(spark.read.parquet(path))
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      val q = fresh()
+      val rows = q.collect()(0).getLong(0)
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = plan.collect { case f: FileSourceScanExec => f }.head
+      require(scan.toString.contains("PushedFilters: ["), "box must push down")
+      val scanRows = scan.metrics("numOutputRows").value
+      val walls = (1 to 3).map(_ => timed(fresh().collect())._2)
+      (scanRows, rows, walls.min)
+    }
+
+    val (flatScan, nFlat, wFlat) = probe(s"$sfDir/events.parquet")
+    val (linScan, nLin, wLin) = probe(s"$base/linear")
+    val (zScan, nZ, wZ) = probe(s"$base/zorder")
+    require(nFlat == nLin && nLin == nZ && nZ > 0,
+      s"layouts must agree on the answer: $nFlat/$nLin/$nZ")
+
+    val json =
+      f"""{"experiment":"zorder_skipping","sf":"$sfDir","total_rows":$total,"files":$files,"box_rows":$nZ,"build_wall_sec":{"linear":$buildLinear%.2f,"zorder":$buildZ%.2f},"scan_rows":{"flat":$flatScan,"linear_ts_sorted":$linScan,"zorder":$zScan},"box_wall_sec":{"flat":$wFlat%.3f,"linear_ts_sorted":$wLin%.3f,"zorder":$wZ%.3f},"zorder_vs_linear_rows":${if (linScan > 0) f"${zScan.toDouble / linScan}%.3f" else "null"}}"""
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_ZORDERLAB_OUT", "zorderlab.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+
+    // temp layouts can be multi-GB at sf10 — reclaim before exit
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete()
+    }
+    rm(new java.io.File(base))
+    spark.stop()
+  }
+}
