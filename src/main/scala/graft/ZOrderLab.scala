@@ -63,19 +63,49 @@ object ZOrderLab {
       graft.sources.ZOrder.zOrdered(ev, "user_id", "ts", files)
         .write.mode("overwrite").parquet(s"$base/zorder")
     }
+    val (_, buildH) = timed {
+      graft.sources.ZOrder.zOrdered(ev, "user_id", "ts", files, curve = "hilbert")
+        .write.mode("overwrite").parquet(s"$base/hilbert")
+    }
 
     import graft.sources.ZOrder.{TsHi, TsLo, UserHi, UserLo}
-    def boxed(df: DataFrame) = df.filter(
+    // Box A: the declared layout_zorder box (tiny cohort x 23% window).
+    // Box B: the Z worst case — a box STRADDLING the domain midpoint in
+    // BOTH dimensions (the top interleave bit flips inside the box, so
+    // the Z curve teleports across it; Hilbert stays edge-connected).
+    // Bounds are data-derived: ±2% of each span around the midpoint.
+    val dom = ev.agg(min("user_id"), max("user_id"),
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).collect()(0)
+    val (uLo, uHi) = (dom.getLong(0), dom.getLong(1))
+    val (tLo, tHi) = (dom.getLong(2), dom.getLong(3))
+    def mid(lo: Long, hi: Long, f1: Double, f2: Double): (Long, Long) =
+      (lo + ((hi - lo) * f1).toLong, lo + ((hi - lo) * f2).toLong)
+    // user side is ±10% (the ScaleUp id space is sparse — replica
+    // offsets leave gaps, and a ±2% box lands entirely in one); time is
+    // dense, ±2% suffices. Both still cross the quantized midpoint.
+    val (uA, uB) = mid(uLo, uHi, 0.40, 0.60)
+    val (tA, tB) = mid(tLo, tHi, 0.48, 0.52)
+
+    val declaredBox: DataFrame => DataFrame = df => df.filter(
       col("user_id").between(UserLo, UserHi) &&
         col("ts") >= lit(TsLo).cast("timestamp") &&
         col("ts") < lit(TsHi).cast("timestamp"))
+    // Bounds as TIMESTAMP LITERALS, not unix_micros(ts) bounds: a
+    // function of the column is not a pushable predicate, and an
+    // unpushed ts filter would silently disable time pruning on every
+    // layout (measured: linear read 100% under the micros form).
+    def inst(us: Long) =
+      java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+    val straddleBox: DataFrame => DataFrame = df => df.filter(
+      col("user_id").between(uA, uB) &&
+        col("ts") >= lit(inst(tA)) && col("ts") <= lit(inst(tB)))
 
-    def probe(path: String): (Long, Long, Double) = {
+    def probe(path: String, box: DataFrame => DataFrame): (Long, Long, Double) = {
       // Scan SQLMetrics RESET when the same physical plan re-executes
       // (measured: numOutputRows reads 0 after a second collect), so the
       // metric is read from a FRESH Dataset after exactly ONE action;
       // wall timing uses separate fresh instances.
-      def fresh() = boxed(spark.read.parquet(path))
+      def fresh() = box(spark.read.parquet(path))
         .agg(count(lit(1)).as("n"), sum("value").as("sv"))
       val q = fresh()
       val rows = q.collect()(0).getLong(0)
@@ -90,14 +120,18 @@ object ZOrderLab {
       (scanRows, rows, walls.min)
     }
 
-    val (flatScan, nFlat, wFlat) = probe(s"$sfDir/events.parquet")
-    val (linScan, nLin, wLin) = probe(s"$base/linear")
-    val (zScan, nZ, wZ) = probe(s"$base/zorder")
-    require(nFlat == nLin && nLin == nZ && nZ > 0,
-      s"layouts must agree on the answer: $nFlat/$nLin/$nZ")
+    def arm(name: String, box: DataFrame => DataFrame): String = {
+      val (flatScan, nFlat, wFlat) = probe(s"$sfDir/events.parquet", box)
+      val (linScan, nLin, wLin) = probe(s"$base/linear", box)
+      val (zScan, nZ, wZ) = probe(s"$base/zorder", box)
+      val (hScan, nH, wH) = probe(s"$base/hilbert", box)
+      require(nFlat == nLin && nLin == nZ && nZ == nH && nZ > 0,
+        s"layouts must agree on the answer: $nFlat/$nLin/$nZ/$nH")
+      f""""$name":{"box_rows":$nZ,"scan_rows":{"flat":$flatScan,"linear_ts_sorted":$linScan,"zorder":$zScan,"hilbert":$hScan},"box_wall_sec":{"flat":$wFlat%.3f,"linear_ts_sorted":$wLin%.3f,"zorder":$wZ%.3f,"hilbert":$wH%.3f},"zorder_vs_linear_rows":${f"${zScan.toDouble / math.max(linScan, 1)}%.3f"},"hilbert_vs_zorder_rows":${f"${hScan.toDouble / math.max(zScan, 1)}%.3f"}}"""
+    }
 
     val json =
-      f"""{"experiment":"zorder_skipping","sf":"$sfDir","total_rows":$total,"files":$files,"box_rows":$nZ,"build_wall_sec":{"linear":$buildLinear%.2f,"zorder":$buildZ%.2f},"scan_rows":{"flat":$flatScan,"linear_ts_sorted":$linScan,"zorder":$zScan},"box_wall_sec":{"flat":$wFlat%.3f,"linear_ts_sorted":$wLin%.3f,"zorder":$wZ%.3f},"zorder_vs_linear_rows":${if (linScan > 0) f"${zScan.toDouble / linScan}%.3f" else "null"}}"""
+      f"""{"experiment":"zorder_skipping","sf":"$sfDir","total_rows":$total,"files":$files,"build_wall_sec":{"linear":$buildLinear%.2f,"zorder":$buildZ%.2f,"hilbert":$buildH%.2f},${arm("declared_box", declaredBox)},${arm("midpoint_straddle_box", straddleBox)}}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_ZORDERLAB_OUT", "zorderlab.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSessionExtensions, SparkSessionExtensionsProvider}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotLong, SignBands}
+import graft.functions.{DotLong, HilbertIndex, SignBands}
 
 /** Engine extension point, registered the public way:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -24,6 +24,7 @@ object GraftExtensions {
   val SignBandsName = "graft_sign_bands"
   val SignBandsWideName = "graft_sign_bands_wide"
   val SignBandsXWideName = "graft_sign_bands_xwide"
+  val HilbertName = "graft_hilbert"
 
   def install(ext: SparkSessionExtensions): Unit = {
     // the whole-operator path: plans AsOfJoinNode -> AsOfJoinExec
@@ -54,5 +55,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SignBands].getName, SignBandsXWideName),
       (args: Seq[Expression]) => SignBands(args(0),
         graft.operators.Dedup.hyperplanesWide, graft.operators.Dedup.XWideBandBits)))
+    // Hilbert 2-D curve index at the ZOrder quantizer width — the
+    // boundary-continuous clustering alternative (see CurveExprs)
+    ext.injectFunction((
+      FunctionIdentifier(HilbertName),
+      new ExpressionInfo(classOf[HilbertIndex].getName, HilbertName),
+      (args: Seq[Expression]) => HilbertIndex(args(0), args(1),
+        graft.sources.ZOrder.QuantBits)))
   }
 }

@@ -45,6 +45,10 @@ import graft.functions.Num.{dbl, dec}
   */
 object ZOrder {
 
+  /** Quantizer width per dimension (also the registered
+    * `graft_hilbert` order — the two curves index the same grid). */
+  val QuantBits = 16
+
   /** Bit-interleave two `bits`-wide non-negative longs: bit i of `a`
     * lands at 2i, bit i of `b` at 2i+1. Pure column expression — 4·bits
     * bitwise ops, inlined by codegen; no UDF, no state. */
@@ -65,11 +69,16 @@ object ZOrder {
     case _ => col(c).cast("long")
   }
 
-  /** `df` with a `z` column interleaving the min/max-scaled ranks of
-    * `ca` and `cb`. The stats side is a 1-row aggregate broadcast onto
-    * every row; rank scaling runs in double (spans up to 2^53 — a µs
-    * month is ~2.6e12 — stay exact; the quantizer needs no more). */
-  def withZ(df: DataFrame, ca: String, cb: String, bits: Int = 16): DataFrame = {
+  /** `df` with a `z` column indexing the min/max-scaled ranks of `ca`
+    * and `cb` on a space-filling curve. The stats side is a 1-row
+    * aggregate broadcast onto every row; rank scaling runs in double
+    * (spans up to 2^53 — a µs month is ~2.6e12 — stay exact; the
+    * quantizer needs no more). `curve` = "z" (default: pure-expression
+    * bit interleave) or "hilbert" (the boundary-continuous native
+    * expression `graft_hilbert`; needs the Graft extension registered —
+    * see [[graft.functions.HilbertIndex]] for the trade). */
+  def withZ(df: DataFrame, ca: String, cb: String, bits: Int = QuantBits,
+            curve: String = "z"): DataFrame = {
     val (aL, bL) = (asLong(df, ca), asLong(df, cb))
     val stats = df.agg(
       min(aL).as("__amin"), max(aL).as("__amax"),
@@ -79,20 +88,34 @@ object ZOrder {
       val span = greatest(up - lo, lit(1L)).cast("double")
       least(lit(hi), floor(((v - lo).cast("double") / span) * hi).cast("long"))
     }
+    val (ra, rb) = (rank(aL, col("__amin"), col("__amax")),
+      rank(bL, col("__bmin"), col("__bmax")))
+    val idx = curve match {
+      case "z" => interleaveBits(ra, rb, bits)
+      case "hilbert" =>
+        require(bits == QuantBits,
+          s"hilbert curve is registered at order $QuantBits, got bits=$bits")
+        require(df.sparkSession.catalog.functionExists(
+          graft.plans.GraftExtensions.HilbertName),
+          "hilbert curve needs spark.sql.extensions=graft.plans.GraftExtensions")
+        call_function(graft.plans.GraftExtensions.HilbertName, ra, rb)
+      case other => throw new IllegalArgumentException(
+        s"unknown curve '$other' (z|hilbert)")
+    }
     df.crossJoin(broadcast(stats))
-      .withColumn("z", interleaveBits(
-        rank(aL, col("__amin"), col("__amax")),
-        rank(bL, col("__bmin"), col("__bmax")), bits))
+      .withColumn("z", idx)
       .drop("__amin", "__amax", "__bmin", "__bmax")
   }
 
-  /** The layout plan: z-compute → ONE range shuffle on z → in-file sort
-    * by z → original schema. Executing `.write.parquet` on this frame
-    * yields `files` parquet files, each a contiguous z-range = a tile in
-    * (ca, cb) space with tight min/max footer stats on BOTH columns. */
+  /** The layout plan: curve-index → ONE range shuffle on z → in-file
+    * sort by z → original schema. Executing `.write.parquet` on this
+    * frame yields `files` parquet files, each a contiguous curve range
+    * = a tile in (ca, cb) space with tight min/max footer stats on BOTH
+    * columns. */
   def zOrdered(df: DataFrame, ca: String, cb: String,
-               files: Int = 64, bits: Int = 16): DataFrame =
-    withZ(df, ca, cb, bits)
+               files: Int = 64, bits: Int = QuantBits,
+               curve: String = "z"): DataFrame =
+    withZ(df, ca, cb, bits, curve)
       .repartitionByRange(files, col("z"))
       .sortWithinPartitions("z")
       .select(df.columns.map(col).toIndexedSeq: _*)

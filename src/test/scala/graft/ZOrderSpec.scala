@@ -47,6 +47,53 @@ class ZOrderSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hilbert: bijective over the full order-4 grid, every step a unit move") {
+    // The property Z lacks and Hilbert exists for: consecutive curve
+    // indices are grid NEIGHBORS (|dx|+|dy| == 1), so an index range is
+    // an edge-connected tile — no boundary teleports. Checked
+    // exhaustively on the 16x16 grid via the scalar twin of the codegen.
+    import graft.functions.HilbertIndex
+    val cells = for (x <- 0 until 16; y <- 0 until 16)
+      yield (HilbertIndex.compute(x, y, 4), (x, y))
+    val byD = cells.toMap
+    assert(byD.size == 256, "curve must be a bijection on the grid")
+    assert(cells.map(_._1).min == 0 && cells.map(_._1).max == 255)
+    (0 until 255).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert((x1 - x2).abs + (y1 - y2).abs == 1,
+        s"step $d -> ${d + 1} must be a unit move: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("hilbert expression: codegen path agrees with the scalar twin") {
+    val sp = spark
+    import sp.implicits._
+    import graft.functions.HilbertIndex
+    val pts = Seq((0L, 0L), (1L, 2L), (65535L, 0L), (0L, 65535L),
+      (65535L, 65535L), (32767L, 32768L))
+    val got = pts.toDF("a", "b")
+      .selectExpr("a", "b", s"${graft.plans.GraftExtensions.HilbertName}(a, b) AS h")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (a, b) =>
+      assert(got((a, b)) == HilbertIndex.compute(a, b, 16),
+        s"($a,$b): SQL surface must match the scalar twin")
+    }
+  }
+
+  test("hilbert-curve layout preserves rows and schema like the z layout") {
+    val ev = Tables.events(spark, sf)
+    val out = ZOrder.zOrdered(ev, "user_id", "ts", files = 8, curve = "hilbert")
+    assert(out.schema == ev.schema)
+    assert(out.count() == ev.count())
+  }
+
+  test("unknown curve name is a loud error") {
+    val ev = Tables.events(spark, sf)
+    intercept[IllegalArgumentException] {
+      ZOrder.withZ(ev, "user_id", "ts", curve = "peano")
+    }
+  }
+
   test("qZOrder over the clustered layout == the same query on the flat table") {
     val flat = Tables.events(spark, sf)
       .filter(col("user_id").between(ZOrder.UserLo, ZOrder.UserHi) &&
