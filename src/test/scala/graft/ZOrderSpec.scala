@@ -94,6 +94,62 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("equi-depth quantizer restores pruning the linear one loses under skew") {
+    // Failure mode pinned: 90% of users in [0,10] of a 1e9 domain →
+    // linear scaling maps the dense mass to rank 0, rows tie on z, and
+    // the user dimension stops pruning for exactly the hot data. The
+    // equi-depth ranks spread the dense mass over the grid; the same
+    // box then reads a FRACTION of what the linear layout reads.
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val n = 20000
+    val rows = (0 until n).map { i =>
+      // deterministic skew: 90% of users uniform in [0,10], 10% spread
+      // to 1e9; ts uniform over one day (µs)
+      val u = if (i % 10 < 9) (i * 7) % 11L else (i.toLong * 104729L) % 1000000000L
+      val ts = new java.sql.Timestamp(1704067200000L + (i.toLong * 86400000L / n))
+      (u, ts, i.toLong)
+    }.toDF("user_id", "ts", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft_zskew").toString
+    // 128 files: tiles must be FINER than the dense users' rank
+    // footprint (~21 equi-depth buckets per hot user) or file-level
+    // stats still span several hot users and the box prunes nothing —
+    // measured: at 32 files the equi-depth layout read as much as the
+    // linear one
+    graft.sources.ZOrder.zOrdered(rows, "user_id", "ts", files = 128)
+      .write.mode("overwrite").parquet(s"$base/linear_quant")
+    graft.sources.ZOrder.zOrderedEquiDepth(rows, "user_id", "ts", files = 128)
+      .write.mode("overwrite").parquet(s"$base/equidepth")
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scanRows(path: String): (Long, Long) = {
+        // hot-region box: 2 of the 11 dense users x a 20% time window
+        val q = spark.read.parquet(path)
+          .filter(col("user_id").between(2, 3) &&
+            col("ts") >= lit("2024-01-01 02:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-01 06:48:00").cast("timestamp"))
+          .agg(count(lit(1)).as("n"))
+        val got = q.collect()(0).getLong(0)
+        val scan = q.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f
+        }.head
+        (scan.metrics("numOutputRows").value, got)
+      }
+      val (linScan, nLin) = scanRows(s"$base/linear_quant")
+      val (eqScan, nEq) = scanRows(s"$base/equidepth")
+      assert(nLin == nEq && nEq > 0, s"answers must agree: $nLin/$nEq")
+      // measured 0.55x: the residual cost above the ~0.2x ideal is the
+      // hot users' rank range [~42..101] straddling Z's bit-64 boundary
+      // (the same wart ZORDERLAB quantifies; hilbert would shave it) —
+      // the assert pins the robust fraction, not the lucky one
+      assert(eqScan < linScan * 6 / 10,
+        s"equi-depth must cut the skewed-domain scan by >40%: " +
+          s"equidepth=$eqScan linear-quant=$linScan of $n")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("qZOrder over the clustered layout == the same query on the flat table") {
     val flat = Tables.events(spark, sf)
       .filter(col("user_id").between(ZOrder.UserLo, ZOrder.UserHi) &&
