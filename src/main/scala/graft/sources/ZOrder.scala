@@ -176,6 +176,40 @@ object ZOrder {
       .select(df.columns.map(col).toIndexedSeq: _*)
 
   // -------------------------------------------------------------------
+  // Layout maintenance under append (the OPTIMIZE pattern)
+  // -------------------------------------------------------------------
+
+  /** Append a batch INTO an existing z-ordered layout directory without
+    * rewriting it: the batch is z-ordered on its own and lands as
+    * additional part files. Pruning degrades gracefully, not
+    * catastrophically — each appended file is still a TILE (of the
+    * batch), so footer stats keep both dimensions selective; what grows
+    * is tile OVERLAP between generations, not scan width per file. The
+    * quantizer runs on the batch's own min/max: at crawl scale a
+    * batch's domain matches the table's (ids and time only extend at
+    * the edges), and overlap from drift is exactly what [[compact]]
+    * reclaims. This is the write-cheap half of the maintenance cycle —
+    * one range shuffle of the BATCH, never of the table (the same
+    * batch-vs-corpus asymmetry as the band index's streaming ingest).
+    */
+  def appendBatch(batch: DataFrame, path: String, ca: String, cb: String,
+                  files: Int = 8, curve: String = "z"): Unit =
+    zOrdered(batch, ca, cb, files, curve = curve)
+      .write.mode("append").parquet(path)
+
+  /** Fold the accumulated generations back into one `files`-file layout
+    * — the amortized full re-cluster that bounds tile overlap and the
+    * small-files count (the maintenance twin of
+    * [[Sinks.compactBandIndex]]). Lineage must be cut before the
+    * overwrite: Spark refuses to overwrite a path it is reading from.
+    */
+  def compact(s: SparkSession, path: String, ca: String, cb: String,
+              files: Int = 64, curve: String = "z"): Unit =
+    graft.functions.Lineage.cut(
+      zOrdered(s.read.parquet(path), ca, cb, files, curve = curve))
+      .write.mode("overwrite").parquet(path)
+
+  // -------------------------------------------------------------------
   // Declared query: the box predicate the layout exists for
   // -------------------------------------------------------------------
 
