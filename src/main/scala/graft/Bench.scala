@@ -17,14 +17,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmDir = "/root/testdata/sf0.001"
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Same gate knobs as Verify (driver-contract-neutral defaults): a
+    // local-cluster master runs the bench through REAL multi-process
+    // executors — the serialization-heavy-plan probe VERDICT r10 asked
+    // for — and needs the compiled-classes path on the executor side.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH")
+      .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
+    val spark = builder.getOrCreate()
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     // ERROR: the one recurring WARN is WindowExec's single-partition note
     // for the dim surrogate-key window, which is by-design for dim-sized
     // inputs (Etl.dimDept doc) — at WARN it floods the bench JSON's tail

@@ -41,8 +41,19 @@ object CcLab {
     def chain(n: Int) = spark.range(0, n - 1)
       .select(col("id").as("a"), (col("id") + 1).as("b"))
 
+    // Job counter: sizes the per-round driver overhead (r11 folded the
+    // two convergence probes + distinct into ONE action per round; the
+    // job count is the direct evidence of what the fold removed).
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+
     // 1. auto-degrade end-to-end at the largest size
     val t0 = System.nanoTime()
+    jobs.set(0)
     val cc = graft.operators.Cluster.connectedComponents(chain(maxN))
     val (rows, wrong) = {
       val agg = cc.agg(count(lit(1)), sum(when(col("canonical_id") =!= 0L, 1L).otherwise(0L)))
@@ -50,9 +61,13 @@ object CcLab {
       (agg.getLong(0), agg.getLong(1))
     }
     val wall = (System.nanoTime() - t0) / 1e9
+    // listener events drain async; settle before reading the counter
+    // (±1 job of slack is immaterial to the per-round overhead claim)
+    Thread.sleep(1000)
+    val nJobs = jobs.get()
     require(rows == maxN && wrong == 0,
       s"chain($maxN) must collapse to canonical 0 for every vertex: rows=$rows wrong=$wrong")
-    println(f"[cclab] auto-degrade chain($maxN): $wall%.1fs, $rows labels, all canonical=0")
+    println(f"[cclab] auto-degrade chain($maxN): $wall%.1fs, $rows labels, all canonical=0, $nJobs jobs")
 
     // 2. minimal star rounds by binary probe at growing n
     def minRounds(n: Int): Int = {
@@ -61,10 +76,23 @@ object CcLab {
           graft.operators.Cluster.connectedComponentsStars(chain(n), cap)
             .agg(count(lit(1))).collect()
           true
-        } catch { case _: IllegalArgumentException => false }
+        } catch {
+          // match the guard by MESSAGE, walking causes: a cap-exceeded
+          // refusal that surfaces wrapped in a SparkException from a
+          // task must count as a failed probe, not crash the lab
+          case e: Throwable =>
+            val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null).take(8)
+              .flatMap(t => Option(t.getMessage)).mkString(" | ")
+            if (msgs.contains("did not reach a star fixpoint")) false else throw e
+        }
       var hi = 4
       while (!succeeds(hi)) hi *= 2
-      var lo = hi / 2 // lo failed (or is below the smallest tried cap)
+      var lo = if (hi == 4) 0 else hi / 2 // hi/2 actually failed above
+      // when the first probe succeeded, lo=0 is failing by definition
+      // (zero rounds cannot star a nonempty chain); otherwise lo was
+      // genuinely probed — either way the invariant "lo fails, hi
+      // succeeds" holds before the binary search
       while (lo + 1 < hi) {
         val mid = (lo + hi) / 2
         if (succeeds(mid)) hi = mid else lo = mid
@@ -79,9 +107,9 @@ object CcLab {
     }
 
     val json =
-      f"""{"experiment":"cc_star_fallback","auto_degrade":{"n":$maxN,"wall_sec":$wall%.1f,"labels":$rows,"all_canonical_zero":true},"round_law":[${law.mkString(",")}]}"""
+      f"""{"experiment":"cc_star_fallback","auto_degrade":{"n":$maxN,"wall_sec":$wall%.1f,"labels":$rows,"all_canonical_zero":true,"driver_jobs":$nJobs},"round_law":[${law.mkString(",")}]}"""
     println(json)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_CCLAB_OUT", "CCLAB_r10.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_CCLAB_OUT", "CCLAB_r11.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -69,6 +69,7 @@ object SparkEntry {
     // row-group skipping (oracle runs on the original table — a layout
     // may change cost, never an answer)
     "layout_zorder" -> ((s, d) => sources.ZOrder.qZOrder(s, d)),
+    "layout_zorder3" -> ((s, d) => sources.ZOrder.qZOrder3(s, d)),
     // Training-data dedup family over `documents`
     "dedup_exact" -> ((s, d) => Dedup.qExact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.qMinhash(s, d)),
@@ -281,6 +282,7 @@ object SparkEntry {
     "catalog_checksum" -> Catalog.qChecksumSql,
     "catalog_histogram" -> Catalog.qHistogramSql,
     "layout_zorder" -> sources.ZOrder.qZOrderSql,
+    "layout_zorder3" -> sources.ZOrder.qZOrder3Sql,
     "dedup_exact" -> Dedup.qExactSql,
     "dedup_minhash" -> Dedup.qMinhashSql,
     "dedup_jaccard" -> Dedup.qJaccardSql,
@@ -359,5 +361,17 @@ object SparkEntry {
     "text_langid_eval" -> Text.qLangIdEvalSql,
     "pipeline_mixture" -> Text.qMixtureSql,
     "events_wau" -> Events.qWauSql,
+  )
+
+  /** Queries whose VALUES are waived by design, with the reason — the
+    * self-describing annotation the gate artifacts carry so a reader
+    * never has to re-derive "waived-by-design vs failing" from SURVEY.
+    * Verify dumps this as `waivers.json` next to `oracle_sql.json`;
+    * tools/check.py folds it into each CORRECTNESS record. */
+  def valueWaived: Map[String, String] = Map(
+    "kpi_headcount_approx" ->
+      ("no_oracle_by_design: engine-specific HLL++ estimate (DuckDB has " +
+        "no bit-identical twin); rows+schema gated here, the 5% error " +
+        "bound hash-gated by kpi_headcount_audit"),
   )
 }

@@ -86,6 +86,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Designed value waivers, dumped beside the oracle so every gate
+    // artifact self-describes "waived-by-design" vs "failing" (check.py
+    // folds these into each record as waived/waive_reason).
+    val waivers = SparkEntry.valueWaived
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/waivers.json"), waivers)
     spark.stop()
   }
 }

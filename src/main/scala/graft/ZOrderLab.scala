@@ -114,7 +114,12 @@ object ZOrderLab {
         case p => p
       }
       val scan = plan.collect { case f: FileSourceScanExec => f }.head
-      require(scan.toString.contains("PushedFilters: ["), "box must push down")
+      // non-vacuous pushdown guard: an empty pushed list renders as
+      // "PushedFilters: []" and would match a substring check — read the
+      // scan's metadata entry and require actual filter content
+      val pushed = scan.metadata.getOrElse("PushedFilters", "[]")
+      require(pushed.replaceAll("[\\[\\]\\s]", "").nonEmpty,
+        s"box predicates must push down to the scan, got: $pushed")
       val scanRows = scan.metrics("numOutputRows").value
       val walls = (1 to 3).map(_ => timed(fresh().collect())._2)
       (scanRows, rows, walls.min)
@@ -130,8 +135,99 @@ object ZOrderLab {
       f""""$name":{"box_rows":$nZ,"scan_rows":{"flat":$flatScan,"linear_ts_sorted":$linScan,"zorder":$zScan,"hilbert":$hScan},"box_wall_sec":{"flat":$wFlat%.3f,"linear_ts_sorted":$wLin%.3f,"zorder":$wZ%.3f,"hilbert":$wH%.3f},"zorder_vs_linear_rows":${f"${zScan.toDouble / math.max(linScan, 1)}%.3f"},"hilbert_vs_zorder_rows":${f"${hScan.toDouble / math.max(zScan, 1)}%.3f"}}"""
     }
 
+    // ---- r11 arm: 3-D layout (user_id x event_type x ts) ----------------
+    // The N-D generalization's measured trade: the 3-D box prunes on ALL
+    // three dimensions (vs the 2-D layout, where event_type never prunes),
+    // while the 2-D declared box pays the resolution-share cost on the
+    // 3-D layout (each dimension keeps 1/3 of the bit positions).
+    val arm3d: String = {
+      val (_, build3) = timed {
+        graft.sources.ZOrder.zOrderedN(ev,
+          Seq("user_id", "event_type", "ts"), files)
+          .write.mode("overwrite").parquet(s"$base/zorder3")
+      }
+      import graft.sources.ZOrder.{TypeHi, TypeLo}
+      val box3: DataFrame => DataFrame = df => df.filter(
+        col("user_id").between(UserLo, UserHi) &&
+          col("event_type").between(TypeLo, TypeHi) &&
+          col("ts") >= lit(TsLo).cast("timestamp") &&
+          col("ts") < lit(TsHi).cast("timestamp"))
+      val (fScan, nF, _) = probe(s"$sfDir/events.parquet", box3)
+      val (z2Scan, n2, _) = probe(s"$base/zorder", box3)
+      val (z3Scan, n3, w3) = probe(s"$base/zorder3", box3)
+      val (z3On2d, n23, _) = probe(s"$base/zorder3", declaredBox)
+      val (z2On2d, n22, _) = probe(s"$base/zorder", declaredBox)
+      require(nF == n2 && n2 == n3 && n22 == n23 && n3 > 0,
+        s"layouts must agree: $nF/$n2/$n3 and $n22/$n23")
+      f""""arm_3d":{"build_wall_sec":$build3%.2f,"box3_rows":$n3,"box3_scan_rows":{"flat":$fScan,"zorder2d":$z2Scan,"zorder3d":$z3Scan},"box3_wall_sec":$w3%.3f,"declared2d_box_scan_rows":{"zorder2d":$z2On2d,"zorder3d":$z3On2d},"zorder3d_vs_2d_on_box3":${f"${z3Scan.toDouble / math.max(z2Scan, 1)}%.3f"},"resolution_share_cost_on_2d_box":${f"${z3On2d.toDouble / math.max(z2On2d, 1)}%.3f"}}"""
+    }
+
+    // ---- r11 arm: equi-depth vs linear quantizer under 90% skew ---------
+    // The ZOrderSpec skew fixture at sf scale, on real event rows: a
+    // deterministic remap packs 90% of rows into 11 hot keys of a 1e9
+    // domain (linear quantizer collapse), 10% spread wide. Layout files =
+    // 128 — tiles finer than the hot keys' rank footprint, the
+    // precondition the spec records. Probe = 2 hot keys x ~20% of the
+    // time span.
+    val armSkew: String = {
+      val skewed = ev.withColumn("user_id",
+        when(pmod(col("event_id"), lit(10)) < 9, pmod(col("user_id"), lit(11)))
+          .otherwise(pmod(col("user_id") * 104729L, lit(1000000000L))))
+      val skFiles = 128
+      val (_, bLin) = timed {
+        graft.sources.ZOrder.zOrdered(skewed, "user_id", "ts", skFiles)
+          .write.mode("overwrite").parquet(s"$base/skew_linear")
+      }
+      val (_, bEq) = timed {
+        graft.sources.ZOrder.zOrderedEquiDepth(skewed, "user_id", "ts", skFiles)
+          .write.mode("overwrite").parquet(s"$base/skew_equidepth")
+      }
+      val (t20a, t20b) = mid(tLo, tHi, 0.30, 0.50)
+      val hotBox: DataFrame => DataFrame = df => df.filter(
+        col("user_id").between(2, 3) &&
+          col("ts") >= lit(inst(t20a)) && col("ts") <= lit(inst(t20b)))
+      val (linScan, nL, wL) = probe(s"$base/skew_linear", hotBox)
+      val (eqScan, nE, wE) = probe(s"$base/skew_equidepth", hotBox)
+      require(nL == nE && nE > 0, s"quantizers must agree on the answer: $nL/$nE")
+      f""""arm_skew_quantizer":{"files":$skFiles,"box_rows":$nE,"build_wall_sec":{"linear_quant":$bLin%.2f,"equi_depth":$bEq%.2f},"scan_rows":{"linear_quant":$linScan,"equi_depth":$eqScan},"box_wall_sec":{"linear_quant":$wL%.3f,"equi_depth":$wE%.3f},"equidepth_vs_linear_rows":${f"${eqScan.toDouble / math.max(linScan, 1)}%.3f"}}"""
+    }
+
+    // ---- r11 arm: append/compact lifecycle ------------------------------
+    // Adversarial full-domain-overlap profile: 8 hash-split batches (each
+    // spans the whole (user, ts) domain — the worst case for
+    // cross-generation tile overlap; time-sliced appends are bounded by
+    // construction). Curve recorded: declared-box scan rows + file count
+    // after every appendBatch generation, then after compact — the
+    // overlap growth appendBatch's scaladoc promises compact reclaims.
+    val armLifecycle: String = {
+      val lcPath = s"$base/lifecycle"
+      val gens = 8
+      val slices = (0 until gens).map(g => ev.filter(pmod(col("event_id"), lit(gens)) === g))
+      graft.sources.ZOrder.zOrdered(slices.head, "user_id", "ts", files = 16)
+        .write.mode("overwrite").parquet(lcPath)
+      def fileCount = new java.io.File(lcPath).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      def boxScan(): (Long, Long) = {
+        val (s, n, _) = probe(lcPath, declaredBox)
+        (s, n)
+      }
+      val curve = scala.collection.mutable.ArrayBuffer[String]()
+      val (s0, n0) = boxScan()
+      curve += s"""{"gen":0,"files":$fileCount,"box_rows":$n0,"scan_rows":$s0}"""
+      slices.tail.zipWithIndex.foreach { case (batch, i) =>
+        graft.sources.ZOrder.appendBatch(batch, lcPath, "user_id", "ts", files = 16)
+        val (sg, ng) = boxScan()
+        curve += s"""{"gen":${i + 1},"files":$fileCount,"box_rows":$ng,"scan_rows":$sg}"""
+      }
+      val (_, wCompact) = timed {
+        graft.sources.ZOrder.compact(spark, lcPath, "user_id", "ts", files)
+      }
+      val (sc, nc) = boxScan()
+      f""""arm_lifecycle":{"generations":$gens,"curve":[${curve.mkString(",")}],"compact_wall_sec":$wCompact%.2f,"post_compact":{"files":$fileCount,"box_rows":$nc,"scan_rows":$sc}}"""
+    }
+
     val json =
-      f"""{"experiment":"zorder_skipping","sf":"$sfDir","total_rows":$total,"files":$files,"build_wall_sec":{"linear":$buildLinear%.2f,"zorder":$buildZ%.2f,"hilbert":$buildH%.2f},${arm("declared_box", declaredBox)},${arm("midpoint_straddle_box", straddleBox)}}"""
+      f"""{"experiment":"zorder_skipping","sf":"$sfDir","total_rows":$total,"files":$files,"build_wall_sec":{"linear":$buildLinear%.2f,"zorder":$buildZ%.2f,"hilbert":$buildH%.2f},${arm("declared_box", declaredBox)},${arm("midpoint_straddle_box", straddleBox)},$arm3d,$armSkew,$armLifecycle}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_ZORDERLAB_OUT", "zorderlab.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

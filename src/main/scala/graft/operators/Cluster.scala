@@ -164,10 +164,17 @@ object Cluster {
         .distinct()
       val next = Lineage.cut(small)
       // stars ⟺ functional parents (one per source) ∧ flat (no parent is
-      // a source) — two driver-side boolean probes on the checkpointed set
-      converged =
-        next.groupBy("u").agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty &&
-        next.join(next.select(col("u").as("v")).distinct(), Seq("v"), "left_semi").isEmpty
+      // a source). ONE driver-side boolean probe per round: both
+      // violation classes union into a single frame whose emptiness is
+      // the fixpoint test (r10 ran two isEmpty jobs + a distinct here —
+      // ~3 jobs/round × O(log n) rounds of pure scheduling overhead on
+      // the checkpointed set; CCLAB_r11 sizes the fold).
+      val multiParent = next.groupBy("u").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select(lit(1).as("viol"))
+      val parentIsSource = next
+        .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(lit(1).as("viol"))
+      converged = multiParent.unionByName(parentIsSource).isEmpty
       e = next
       round += 1
     }

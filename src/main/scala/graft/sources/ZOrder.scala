@@ -49,24 +49,73 @@ object ZOrder {
     * `graft_hilbert` order — the two curves index the same grid). */
   val QuantBits = 16
 
-  /** Bit-interleave two `bits`-wide non-negative longs: bit i of `a`
-    * lands at 2i, bit i of `b` at 2i+1. Pure column expression — 4·bits
-    * bitwise ops, inlined by codegen; no UDF, no state. */
-  def interleaveBits(a: Column, b: Column, bits: Int): Column =
+  /** Round-robin bit-interleave of N `bits`-wide non-negative longs:
+    * bit i of column j lands at position i·N + j (for N = 2 this is the
+    * classic a→2i / b→2i+1 interleave). Pure column expression —
+    * 2·N·bits bitwise ops, inlined by codegen; no UDF, no state. The
+    * result must fit a long, so N·bits ≤ 63 (3-D at the default 16-bit
+    * quantizer uses 48 bits — comfortably inside). This is the same N-D
+    * generalization Delta/Iceberg `OPTIMIZE ZORDER BY` expose: each
+    * added dimension halves (per bit round) every dimension's
+    * resolution share, so pruning per dimension softens as N grows —
+    * the standard trade, measured in ZOrderLab's 3-D arm. */
+  def interleaveBitsN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"interleave needs >= 2 columns, got $n")
+    require(n * bits <= 63, s"interleaved index must fit a long: $n x $bits bits")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      }
     }
+  }
+
+  /** 2-D [[interleaveBitsN]] (the original signature, kept for callers
+    * and specs pinning the classic bit positions). */
+  def interleaveBits(a: Column, b: Column, bits: Int): Column =
+    interleaveBitsN(Seq(a, b), bits)
 
   /** Integer image of a clustering column: timestamps → epoch µs,
-    * integrals pass through. (Doubles/decimals would need an
-    * order-preserving bit trick; the clustering columns here are keys
-    * and timestamps, so it is deliberately not generalized.) */
+    * integrals pass through, strings → first-7-UTF-8-bytes packed
+    * big-endian into the low 56 bits (order-preserving for the byte-wise
+    * ordering, which matches lexicographic on ASCII — enough to rank a
+    * categorical third dimension like event_type/tenant/region; a layout
+    * may change cost, never an answer, so quantizer fidelity is a
+    * pruning-quality knob, not a correctness one). Doubles/decimals
+    * would need the IEEE sign-flip trick; the clustering columns here
+    * are keys, categories, and timestamps, so it is deliberately not
+    * generalized further. */
   private def asLong(df: DataFrame, c: String): Column = df.schema(c).dataType match {
     case org.apache.spark.sql.types.TimestampType |
          org.apache.spark.sql.types.TimestampNTZType => unix_micros(col(c))
+    case org.apache.spark.sql.types.StringType =>
+      // NUL-rpad to >=7 chars BEFORE encoding so "ab" < "b" survives the
+      // left-aligned big-endian packing (zero-filled low bytes)
+      conv(hex(substring(encode(rpad(col(c), 7, "\u0000"), "UTF-8"), 1, 7)),
+        16, 10).cast("long")
     case _ => col(c).cast("long")
+  }
+
+  /** Curve dispatch shared by every quantizer (linear [[withZN]] and
+    * equi-depth [[withZEquiDepth]]): both carry the SAME guards, so an
+    * unregistered extension or a non-default order surfaces as the
+    * explanatory message on either path. Hilbert stays 2-D by design —
+    * the registered expression is the order-16 planar rotate-fold; Z
+    * covers N dimensions. */
+  private def curveIndex(df: DataFrame, ranks: Seq[Column], bits: Int,
+                         curve: String): Column = curve match {
+    case "z" => interleaveBitsN(ranks, bits)
+    case "hilbert" =>
+      require(ranks.size == 2,
+        s"hilbert curve is 2-D; use curve=z for ${ranks.size}-D layouts")
+      require(bits == QuantBits,
+        s"hilbert curve is registered at order $QuantBits, got bits=$bits")
+      require(df.sparkSession.catalog.functionExists(
+        graft.plans.GraftExtensions.HilbertName),
+        "hilbert curve needs spark.sql.extensions=graft.plans.GraftExtensions")
+      call_function(graft.plans.GraftExtensions.HilbertName, ranks(0), ranks(1))
+    case other => throw new IllegalArgumentException(
+      s"unknown curve '$other' (z|hilbert)")
   }
 
   /** `df` with a `z` column indexing the min/max-scaled ranks of `ca`
@@ -78,33 +127,31 @@ object ZOrder {
     * expression `graft_hilbert`; needs the Graft extension registered —
     * see [[graft.functions.HilbertIndex]] for the trade). */
   def withZ(df: DataFrame, ca: String, cb: String, bits: Int = QuantBits,
-            curve: String = "z"): DataFrame = {
-    val (aL, bL) = (asLong(df, ca), asLong(df, cb))
-    val stats = df.agg(
-      min(aL).as("__amin"), max(aL).as("__amax"),
-      min(bL).as("__bmin"), max(bL).as("__bmax"))
+            curve: String = "z"): DataFrame = withZN(df, Seq(ca, cb), bits, curve)
+
+  /** N-column [[withZ]] (separate name: Scala allows default arguments
+    * on only one overload). Each column contributes a `bits`-wide rank;
+    * the curve index round-robins them, so a box predicate on ANY
+    * subset of the clustering columns prunes. */
+  def withZN(df: DataFrame, cs: Seq[String], bits: Int = QuantBits,
+             curve: String = "z"): DataFrame = {
+    require(cs.nonEmpty && cs.distinct.size == cs.size,
+      s"clustering columns must be distinct: ${cs.mkString(",")}")
+    val longs = cs.map(asLong(df, _))
+    val aggs = longs.zipWithIndex.flatMap { case (l, i) =>
+      Seq(min(l).as(s"__min$i"), max(l).as(s"__max$i")) }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
     val hi = (1L << bits) - 1
     def rank(v: Column, lo: Column, up: Column): Column = {
       val span = greatest(up - lo, lit(1L)).cast("double")
       least(lit(hi), floor(((v - lo).cast("double") / span) * hi).cast("long"))
     }
-    val (ra, rb) = (rank(aL, col("__amin"), col("__amax")),
-      rank(bL, col("__bmin"), col("__bmax")))
-    val idx = curve match {
-      case "z" => interleaveBits(ra, rb, bits)
-      case "hilbert" =>
-        require(bits == QuantBits,
-          s"hilbert curve is registered at order $QuantBits, got bits=$bits")
-        require(df.sparkSession.catalog.functionExists(
-          graft.plans.GraftExtensions.HilbertName),
-          "hilbert curve needs spark.sql.extensions=graft.plans.GraftExtensions")
-        call_function(graft.plans.GraftExtensions.HilbertName, ra, rb)
-      case other => throw new IllegalArgumentException(
-        s"unknown curve '$other' (z|hilbert)")
-    }
+    val ranks = longs.zipWithIndex.map { case (l, i) =>
+      rank(l, col(s"__min$i"), col(s"__max$i")) }
+    val drops = cs.indices.flatMap(i => Seq(s"__min$i", s"__max$i"))
     df.crossJoin(broadcast(stats))
-      .withColumn("z", idx)
-      .drop("__amin", "__amax", "__bmin", "__bmax")
+      .withColumn("z", curveIndex(df, ranks, bits, curve))
+      .drop(drops: _*)
   }
 
   /** Equi-depth variant of [[withZ]] for SKEWED clustering columns —
@@ -141,15 +188,8 @@ object ZOrder {
       aggregate(cuts, lit(0L), (acc, c) => acc + when(v >= c, 1L).otherwise(0L)),
       bits - cutBits)
     val (ra, rb) = (rank(aL, col("__acuts")), rank(bL, col("__bcuts")))
-    val idx = curve match {
-      case "z" => interleaveBits(ra, rb, bits)
-      case "hilbert" =>
-        call_function(graft.plans.GraftExtensions.HilbertName, ra, rb)
-      case other => throw new IllegalArgumentException(
-        s"unknown curve '$other' (z|hilbert)")
-    }
     df.crossJoin(broadcast(stats))
-      .withColumn("z", idx)
+      .withColumn("z", curveIndex(df, Seq(ra, rb), bits, curve))
       .drop("__acuts", "__bcuts")
   }
 
@@ -162,6 +202,13 @@ object ZOrder {
                files: Int = 64, bits: Int = QuantBits,
                curve: String = "z"): DataFrame =
     layoutPlan(df, withZ(df, ca, cb, bits, curve), files)
+
+  /** N-column [[zOrdered]] — the Delta/Iceberg `OPTIMIZE ZORDER BY
+    * (c1, ..., cn)` shape (tenant × key × time being the canonical
+    * third-dimension ask). Same one-range-shuffle cost as 2-D. */
+  def zOrderedN(df: DataFrame, cs: Seq[String], files: Int = 64,
+                bits: Int = QuantBits, curve: String = "z"): DataFrame =
+    layoutPlan(df, withZN(df, cs, bits, curve), files)
 
   /** [[zOrdered]] with the equi-depth quantizer (skewed key domains). */
   def zOrderedEquiDepth(df: DataFrame, ca: String, cb: String,
@@ -200,14 +247,36 @@ object ZOrder {
   /** Fold the accumulated generations back into one `files`-file layout
     * — the amortized full re-cluster that bounds tile overlap and the
     * small-files count (the maintenance twin of
-    * [[Sinks.compactBandIndex]]). Lineage must be cut before the
-    * overwrite: Spark refuses to overwrite a path it is reading from.
-    */
+    * [[Sinks.compactBandIndex]]).
+    *
+    * Durability: the re-cluster writes to a STAGING path and publishes
+    * by rename — the same stage-then-rename discipline as
+    * [[Artifacts.cached]] — so a crash, disk-full, or executor loss
+    * mid-write never destroys the only durable copy (a naive
+    * `mode("overwrite")` onto the same path deletes the directory
+    * before writing). The old generation is moved aside before the
+    * swap and deleted only after the new one is fully visible; a
+    * failed swap restores it. Reading from `path` while writing to the
+    * staging path also removes the read-overwrite conflict that
+    * previously forced a lineage cut — compact is now one streaming
+    * read → range-shuffle → write job with no materialization. */
   def compact(s: SparkSession, path: String, ca: String, cb: String,
-              files: Int = 64, curve: String = "z"): Unit =
-    graft.functions.Lineage.cut(
-      zOrdered(s.read.parquet(path), ca, cb, files, curve = curve))
-      .write.mode("overwrite").parquet(path)
+              files: Int = 64, curve: String = "z"): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val id = java.util.UUID.randomUUID
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.compact-$id")
+    val old = new org.apache.hadoop.fs.Path(s"$path.old-$id")
+    zOrdered(s.read.parquet(path), ca, cb, files, curve = curve)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(hp, old), s"compact: could not move $path aside")
+    if (!fs.rename(tmp, hp)) {
+      fs.rename(old, hp) // restore the previous generation
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"compact: publish rename failed for $path")
+    }
+    fs.delete(old, true)
+  }
 
   // -------------------------------------------------------------------
   // Declared query: the box predicate the layout exists for
@@ -249,6 +318,44 @@ object ZOrder {
        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
        |FROM events
        |WHERE user_id BETWEEN $UserLo AND $UserHi
+       |  AND ts >= TIMESTAMP '$TsLo' AND ts < TIMESTAMP '$TsHi'
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** Third-dimension box bounds: a lexicographic range over the
+    * categorical event_type ('click' ≤ t ≤ 'error' selects click+error
+    * of the five types at every sf — the generator's type set is
+    * scale-invariant). */
+  val TypeLo = "click"
+  val TypeHi = "error"
+
+  /** 3-D box query over the N-column z-ordered events layout
+    * (user_id × event_type × ts) — the Delta/Iceberg `ZORDER BY
+    * (tenant, category, time)` shape. Same discipline as [[qZOrder]]:
+    * layout built once per source fingerprint, all THREE predicates
+    * pushed to the footer level, oracle on the ORIGINAL table. */
+  def qZOrder3(s: SparkSession, dir: String): DataFrame = {
+    val layout = Artifacts.cached(s, "zorder3_events", s"$dir/events.parquet") {
+      zOrderedN(Tables.events(s, dir), Seq("user_id", "event_type", "ts"))
+    }
+    layout
+      .filter(col("user_id").between(UserLo, UserHi) &&
+        col("event_type").between(TypeLo, TypeHi) &&
+        col("ts") >= lit(TsLo).cast("timestamp") &&
+        col("ts") < lit(TsHi).cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        dbl(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  def qZOrder3Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |       COUNT(DISTINCT user_id) AS n_users,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       |FROM events
+       |WHERE user_id BETWEEN $UserLo AND $UserHi
+       |  AND event_type BETWEEN '$TypeLo' AND '$TypeHi'
        |  AND ts >= TIMESTAMP '$TsLo' AND ts < TIMESTAMP '$TsHi'
        |GROUP BY 1 ORDER BY event_type""".stripMargin
 }

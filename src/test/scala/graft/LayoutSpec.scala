@@ -161,8 +161,9 @@ class LayoutSpec extends SparkSpec {
         val scan = q.queryExecution.executedPlan.collect {
           case f: FileSourceScanExec => f
         }.head
-        assert(scan.toString.contains("PushedFilters: ["),
-          s"box predicate must push down:\n${scan.toString.take(400)}")
+        val pushed = scan.metadata.getOrElse("PushedFilters", "[]")
+        assert(pushed.replaceAll("[\\[\\]\\s]", "").nonEmpty,
+          s"box predicate must push down (non-empty list), got: $pushed")
         (scan.metrics("numOutputRows").value, n)
       }
       val (flatRows, nFlat) = scanRows(s"$dir01/events.parquet")

@@ -116,7 +116,7 @@ class PlanAuditSpec extends SparkSpec {
       // any shuffle beyond the two-phase countDistinct + presentation
       // sort — a layout query that re-shuffled its layout would defeat
       // the write-once clustering contract
-      "layout_zorder" -> 3,
+      "layout_zorder" -> 3, "layout_zorder3" -> 3,
       // round-3 additions: sampling and frame slicing are narrow (the 1
       // is the presentation sort); vocab = explode-agg + two-phase
       // count-distinct; bm25's 8 counts BOTH uses of the tf subtree

@@ -59,6 +59,10 @@ object VerifySubset {
       .map { case (n, sql) => s"${q(n)}: ${q(sql)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val waivers = SparkEntry.valueWaived
+      .map { case (n, v) => s"${q(n)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/waivers.json"), waivers)
     spark.stop()
   }
 }

@@ -207,6 +207,89 @@ class ZOrderSpec extends SparkSpec {
       s"compacted layout must stay pruned: scanned $scanAfterCompact of $total")
   }
 
+  test("interleaveBitsN: 3-D round-robin positions and long-overflow guard") {
+    val sp = spark
+    import sp.implicits._
+    // bit i of col j lands at 3i + j
+    val rows = Seq(
+      (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (3L, 0L, 0L), (7L, 7L, 7L))
+      .toDF("a", "b", "c")
+      .withColumn("z", ZOrder.interleaveBitsN(Seq(col("a"), col("b"), col("c")), 16))
+      .orderBy("a", "b", "c").collect().map(_.getLong(3)).toSeq
+    val expected = Seq(
+      4L,    // (0,0,1): c bit0 -> position 2
+      2L,    // (0,1,0): b bit0 -> position 1
+      1L,    // (1,0,0): a bit0 -> position 0
+      9L,    // (3,0,0): a bits 0,1 -> positions 0,3 -> 0b1001
+      511L)  // (7,7,7): all 9 low positions set
+    assert(rows == expected, s"unexpected 3-D z values: ${rows.mkString(",")}")
+    // 4 x 16 bits = 64 > 63 must refuse (the index no longer fits a long)
+    intercept[IllegalArgumentException] {
+      ZOrder.interleaveBitsN(Seq(col("a"), col("b"), col("c"), col("a")), 16)
+    }
+  }
+
+  test("string clustering column ranks lexicographically (3-D categorical dim)") {
+    val sp = spark
+    import sp.implicits._
+    // withZN on (k, label): the string image must ORDER like the string,
+    // so equal-prefix categories land in contiguous rank ranges
+    val df = Seq((0L, "click"), (1L, "error"), (2L, "purchase"),
+      (3L, "signup"), (4L, "view"), (5L, "ab"), (6L, "b"))
+      .toDF("k", "label")
+    val z = ZOrder.withZN(df, Seq("k", "label"))
+    assert(z.count() == 7 && z.schema.fieldNames.contains("z"))
+    // the underlying packing: byte-lexicographic => "ab" < "b" < "click"
+    val ranked = df.select(col("label"),
+      org.apache.spark.sql.functions.expr(
+        "CAST(conv(hex(substring(encode(rpad(label, 7, '\\u0000'), 'UTF-8'), 1, 7)), 16, 10) AS BIGINT)").as("r"))
+      .orderBy("r").collect().map(_.getString(0)).toSeq
+    assert(ranked == Seq("ab", "b", "click", "error", "purchase", "signup", "view"),
+      s"string ranks must be lexicographic: ${ranked.mkString(",")}")
+  }
+
+  test("zOrderedN(3) preserves rows and schema; hilbert refuses 3-D loudly") {
+    val ev = Tables.events(spark, sf)
+    val out = ZOrder.zOrderedN(ev, Seq("user_id", "event_type", "ts"), files = 8)
+    assert(out.schema == ev.schema)
+    assert(out.count() == ev.count())
+    intercept[IllegalArgumentException] {
+      ZOrder.withZN(ev, Seq("user_id", "event_type", "ts"), curve = "hilbert")
+    }
+  }
+
+  test("equi-depth quantizer shares the hilbert guards with the linear path") {
+    val ev = Tables.events(spark, sf)
+    // non-default bits on the hilbert path must fail with the explanatory
+    // message, not silently degrade clustering (ADVICE r10)
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.withZEquiDepth(ev, "user_id", "ts", bits = 12, cutBits = 8,
+        curve = "hilbert")
+    }
+    assert(e.getMessage.contains("registered at order"),
+      s"expected the order guard, got: ${e.getMessage}")
+    // and the equi-depth + hilbert pair is SUPPORTED at default order:
+    // the curve consumes the top-shifted equi-depth ranks unchanged
+    val z = ZOrder.withZEquiDepth(ev, "user_id", "ts", curve = "hilbert")
+    assert(z.count() == ev.count())
+  }
+
+  test("qZOrder3 over the 3-D layout == the same query on the flat table") {
+    val flat = Tables.events(spark, sf)
+      .filter(col("user_id").between(ZOrder.UserLo, ZOrder.UserHi) &&
+        col("event_type").between(ZOrder.TypeLo, ZOrder.TypeHi) &&
+        col("ts") >= lit(ZOrder.TsLo).cast("timestamp") &&
+        col("ts") < lit(ZOrder.TsHi).cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.functions.Num.dbl(sum(graft.functions.Num.dec(col("value")))).as("sum_value"))
+      .orderBy("event_type")
+    val viaLayout = ZOrder.qZOrder3(spark, sf)
+    assert(viaLayout.collect().toSeq == flat.collect().toSeq)
+    assert(viaLayout.count() > 0, "3-D box must be nonempty at every sf")
+  }
+
   test("qZOrder over the clustered layout == the same query on the flat table") {
     val flat = Tables.events(spark, sf)
       .filter(col("user_id").between(ZOrder.UserLo, ZOrder.UserHi) &&
