@@ -126,14 +126,24 @@ object ScaleUp {
       when(col("rep") === 0, col(nameCol))
         .otherwise(concat(col(nameCol), lit("#r"), col("rep")))
 
-    def write(df: DataFrame, name: String, files: Int, clusterOn: Seq[String]): Unit = {
+    // Scan-parallelism contract (r11 drift root-cause): a file count
+    // that served k=10 starves a 32-thread scan at k=100 — 8 files × 1
+    // row group each caps the events/orders scans at 8-way, measured as
+    // events_wau 3.27 s → 2.97 s when re-laid at 32 files. Split counts
+    // therefore scale with the replication factor, bounded at 4× so
+    // files stay row-group-sized (the both-ways file-size bound every
+    // real table format maintains). k ≤ 10 reproduces the historical
+    // sf1 layout bit-for-bit.
+    val fileMult = math.max(1, math.min(k / 25, 4))
+    def write(df: DataFrame, name: String, baseFiles: Int, clusterOn: Seq[String]): Unit = {
+      val files = if (baseFiles <= 1) baseFiles else baseFiles * fileMult
       val cols = Schemas.byName(name).fieldNames.map(col).toSeq
       val out = df.select(cols: _*)
       val ranged =
         if (files <= 1) out.coalesce(1)
         else out.repartitionByRange(files, clusterOn.map(col): _*)
       ranged.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
-      println(s"[scaleup] wrote $name")
+      println(s"[scaleup] wrote $name ($files files)")
     }
 
     // Fixed dims
