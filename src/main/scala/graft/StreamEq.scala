@@ -1,20 +1,35 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.StructType
 import graft.operators.{Events, TimeJoin}
 import graft.streaming.Streams
 import graft.streaming.Streams.Event
 
-/** Streaming ≡ batch equivalence, recorded as a gate artifact (VERDICT
-  * r9 next-round #5): every operator in [[graft.streaming.Streams]] runs
-  * against REAL scaled data (default testdata-sf1, 1 M events / 50 k
-  * docs) through genuine multi-batch streams, and its finalized output
-  * is compared ROW-FOR-ROW with the DuckDB-gated batch twin. One JSON
-  * line per run (STREAMEQ artifact), same spirit as the CORRECTNESS
-  * files — the streaming layer's evidence stops being test-only.
+/** Streaming ≡ batch equivalence, recorded as a gate artifact: every
+  * operator in [[graft.streaming.Streams]] runs against REAL scaled data
+  * (default testdata-sf1, 1 M events / 50 k docs) through genuine
+  * multi-batch streams, and its finalized output is compared ROW-FOR-ROW
+  * with the DuckDB-gated batch twin. One JSON line per run (STREAMEQ
+  * artifact), same spirit as the CORRECTNESS files.
+  *
+  * Harness scale (r11, VERDICT r10 #5): every stream is fed through
+  * CHUNKED FILES staged by one distributed write — the harness never
+  * collects a table to the driver, so the equivalence evidence scales
+  * with the cluster, not with driver heap (the r10 harness fed
+  * `MemoryStream` from `collect()`, capping it at sf1). Chunks are
+  * TIME-ALIGNED (the ts span cut into [[Chunks]] ranges): batch k's
+  * events all precede batch k+1's, which is the in-order delivery
+  * contract sessionize/upsert require and keeps every arrival inside
+  * the 2 h watermark for funnel/attribution. Within a chunk, file order
+  * is the delivery order: the funnel arm stages its copy sorted by
+  * `hash(event_id)` — a deterministic full-chunk shuffle spanning a
+  * multi-day reorder horizon per micro-batch — while the in-order arms
+  * stage (ts, event_id)-sorted. `SPARK_GRAFT_STREAMEQ_ONLY` selects a
+  * comma-separated arm subset (the sf10 run exercises the cheapest
+  * shape to show the HARNESS scales; the full set runs at sf1).
   *
   * Equivalence contracts per check (each `identical` = both `except`
   * directions empty):
@@ -32,13 +47,11 @@ import graft.streaming.Streams.Event
   *    `Events.sessions`. EXACT compare including sums — the operator
   *    accumulates the same 1e-4-unit decimals the batch `dec()` cast
   *    sums, at µs-exact gap arithmetic.
-  *  - funnel: `funnelStages` fed time-aligned chunks each INTERNALLY
-  *    SHUFFLED — its exactness-under-reorder claim, exercised across a
-  *    multi-day reorder horizon per batch while honoring the watermark
-  *    contract (arrivals >2 h late are dropped by design, so a full-
-  *    range shuffle would test lateness policy, not reordering) —
-  *    pivoted to per-user (t1,t2,t3), vs `Events.funnelUsers`. Exact
-  *    epoch-µs longs.
+  *  - funnel: `funnelStages` fed time-aligned chunks each staged in
+  *    hash order (see above) — its exactness-under-reorder claim across
+  *    a multi-day horizon per batch while honoring the watermark
+  *    contract — pivoted to per-user (t1,t2,t3), vs `Events.funnelUsers`.
+  *    Exact epoch-µs longs.
   *  - dedup: `dropDuplicatesWithinWatermark` over ordered chunks plus a
   *    10% re-delivery batch, parquet sink, vs batch DISTINCT. A
   *    re-delivered row is dropped whether the state (dup) or the
@@ -46,18 +59,24 @@ import graft.streaming.Streams.Event
   *  - upsert: `upsertStream` keyed by user_id (ord = desc(ts, event_id))
   *    fed ordered chunks, vs `Merge.keepFirst` — last-write-wins ≡
   *    greatest-(ts,tie)-wins exactly when arrival respects event time,
-  *    which ordered chunks guarantee.
+  *    which time-aligned chunks guarantee.
   *  - attribution: the stream-stream interval join fed TIME-ALIGNED
   *    chunks on both sides (so the 2 h watermark never evicts a click
   *    while its purchase is still in flight — the deployment invariant),
   *    vs the bin-bucketed batch `TimeJoin.intervalJoin`.
-  *  - ingest: `dedupIngest` over two document batches vs batch
-  *    `incrementalCandidates` of batch 2 against batch 1's band index.
+  *  - ingest: `dedupIngest` over two document batches (split on
+  *    doc_id mod 3 so near-dup clusters span the batches; no driver
+  *    materialization) vs batch `incrementalCandidates` of batch 2
+  *    against batch 1's band index.
   *
   * Run: SPARK_GRAFT_SF_DIR=testdata-sf1 SPARK_GRAFT_CPUS=32 \
   *        SPARK_DRIVER_MEM=24g sbt "runMain graft.StreamEq"
   */
 object StreamEq {
+  /** Time-aligned chunk count — 4 multi-day micro-batch feeds at sf1,
+    * the same batch granularity the r10 MemoryStream harness used. */
+  val Chunks = 4
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "testdata-sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -72,6 +91,10 @@ object StreamEq {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+
+    val only = sys.env.get("SPARK_GRAFT_STREAMEQ_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def enabled(n: String): Boolean = only.forall(_(n))
 
     val tmp = java.nio.file.Files.createTempDirectory("graft_streameq").toString
     val results = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Boolean)]()
@@ -89,9 +112,81 @@ object StreamEq {
 
     val eventsDf = graft.sources.Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
+    val evSchema: StructType = eventsDf.schema
+
+    // ---- chunked-file staging (one distributed write, zero collect) ----
+    // 1-row domain scalars (an aggregate, not a table materialization)
+    val dom = eventsDf.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts"))), max(col("ts"))).collect()(0)
+    val (usLo, usHi) = (dom.getLong(0), dom.getLong(1))
+    val maxTsMs = dom.getTimestamp(2).getTime
+    val chunkCol = least(lit(Chunks - 1),
+      floor(((unix_micros(col("ts")) - usLo) * Chunks) / (usHi - usLo + 1)))
+      .cast("int")
+
+    /** Stage `df` as `<path>/__chunk=k/` part files; within-chunk file
+      * order is the delivery order (in-order vs hash-shuffled). */
+    def stage(df: DataFrame, path: String, shuffled: Boolean = false): Unit = {
+      val d = df.withColumn("__chunk", chunkCol)
+      val ordered =
+        if (shuffled) d.repartition(col("__chunk"))
+          .sortWithinPartitions(col("__chunk"), pmod(hash(col("event_id")), lit(1 << 20)))
+        else d.repartition(col("__chunk"))
+          .sortWithinPartitions(col("__chunk"), col("ts"), col("event_id"))
+      ordered.write.mode("overwrite").partitionBy("__chunk").parquet(path)
+    }
+    val stagedOrdered = s"$tmp/staged_ordered"
+    stage(eventsDf, stagedOrdered)
+
+    /** Copy chunk k's files into a stream's monitored dir (copy, not
+      * move: several arms share one staged copy). */
+    var fileSeq = 0
+    def feedDir(stagedPath: String, k: Int, sinkDir: String): Unit = {
+      new java.io.File(sinkDir).mkdirs()
+      val src = new java.io.File(s"$stagedPath/__chunk=$k")
+      require(src.isDirectory, s"staged chunk missing: $src")
+      src.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .foreach { f =>
+          fileSeq += 1
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(sinkDir, f"b$k%02d_$fileSeq%06d.parquet"))
+        }
+    }
+    def feed(stagedPath: String, k: Int, sinkDir: String, q: StreamingQuery): Unit = {
+      feedDir(stagedPath, k, sinkDir)
+      q.processAllAvailable()
+    }
+    def streamFrom(dir: String): DataFrame = {
+      new java.io.File(dir).mkdirs()
+      spark.readStream.schema(evSchema).parquet(dir)
+    }
+
+    /** Watermark sentinels as files: two far-future single-row batches —
+      * the first advances the watermark past all real event time (+2 h
+      * delay), the second triggers the timeout batch that finalizes
+      * state sealed by the first. */
+    def sentinel(offsetH: Int) = Event(-1L - offsetH,
+      new java.sql.Timestamp(maxTsMs + (240L + offsetH) * 3600 * 1000), -1L, "signup", 0.0)
+    Seq(0, 1).foreach { o =>
+      Seq(sentinel(o)).toDS().toDF()
+        .select(evSchema.fieldNames.map(col).toIndexedSeq: _*)
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/sentinel_$o")
+    }
+    def feedSentinel(o: Int, sinkDir: String): Unit = {
+      val src = new java.io.File(s"$tmp/sentinel_$o")
+      src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        fileSeq += 1
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(sinkDir, f"sent${o}_$fileSeq%06d.parquet"))
+      }
+    }
+    def flush(sinkDir: String, q: StreamingQuery): Unit = {
+      feedSentinel(0, sinkDir); q.processAllAvailable()
+      feedSentinel(1, sinkDir); q.processAllAvailable()
+    }
 
     // ---- windows_file_stream --------------------------------------------
-    locally {
+    if (enabled("windows_file_stream")) {
       val q = Streams.hourlyWindows(
           Streams.eventsFileStream(spark, sfDir, maxFilesPerTrigger = 4))
         .writeStream.format("memory").queryName("streameq_win")
@@ -103,42 +198,27 @@ object StreamEq {
     }
 
     // ---- cdc_complete ---------------------------------------------------
-    locally {
-      val src = MemoryStream[Event](spark)
-      val q = Events.cdcApply(src.toDF())
+    if (enabled("cdc_complete")) {
+      val sink = s"$tmp/src_cdc"
+      val q = Events.cdcApply(streamFrom(sink))
         .writeStream.format("memory").queryName("streameq_cdc")
         .outputMode(OutputMode.Complete)
         .option("checkpointLocation", s"$tmp/ckpt_cdc").start()
-      val chunks = eventsDf.as[Event].collect().grouped(300000).toSeq
-      try {
-        chunks.foreach { c => src.addData(c.toSeq); q.processAllAvailable() }
-      } finally q.stop()
+      try (0 until Chunks).foreach(k => feed(stagedOrdered, k, sink, q))
+      finally q.stop()
       record("cdc_complete", spark.table("streameq_cdc"), Events.cdcApply(eventsDf))
     }
 
-    // shared ordered-chunk material for the stateful Append-mode checks
-    val ordered = eventsDf.orderBy("ts", "event_id").as[Event].collect()
-    val maxTsMs = ordered.last.ts.getTime
-    def sentinel(offsetH: Int) = Event(-1L - offsetH,
-      new java.sql.Timestamp(maxTsMs + (240L + offsetH) * 3600 * 1000), -1L, "signup", 0.0)
-    /** Two far-future batches: the first advances the watermark past all
-      * real event time (+2 h delay), the second triggers the timeout
-      * batch that finalizes state sealed by the first. */
-    def flush(src: MemoryStream[Event], q: StreamingQuery): Unit = {
-      src.addData(sentinel(0)); q.processAllAvailable()
-      src.addData(sentinel(1)); q.processAllAvailable()
-    }
-
     // ---- sessions -------------------------------------------------------
-    locally {
-      val src = MemoryStream[Event](spark)
-      val q = Streams.sessionize(src.toDS())
+    if (enabled("sessions")) {
+      val sink = s"$tmp/src_sess"
+      val q = Streams.sessionize(streamFrom(sink).as[Event])
         .writeStream.format("memory").queryName("streameq_sess")
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", s"$tmp/ckpt_sess").start()
       try {
-        ordered.grouped(300000).foreach { c => src.addData(c.toSeq); q.processAllAvailable() }
-        flush(src, q)
+        (0 until Chunks).foreach(k => feed(stagedOrdered, k, sink, q))
+        flush(sink, q)
       } finally q.stop()
       // EXACT compare, including sum_value: the stream accumulates the
       // same 1e-4-unit decimals the batch's dec() cast sums
@@ -149,23 +229,18 @@ object StreamEq {
           .select("user_id", "session_start", "session_end", "n_events", "sum_value"))
     }
 
-    // ---- funnel (unsorted delivery) ------------------------------------
-    locally {
-      val src = MemoryStream[Event](spark)
-      val q = Streams.funnelStages(src.toDS())
+    // ---- funnel (hash-ordered delivery within each time-aligned chunk) --
+    if (enabled("funnel")) {
+      val stagedShuffled = s"$tmp/staged_shuffled"
+      stage(eventsDf, stagedShuffled, shuffled = true)
+      val sink = s"$tmp/src_funnel"
+      val q = Streams.funnelStages(streamFrom(sink).as[Event])
         .writeStream.format("memory").queryName("streameq_funnel")
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", s"$tmp/ckpt_funnel").start()
-      // out-of-order WITHIN the watermark contract: time-ordered chunks
-      // (so nothing arrives >2 h late and gets watermark-dropped), each
-      // chunk internally shuffled — a multi-day horizon of reordering
-      // per micro-batch, which the buffered state machine must absorb
-      val rnd = new scala.util.Random(42)
       try {
-        ordered.grouped(300000).foreach { c =>
-          src.addData(rnd.shuffle(c.toSeq)); q.processAllAvailable()
-        }
-        flush(src, q)
+        (0 until Chunks).foreach(k => feed(stagedShuffled, k, sink, q))
+        flush(sink, q)
       } finally q.stop()
       val pivoted = spark.table("streameq_funnel").filter(col("user_id") >= 0)
         .groupBy("user_id")
@@ -178,49 +253,57 @@ object StreamEq {
     }
 
     // ---- dedup ----------------------------------------------------------
-    locally {
-      val src = MemoryStream[Event](spark)
-      val q = Streams.dedupEvents(src.toDF())
+    if (enabled("dedup")) {
+      // the 10% re-delivery batch, staged as its own single chunk
+      val redelivered = s"$tmp/staged_redelivery"
+      eventsDf.filter(col("event_id") % 10 === 0)
+        .withColumn("__chunk", lit(0))
+        .repartition(col("__chunk"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
+        .write.mode("overwrite").partitionBy("__chunk").parquet(redelivered)
+      val sink = s"$tmp/src_dedup"
+      val q = Streams.dedupEvents(streamFrom(sink))
         .writeStream.format("parquet")
         .option("path", s"$tmp/dedup_out")
         .option("checkpointLocation", s"$tmp/ckpt_dedup")
         .outputMode(OutputMode.Append).start()
       try {
-        ordered.grouped(300000).foreach { c => src.addData(c.toSeq); q.processAllAvailable() }
-        src.addData(ordered.filter(_.event_id % 10 == 0).toSeq) // re-delivery
-        q.processAllAvailable()
+        (0 until Chunks).foreach(k => feed(stagedOrdered, k, sink, q))
+        feed(redelivered, 0, sink, q)
       } finally q.stop()
       record("dedup", spark.read.parquet(s"$tmp/dedup_out"), eventsDf.distinct())
     }
 
     // ---- upsert ---------------------------------------------------------
-    locally {
-      val src = MemoryStream[Event](spark)
+    if (enabled("upsert")) {
+      val sink = s"$tmp/src_upsert"
       val ord = struct(col("ts"), col("event_id")).desc
-      val q = Streams.upsertStream(src.toDF(), Seq("user_id"), ord,
+      val q = Streams.upsertStream(streamFrom(sink), Seq("user_id"), ord,
         s"$tmp/upsert_table", s"$tmp/ckpt_upsert")
-      try {
-        ordered.grouped(300000).foreach { c => src.addData(c.toSeq); q.processAllAvailable() }
-      } finally q.stop()
+      try (0 until Chunks).foreach(k => feed(stagedOrdered, k, sink, q))
+      finally q.stop()
       record("upsert", spark.read.parquet(s"$tmp/upsert_table"),
         graft.operators.Merge.keepFirst(eventsDf, Seq("user_id"), ord))
     }
 
     // ---- attribution ----------------------------------------------------
-    locally {
-      val clicks = MemoryStream[Event](spark)
-      val purchases = MemoryStream[Event](spark)
-      val q = Streams.clickAttribution(clicks.toDF(), purchases.toDF())
+    if (enabled("attribution")) {
+      // time-aligned chunks on BOTH sides: the watermark trails the
+      // newest chunk by 2 h, so no click is evicted while a purchase
+      // within its 30 min window is still unseen
+      val stagedClicks = s"$tmp/staged_clicks"
+      val stagedPurch = s"$tmp/staged_purchases"
+      stage(eventsDf.filter(col("event_type") === "click"), stagedClicks)
+      stage(eventsDf.filter(col("event_type") === "purchase"), stagedPurch)
+      val (sinkC, sinkP) = (s"$tmp/src_attr_clicks", s"$tmp/src_attr_purch")
+      val q = Streams.clickAttribution(streamFrom(sinkC), streamFrom(sinkP))
         .writeStream.format("memory").queryName("streameq_attr")
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", s"$tmp/ckpt_attr").start()
       try {
-        // time-aligned chunks on BOTH sides: the watermark trails the
-        // newest chunk by 2 h, so no click is evicted while a purchase
-        // within its 30 min window is still unseen
-        ordered.grouped(300000).foreach { c =>
-          clicks.addData(c.filter(_.event_type == "click").toSeq)
-          purchases.addData(c.filter(_.event_type == "purchase").toSeq)
+        (0 until Chunks).foreach { k =>
+          feedDir(stagedClicks, k, sinkC)
+          feedDir(stagedPurch, k, sinkP)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -241,23 +324,40 @@ object StreamEq {
     }
 
     // ---- ingest ---------------------------------------------------------
-    locally {
-      val docs = graft.sources.Tables.documents(spark, sfDir)
-        .select("doc_id", "text").as[(Long, String)].collect()
-      val (b1, b2) = docs.splitAt(docs.length / 2)
-      val src = MemoryStream[(Long, String)](spark)
-      val q = Streams.dedupIngest(src.toDF().toDF("doc_id", "text"),
+    if (enabled("ingest")) {
+      val docsDf = graft.sources.Tables.documents(spark, sfDir)
+        .select("doc_id", "text")
+      // Batch split on doc_id mod 3, NOT a median cut: the ScaleUp
+      // near-dup clusters live at ids d + rep·10^m, and 10^m ≡ 1 (mod 3),
+      // so residues VARY within a cluster and clusters span the two
+      // batches — the check stays non-vacuous (a median cut puts whole
+      // clusters into the low half: 0 hits ≡ 0 hits proves nothing, and
+      // an id-parity split fails the same way because 10^m is even).
+      val b1 = docsDf.filter(pmod(col("doc_id"), lit(3)) < 2)
+      val b2 = docsDf.filter(pmod(col("doc_id"), lit(3)) === 2)
+      val stagedDocs = s"$tmp/staged_docs"
+      b1.withColumn("__chunk", lit(0))
+        .unionByName(b2.withColumn("__chunk", lit(1)))
+        .repartition(col("__chunk"))
+        .write.mode("overwrite").partitionBy("__chunk").parquet(stagedDocs)
+      val sink = s"$tmp/src_ingest"
+      new java.io.File(sink).mkdirs()
+      val docStream = spark.readStream.schema(b1.schema).parquet(sink)
+      val q = Streams.dedupIngest(docStream,
         s"$tmp/ingest_index", s"$tmp/ingest_hits", s"$tmp/ckpt_ingest")
       try {
-        src.addData(b1.toSeq); q.processAllAvailable()
-        src.addData(b2.toSeq); q.processAllAvailable()
+        feed(stagedDocs, 0, sink, q)
+        feed(stagedDocs, 1, sink, q)
       } finally q.stop()
-      val bands1 = graft.operators.Dedup.bandIndex(b1.toSeq.toDF("doc_id", "text"))
-      val bands2 = graft.operators.Dedup.bandIndex(b2.toSeq.toDF("doc_id", "text"))
+      require(new java.io.File(s"$tmp/ingest_hits").listFiles() != null &&
+        new java.io.File(s"$tmp/ingest_hits").listFiles().nonEmpty,
+        "ingest arm produced no hits output — the batch split went vacuous")
       record("ingest",
         spark.read.parquet(s"$tmp/ingest_hits").filter(col("batch_id") === 1)
           .select("doc_new", "doc_idx"),
-        graft.operators.Dedup.incrementalCandidates(bands2, bands1)
+        graft.operators.Dedup.incrementalCandidates(
+          graft.operators.Dedup.bandIndex(b2),
+          graft.operators.Dedup.bandIndex(b1))
           .select("doc_new", "doc_idx"))
     }
 
@@ -265,11 +365,17 @@ object StreamEq {
       s""""$n":{"stream_rows":$s,"batch_rows":$b,"identical":$ok}"""
     }.mkString("{", ",", "}")
     val all = results.values.forall(_._3)
-    val json = s"""{"experiment":"stream_batch_equivalence","sf":"$sfDir","checks":$checks,"all_identical":$all}"""
+    val json = s"""{"experiment":"stream_batch_equivalence","sf":"$sfDir","chunks":$Chunks,"staging":"chunked_files_no_driver_collect","checks":$checks,"all_identical":$all}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAMEQ_OUT", "streameq.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
+    // staged copies can be multi-GB at sf10 — reclaim before exit
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete()
+    }
+    rm(new java.io.File(tmp))
     spark.stop()
     if (!all) sys.exit(1)
   }
