@@ -68,6 +68,15 @@ object Bench {
       // whole suite — this is harness fidelity, not an engine lever.
       val rt = Runtime.getRuntime
       if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
+      // Multi-process masters additionally need the driver GC to run the
+      // ContextCleaner: executor-side broadcast blocks are only dropped
+      // when the DRIVER collects their references, and executor memory
+      // pressure is invisible to the driver-heap condition above (the r11
+      // Verify finding — 4 queries starved at sf1/local-cluster[4,8,8192]
+      // without it). local[*] keeps the conditional policy: there the
+      // blocks share this JVM's heap, so the condition sees them, and the
+      // unconditional-gc re-JIT tax stays out of the recorded numbers.
+      else if (!master.startsWith("local[")) System.gc()
     }
 
     // Optional comma-separated name filter for local iteration on one

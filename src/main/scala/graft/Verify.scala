@@ -70,6 +70,18 @@ object Verify {
       // sequential queries don't accumulate pinned storage — see Bench.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // Drive ContextCleaner between queries: broadcast blocks (incl.
+      // every finished join's HashedRelation) are freed on EXECUTORS only
+      // after the DRIVER's GC collects their references. Under a
+      // multi-process master the driver never feels executor memory
+      // pressure, so a 107-query application accumulates dead broadcast
+      // storage until an executor's execution pool starves — observed at
+      // sf1 under local-cluster[4,8,8192] as FailedToGrowBytesToBytesMap
+      // inside UnsafeHashedRelation.read on 4 queries (r11 finding,
+      // A/B-verified: same run is green with this gc). Verify is not a
+      // timing harness, so the per-query full-GC cost is irrelevant here;
+      // Bench keeps its measured conditional policy.
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
