@@ -31,13 +31,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH")
       .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
+    // local-cluster[n,c,MB] sizes the WORKER only; without this the
+    // executors launch at the 1g default — see ExecutorDrain scaladoc.
+    ExecutorDrain.executorMemoryFor(master)
+      .foreach(m => builder.config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", m)))
     val spark = builder.getOrCreate()
     sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
       .foreach(spark.sparkContext.setCheckpointDir)
     // ERROR: the one recurring WARN is WindowExec's single-partition note
     // for the dim surrogate-key window, which is by-design for dim-sized
-    // inputs (Etl.dimDept doc) — at WARN it floods the bench JSON's tail
-    spark.sparkContext.setLogLevel("ERROR")
+    // inputs (Etl.dimDept doc) — at WARN it floods the bench JSON's tail.
+    // Overridable because ERROR hides TaskSetManager's lost-task REASONS:
+    // diagnosing a multi-process task abort needs one WARN-level re-run.
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "ERROR"))
 
     def run(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -69,14 +77,18 @@ object Bench {
       val rt = Runtime.getRuntime
       if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
       // Multi-process masters additionally need the driver GC to run the
-      // ContextCleaner: executor-side broadcast blocks are only dropped
+      // ContextCleaner — executor-side broadcast blocks are only dropped
       // when the DRIVER collects their references, and executor memory
-      // pressure is invisible to the driver-heap condition above (the r11
-      // Verify finding — 4 queries starved at sf1/local-cluster[4,8,8192]
-      // without it). local[*] keeps the conditional policy: there the
+      // pressure is invisible to the driver-heap condition above — and
+      // they need the cleanup to COMPLETE before the next rep starts:
+      // the cleaner is asynchronous, and racing it leaves dead
+      // HashedRelations pinning the storage pool (the r11 finding — the
+      // 4 heaviest queries died with FailedToGrowBytesToBytesMap at
+      // sf1/local-cluster[4,8,8192], green once the sweep waits; see
+      // ExecutorDrain). local[*] keeps the conditional policy: there the
       // blocks share this JVM's heap, so the condition sees them, and the
       // unconditional-gc re-JIT tax stays out of the recorded numbers.
-      else if (!master.startsWith("local[")) System.gc()
+      else if (!master.startsWith("local[")) ExecutorDrain.awaitClean(spark)
     }
 
     // Optional comma-separated name filter for local iteration on one

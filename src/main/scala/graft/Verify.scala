@@ -28,6 +28,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH")
       .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
+    // local-cluster[n,c,MB] sizes the WORKER only; without this the
+    // executors launch at the 1g default — see ExecutorDrain scaladoc.
+    ExecutorDrain.executorMemoryFor(master)
+      .foreach(m => builder.config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", m)))
     sys.env.get("SPARK_GRAFT_AQE")
       .foreach(v => builder.config("spark.sql.adaptive.enabled", v))
     val spark = builder.getOrCreate()
@@ -70,18 +75,19 @@ object Verify {
       // sequential queries don't accumulate pinned storage — see Bench.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      // Drive ContextCleaner between queries: broadcast blocks (incl.
-      // every finished join's HashedRelation) are freed on EXECUTORS only
-      // after the DRIVER's GC collects their references. Under a
-      // multi-process master the driver never feels executor memory
-      // pressure, so a 107-query application accumulates dead broadcast
-      // storage until an executor's execution pool starves — observed at
-      // sf1 under local-cluster[4,8,8192] as FailedToGrowBytesToBytesMap
-      // inside UnsafeHashedRelation.read on 4 queries (r11 finding,
-      // A/B-verified: same run is green with this gc). Verify is not a
-      // timing harness, so the per-query full-GC cost is irrelevant here;
-      // Bench keeps its measured conditional policy.
-      System.gc()
+      // Drive ContextCleaner between queries AND wait for it to finish:
+      // broadcast blocks (incl. every finished join's HashedRelation) are
+      // freed on EXECUTORS only after the DRIVER's GC collects their
+      // references, and the cleaner ships the removals asynchronously.
+      // Under a multi-process master the driver never feels executor
+      // memory pressure, so a 108-query application accumulates dead
+      // broadcast storage until an executor's execution pool starves —
+      // observed at sf1 under local-cluster[4,8,8192] as
+      // FailedToGrowBytesToBytesMap inside UnsafeHashedRelation.read
+      // (r11 finding, A/B-verified: same run is green with the drained
+      // sweep). Verify is not a timing harness, so the per-query cost is
+      // irrelevant here; Bench keeps its measured conditional policy.
+      ExecutorDrain.awaitClean(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

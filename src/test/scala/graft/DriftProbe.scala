@@ -13,13 +13,20 @@ object DriftProbe {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "testdata-sf10"
+    // Master overridable so a local[32]-vs-local-cluster drift can be
+    // profiled with the same tool (r11: the catalog_corr adjudication).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
     val builder = SparkSession.builder()
-      .master("local[32]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH")
+      .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
+    ExecutorDrain.executorMemoryFor(master)
+      .foreach(m => builder.config("spark.executor.memory", m))
     sys.env.get("SPARK_GRAFT_BCAST_MB").foreach(mb =>
       builder.config("spark.sql.autoBroadcastJoinThreshold", s"${mb}MB"))
     val spark = builder.getOrCreate()
