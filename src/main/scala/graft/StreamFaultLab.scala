@@ -108,6 +108,8 @@ object StreamFaultLab {
       * optionally SIGKILLing one executor after batch `killAfter`. */
     def run(name: String, killAfter: Option[Int]): (Long, String, Double, Long) = {
       val sink = s"$tmp/src_$name"
+      // the file source requires the path to exist at stream start
+      new java.io.File(sink).mkdirs()
       val t0 = System.nanoTime()
       val q = graft.streaming.Streams.hourlyWindows(
           spark.readStream.schema(evSchema).parquet(sink))
