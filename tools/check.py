@@ -48,6 +48,13 @@ def main():
     sf_dir, out_dir = args[0], args[1]
     only = set(args[2:])
     con = duckdb.connect()
+    # The compare is row-order-insensitive (rows are sorted/hashed below),
+    # so DuckDB need not preserve insertion order — dropping it lets the
+    # big aggregations stream instead of materializing (r11: the sf10
+    # text_linedup oracle OOM'd a 125 GB box with order preservation on,
+    # passes without it; check_staged.py has set this since r10).
+    con.execute("SET preserve_insertion_order = false")
+    con.execute(f"SET memory_limit = '{os.environ.get('CHECK_MEM', '100GB')}'")
     for t in TABLES:
         src = table_source(sf_dir, t)
         cols = "*"
