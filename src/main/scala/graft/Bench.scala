@@ -33,9 +33,12 @@ object Bench {
       .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
     // local-cluster[n,c,MB] sizes the WORKER only; without this the
     // executors launch at the 1g default — see ExecutorDrain scaladoc.
-    ExecutorDrain.executorMemoryFor(master)
-      .foreach(m => builder.config("spark.executor.memory",
-        sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", m)))
+    // The env override applies on ANY master (a spark:// standalone
+    // master legitimately wants an explicit executor heap too); the
+    // bracket-derived value is only the local-cluster fallback.
+    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
+      .orElse(ExecutorDrain.executorMemoryFor(master))
+      .foreach(m => builder.config("spark.executor.memory", m))
     val spark = builder.getOrCreate()
     sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
       .foreach(spark.sparkContext.setCheckpointDir)
@@ -75,7 +78,7 @@ object Bench {
       // sf10. Multi-executor clusters don't share one old gen across a
       // whole suite — this is harness fidelity, not an engine lever.
       val rt = Runtime.getRuntime
-      if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
+      val pressured = rt.totalMemory - rt.freeMemory > rt.maxMemory / 2
       // Multi-process masters additionally need the driver GC to run the
       // ContextCleaner — executor-side broadcast blocks are only dropped
       // when the DRIVER collects their references, and executor memory
@@ -85,10 +88,16 @@ object Bench {
       // HashedRelations pinning the storage pool (the r11 finding — the
       // 4 heaviest queries died with FailedToGrowBytesToBytesMap at
       // sf1/local-cluster[4,8,8192], green once the sweep waits; see
-      // ExecutorDrain). local[*] keeps the conditional policy: there the
-      // blocks share this JVM's heap, so the condition sees them, and the
-      // unconditional-gc re-JIT tax stays out of the recorded numbers.
-      else if (!master.startsWith("local[")) ExecutorDrain.awaitClean(spark)
+      // ExecutorDrain). These conditions are INDEPENDENT: the drain must
+      // run on every multi-process sweep, driver heap pressured or not —
+      // the pressured iterations are exactly the ones with broadcast
+      // cleanup queued (awaitClean gc's itself, subsuming the pressure
+      // collection on that path). local[*] keeps the conditional policy:
+      // there the blocks share this JVM's heap, so the condition sees
+      // them, and the unconditional-gc re-JIT tax stays out of the
+      // recorded numbers.
+      if (!master.startsWith("local[")) ExecutorDrain.awaitClean(spark)
+      else if (pressured) System.gc()
     }
 
     // Optional comma-separated name filter for local iteration on one

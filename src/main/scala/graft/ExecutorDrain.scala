@@ -48,8 +48,13 @@ object ExecutorDrain {
     * BEGIN moving the number, and exiting on "stable" before that just
     * re-creates the race this helper exists to close (measured: with a
     * 300 ms stability exit the 4-query heavy sequence still died; with
-    * the grace period it is green). No-op-fast when already clean. */
-  def awaitClean(spark: SparkSession, timeoutMs: Long = 15000L): Unit = {
+    * the grace period it is green). No-op-fast when already clean.
+    *
+    * Returns the residual storage-used bytes at exit (0 = fully
+    * drained); a nonzero residual is also logged to stderr so a stuck
+    * or slow drain leaves a trace in the run's output instead of
+    * silently degrading back to the race. */
+  def awaitClean(spark: SparkSession, timeoutMs: Long = 15000L): Long = {
     val sc = spark.sparkContext
     def used() = org.apache.spark.graftbridge.StorageBridge.storageUsedBytes(sc)
     System.gc()
@@ -65,5 +70,10 @@ object ExecutorDrain {
       if (now == last) stable += 1 else stable = 0
       last = now
     }
+    if (last > 0)
+      System.err.println(
+        s"ExecutorDrain.awaitClean: exiting with residual storage " +
+          s"${last} B after ${elapsedMs} ms (timeout=${timeoutMs} ms)")
+    last
   }
 }

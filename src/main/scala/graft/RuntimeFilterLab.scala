@@ -155,6 +155,15 @@ object RuntimeFilterLab {
     // ---- arm 2: dynamic partition pruning on the month-partitioned fact -
     val armDpp: String = {
       val base = java.nio.file.Files.createTempDirectory("graft_rtfilter").toString
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rm)
+        p.delete()
+      }
+      // try/finally: a require() failure mid-arm (fingerprint mismatch,
+      // no pruning, scan not found) must not leak the full fact-table
+      // copy into /tmp — repeated failed runs would accumulate large
+      // parquet trees.
+      try {
       val orders = graft.sources.Tables.orders(spark, sfDir)
         .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
       val (_, buildWall) = timed {
@@ -219,12 +228,8 @@ object RuntimeFilterLab {
       require(fpOff == fpOn, s"DPP changed the answer: $fpOff vs $fpOn")
       require(filesOn < filesOff,
         s"DPP did not prune fact files: on=$filesOn off=$filesOff")
-      def rm(p: java.io.File): Unit = {
-        if (p.isDirectory) p.listFiles().foreach(rm)
-        p.delete()
-      }
-      rm(new java.io.File(base))
       f""""arm_dpp":{"fact":"orders partitionBy(month), $totalMonths months","dim_filter":"calendar.quarter = 1996-Q1 (3 months)","layout_build_wall_sec":$buildWall%.2f,"off":{"fact_files_read":$filesOff,"fact_scan_rows":$rowsOff,"input_bytes":$ibOff,"wall_sec":$wOff%.2f},"on":{"fact_files_read":$filesOn,"fact_scan_rows":$rowsOn,"input_bytes":$ibOn,"wall_sec":$wOn%.2f},"files_ratio":${f"${filesOn.toDouble / math.max(filesOff, 1)}%.4f"},"scan_rows_ratio":${f"${rowsOn.toDouble / math.max(rowsOff, 1)}%.4f"}}"""
+      } finally rm(new java.io.File(base))
     }
 
     val json =

@@ -65,6 +65,13 @@ object StreamFaultLab {
     })
 
     val tmp = java.nio.file.Files.createTempDirectory("graft_streamfault").toString
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete()
+    }
+    // try/finally: a require() failure (fingerprint mismatch, kill never
+    // fired) must not leak the staged chunk parquet trees into /tmp.
+    try {
     val eventsDf = graft.sources.Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
     val evSchema: StructType = eventsDf.schema
@@ -122,9 +129,17 @@ object StreamFaultLab {
           feedDir(k, sink)
           q.processAllAvailable()
           if (killAfter.contains(k)) {
+            // Filter by THIS application's id (it appears in the
+            // executor backend's --app-id argument): an unfiltered scan
+            // would SIGKILL an executor of an unrelated Spark app that
+            // happens to run on the same machine.
+            val appId = spark.sparkContext.applicationId
             val victim = ProcessHandle.allProcesses().iterator().asScala
-              .find(_.info().commandLine().orElse("")
-                .contains("CoarseGrainedExecutorBackend"))
+              .find { p =>
+                val cl = p.info().commandLine().orElse("")
+                cl.contains("CoarseGrainedExecutorBackend") &&
+                  cl.contains(appId)
+              }
             victim match {
               case Some(p) =>
                 killedPid = p.pid()
@@ -165,11 +180,9 @@ object StreamFaultLab {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
 
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rm)
-      p.delete()
+    } finally {
+      rm(new java.io.File(tmp))
+      spark.stop()
     }
-    rm(new java.io.File(tmp))
-    spark.stop()
   }
 }

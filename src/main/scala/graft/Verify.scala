@@ -30,9 +30,11 @@ object Verify {
       .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
     // local-cluster[n,c,MB] sizes the WORKER only; without this the
     // executors launch at the 1g default — see ExecutorDrain scaladoc.
-    ExecutorDrain.executorMemoryFor(master)
-      .foreach(m => builder.config("spark.executor.memory",
-        sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", m)))
+    // Env override applies on ANY master; the bracket-derived value is
+    // only the local-cluster fallback.
+    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
+      .orElse(ExecutorDrain.executorMemoryFor(master))
+      .foreach(m => builder.config("spark.executor.memory", m))
     sys.env.get("SPARK_GRAFT_AQE")
       .foreach(v => builder.config("spark.sql.adaptive.enabled", v))
     val spark = builder.getOrCreate()
