@@ -70,6 +70,10 @@ object SparkEntry {
     // may change cost, never an answer)
     "layout_zorder" -> ((s, d) => sources.ZOrder.qZOrder(s, d)),
     "layout_zorder3" -> ((s, d) => sources.ZOrder.qZOrder3(s, d)),
+    // Month-partitioned fact + dim-filter star: the months are resolved
+    // at RUNTIME from the calendar dim, so dynamic partition pruning —
+    // not the literal-collapse rewrite — prunes the fact scan
+    "layout_dpp_star" -> ((s, d) => sources.Partitioned.qDppStar(s, d)),
     // Training-data dedup family over `documents`
     "dedup_exact" -> ((s, d) => Dedup.qExact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.qMinhash(s, d)),
@@ -283,6 +287,7 @@ object SparkEntry {
     "catalog_histogram" -> Catalog.qHistogramSql,
     "layout_zorder" -> sources.ZOrder.qZOrderSql,
     "layout_zorder3" -> sources.ZOrder.qZOrder3Sql,
+    "layout_dpp_star" -> sources.Partitioned.qDppStarSql,
     "dedup_exact" -> Dedup.qExactSql,
     "dedup_minhash" -> Dedup.qMinhashSql,
     "dedup_jaccard" -> Dedup.qJaccardSql,

@@ -70,7 +70,19 @@ object Artifacts {
     * training and writing it first iff the source's current fingerprint
     * has no artifact yet. The returned frame always reads FROM PARQUET —
     * the caller's plan carries a scan, not the training subtree. */
-  def cached(s: SparkSession, kind: String, src: String)(train: => DataFrame): DataFrame = {
+  def cached(s: SparkSession, kind: String, src: String)(train: => DataFrame): DataFrame =
+    cachedWith(s, kind, src, Nil)(train)
+
+  /** [[cached]] with a Hive-style `partitionBy` layout — for artifacts
+    * whose VALUE is the directory structure itself (e.g. the
+    * month-partitioned fact copy that dynamic partition pruning prunes
+    * at runtime). Same fingerprint/claim/rename lifecycle. */
+  def cachedPartitioned(s: SparkSession, kind: String, src: String,
+      parts: Seq[String])(train: => DataFrame): DataFrame =
+    cachedWith(s, kind, src, parts)(train)
+
+  private def cachedWith(s: SparkSession, kind: String, src: String,
+      parts: Seq[String])(train: => DataFrame): DataFrame = {
     val p = path(s, kind, src)
     val hp = new Path(p)
     val f = fs(s, hp)
@@ -78,7 +90,7 @@ object Artifacts {
       // Stage in a writer-unique dir: concurrent Spark jobs must never
       // share one output path's _temporary staging (see scaladoc).
       val tmp = new Path(p + s".train-${java.util.UUID.randomUUID}")
-      train.write.mode("overwrite").parquet(tmp.toString)
+      train.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
       val claimed =
         try { f.create(new Path(p + ".claim"), false).close(); true }
         catch { case _: java.io.IOException => false } // racer claimed first

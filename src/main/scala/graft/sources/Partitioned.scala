@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Num.{dbl, dec}
+
+/** Hive-style partitioned fact layout + the dim-filter-driven star that
+  * dynamic partition pruning serves — the S7 "month index" analog on a
+  * real partitioned warehouse (reference `src/models.py:41-44`
+  * `ix_fact_month`; the partition directory IS the index at scale).
+  *
+  * The shape: the fact is laid out `partitionBy(month)`; the query
+  * filters a tiny calendar dim on `quarter` and joins on `month`. The
+  * months that survive the dim filter are unknown until RUNTIME (the
+  * quarter→month mapping lives in data, not in the query text), so
+  * static partition pruning cannot help — this is exactly the case the
+  * engine's literal-collapse rewrite ([[Tables]] month filters) cannot
+  * express, and the case `RTFILTERLAB_r11.json` measured at 3/80 files
+  * read. Spark's dynamic partition pruning inserts a runtime subquery
+  * filter on the partitioned scan, reusing the dim's broadcast — at
+  * 100 TB this is the difference between scanning 3 months and
+  * scanning the whole warehouse. PlanAuditSpec machine-checks the
+  * `dynamicpruning` expression is present in the fact scan's partition
+  * filters and that the scan reads strictly fewer files than the
+  * layout holds.
+  *
+  * Correctness gate: the oracle runs on the ORIGINAL orders table with
+  * the quarter expanded to its month list — a layout may change cost,
+  * never an answer (same discipline as [[ZOrder.qZOrder]]).
+  */
+object Partitioned {
+  /** The quarter the star filters on: present at every sf (the
+    * generator's o_orderdate span covers 1992-1998 at all scales). */
+  val Quarter = "1996-Q1"
+  val QuarterMonths = Seq("1996-01", "1996-02", "1996-03")
+
+  /** Month-partitioned copy of orders, built once per source
+    * fingerprint. `repartition(month)` first: without it every write
+    * task emits a file into every month directory (~32×|months| tiny
+    * files); with it, one file per month — the compaction-friendly
+    * layout a real warehouse maintains. */
+  def ordersByMonth(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cachedPartitioned(s, "orders_by_month",
+        s"$dir/orders.parquet", Seq("month")) {
+      Tables.orders(s, dir)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .repartition(col("month"))
+    }
+
+  /** Calendar dim (month → quarter), persisted so the quarter filter is
+    * a real scan-side predicate on a separate relation — not a foldable
+    * in-memory lookup the optimizer could collapse to literals. */
+  def calendar(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, "calendar_months", s"$dir/orders.parquet") {
+      Tables.orders(s, dir)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .distinct()
+        .withColumn("quarter",
+          concat(substring(col("month"), 1, 4), lit("-Q"),
+            ceil(substring(col("month"), 6, 2).cast("int") / 3).cast("int")))
+    }
+
+  /** The partition-pruned star: per-month order volume for one
+    * quarter, where the month set is resolved at runtime from the
+    * calendar dim. Plan: broadcast the filtered calendar; DPP prunes
+    * the fact scan to the surviving month directories before a single
+    * fact byte is read. */
+  def qDppStar(s: SparkSession, dir: String): DataFrame = {
+    val fact = ordersByMonth(s, dir)
+    val cal = calendar(s, dir).filter(col("quarter") === Quarter)
+    fact.join(cal, Seq("month"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .orderBy("month")
+  }
+
+  /** Oracle on the ORIGINAL table, quarter expanded to its months
+    * (semantically identical filter; the layout/dim plumbing is the
+    * Spark side's cost structure, not its answer). */
+  def qDppStarSql: String =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |       COUNT(*) AS n_orders,
+       |       COUNT(DISTINCT o_custkey) AS n_custs,
+       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+       |FROM orders
+       |WHERE strftime(o_orderdate, '%Y-%m') IN (${QuarterMonths.map("'" + _ + "'").mkString(",")})
+       |GROUP BY 1 ORDER BY month""".stripMargin
+}

@@ -81,6 +81,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(embed.contains(">= 0.45"), "cosine threshold should appear as a join predicate")
   }
 
+  test("layout_dpp_star prunes the partitioned fact scan at runtime") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    // fresh Dataset + exactly one action: scan SQLMetrics reset when the
+    // same physical plan re-executes (verify-skill gotcha)
+    val df = SparkEntry.queries("layout_dpp_star")(spark, sf)
+    df.collect()
+    // SparkPlan.collect stops at AQE QueryStageExec leaves — descend
+    // explicitly (same trap RuntimeFilterLab documents)
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allNodes(r.child)
+        case _ => Nil
+      }
+      (p +: p.children.flatMap(allNodes)) ++ nested
+    }
+    val scan = allNodes(df.queryExecution.executedPlan).collectFirst {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("orders_by_month")) => s
+    }.getOrElse(fail("partitioned fact scan not found in executed plan"))
+    // the runtime subquery filter must sit in the scan's PARTITION
+    // filters — that is what turns the dim filter into directory pruning
+    assert(scan.partitionFilters.mkString(";").contains("dynamicpruning"),
+      s"fact scan lacks a dynamicpruning partition filter: ${scan.partitionFilters}")
+    // and it must have engaged: the layout holds one file per month over
+    // the ~7-year o_orderdate span; the quarter keeps exactly 3
+    val layoutMonths = new java.io.File(
+      sources.Artifacts.path(spark, "orders_by_month", s"$sf/orders.parquet"))
+      .listFiles().count(_.getName.startsWith("month="))
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead < layoutMonths && filesRead <= 3,
+      s"DPP did not prune: read $filesRead files of $layoutMonths month partitions")
+  }
+
   test("jaccard's repeated shingle pipelines collapse via exchange reuse") {
     // qJaccard derives tok/sizes/signatures from the same shingle chain in
     // several sub-plans; Spark dedupes them ONLY while the subtrees stay
@@ -117,6 +152,9 @@ class PlanAuditSpec extends SparkSpec {
       // sort — a layout query that re-shuffled its layout would defeat
       // the write-once clustering contract
       "layout_zorder" -> 3, "layout_zorder3" -> 3,
+      // the DPP star: calendar broadcasts; shuffles are the two-phase
+      // countDistinct over the pruned months + presentation sort
+      "layout_dpp_star" -> 3,
       // round-3 additions: sampling and frame slicing are narrow (the 1
       // is the presentation sort); vocab = explode-agg + two-phase
       // count-distinct; bm25's 8 counts BOTH uses of the tf subtree
