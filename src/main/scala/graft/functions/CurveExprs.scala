@@ -86,3 +86,73 @@ object HilbertIndex {
     d
   }
 }
+
+/** Equi-depth bucket rank: the index of `value` among the SORTED cut
+  * array — `count(c in cuts : value >= c)` — as a native codegen'd
+  * binary search. This is the per-row quantizer kernel of
+  * [[graft.sources.ZOrder.withZEquiDepth]].
+  *
+  * Why not `aggregate(cuts, 0L, (acc, c) => acc + when(v >= c, 1, 0))`:
+  * Spark's HOFs are `CodegenFallback` — the rank re-dispatched an
+  * interpreted lambda 255 times per row, and ZORDERLAB_r11 measured the
+  * equi-depth layout BUILD at ~5-7× the linear quantizer's (11.6 vs
+  * 2.2 s at sf1, 37.5 vs 5.1 s at sf10) with the rank HOF as the known
+  * lever. A re-cluster at 100 TB pays that 5× on every maintenance
+  * pass. Here the rank is an O(log n) primitive binary search inside
+  * the enclosing WholeStageCodegen stage.
+  *
+  * Semantics: requires `cuts` non-decreasing (percentile_approx output
+  * always is — upper-bound binary search equals the linear count then,
+  * duplicates included). Layout key columns are non-null by contract;
+  * NULL in either input yields NULL (the HOF fallback maps a NULL value
+  * to rank 0 — both land in the lowest tile, so layouts agree on real
+  * data; ZOrderSpec pins value equivalence on the data path).
+  */
+case class BucketRank(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType &&
+        right.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        right.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint, array<bigint>), " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bucket_rank"
+
+  override def nullSafeEval(v: Any, cutsAny: Any): Any = {
+    val cuts = cutsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val x = v.asInstanceOf[Long]
+    var lo = 0
+    var hi = cuts.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cuts.getLong(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cuts) => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      s"""
+         |int $lo = 0;
+         |int $hi = $cuts.numElements();
+         |while ($lo < $hi) {
+         |  final int $mid = ($lo + $hi) >>> 1;
+         |  if ($cuts.getLong($mid) <= $v) $lo = $mid + 1; else $hi = $mid;
+         |}
+         |${ev.value} = (long) $lo;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BucketRank =
+    copy(left = newLeft, right = newRight)
+}

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSessionExtensions, SparkSessionExtensionsProvider}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotLong, HilbertIndex, SignBands}
+import graft.functions.{BucketRank, DotLong, HilbertIndex, SignBands}
 
 /** Engine extension point, registered the public way:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -25,6 +25,7 @@ object GraftExtensions {
   val SignBandsWideName = "graft_sign_bands_wide"
   val SignBandsXWideName = "graft_sign_bands_xwide"
   val HilbertName = "graft_hilbert"
+  val BucketRankName = "graft_bucket_rank"
 
   def install(ext: SparkSessionExtensions): Unit = {
     // the whole-operator path: plans AsOfJoinNode -> AsOfJoinExec
@@ -62,5 +63,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[HilbertIndex].getName, HilbertName),
       (args: Seq[Expression]) => HilbertIndex(args(0), args(1),
         graft.sources.ZOrder.QuantBits)))
+    // equi-depth quantizer kernel: rank of a value among the sorted cut
+    // array (binary search; the ZOrder.withZEquiDepth write-time hot path)
+    ext.injectFunction((
+      FunctionIdentifier(BucketRankName),
+      new ExpressionInfo(classOf[BucketRank].getName, BucketRankName),
+      (args: Seq[Expression]) => BucketRank(args(0), args(1))))
   }
 }

@@ -167,10 +167,13 @@ object ZOrder {
     *
     * Costs, stated plainly: the cut arrays come from one
     * `percentile_approx` pass (same scan-speed pre-pass shape as
-    * min/max); the per-row rank is an `aggregate` HOF over the
-    * broadcast 2^cutBits-element cut array — interpreted, not
-    * codegen'd, which is acceptable exactly because this runs ONCE at
-    * layout-write time, never per query. cutBits=8 (256 buckets/dim,
+    * min/max); the per-row rank is the codegen'd
+    * [[graft.functions.BucketRank]] binary search over the broadcast
+    * 2^cutBits-element cut array when the session registered
+    * GraftExtensions (the interpreted `aggregate` HOF remains the
+    * registration-free fallback — ZORDERLAB_r11 measured the HOF
+    * build at ~5-7× the linear quantizer's, the cost the native kernel
+    * removes). cutBits=8 (256 buckets/dim,
     * 65k tiles) out-resolves any realistic file count. Cut placement is
     * approximate ⇒ tile balance is approximate; correctness never
     * depends on it (footer stats are exact regardless of how rows were
@@ -184,8 +187,13 @@ object ZOrder {
     val stats = df.agg(
       percentile_approx(aL, lit(probs), lit(10000)).as("__acuts"),
       percentile_approx(bL, lit(probs), lit(10000)).as("__bcuts"))
+    val native = df.sparkSession.catalog
+      .functionExists(graft.plans.GraftExtensions.BucketRankName)
     def rank(v: Column, cuts: Column): Column = shiftleft(
-      aggregate(cuts, lit(0L), (acc, c) => acc + when(v >= c, 1L).otherwise(0L)),
+      if (native)
+        call_function(graft.plans.GraftExtensions.BucketRankName, v, cuts)
+      else
+        aggregate(cuts, lit(0L), (acc, c) => acc + when(v >= c, 1L).otherwise(0L)),
       bits - cutBits)
     val (ra, rb) = (rank(aL, col("__acuts")), rank(bL, col("__bcuts")))
     df.crossJoin(broadcast(stats))
@@ -259,7 +267,14 @@ object ZOrder {
     * failed swap restores it. Reading from `path` while writing to the
     * staging path also removes the read-overwrite conflict that
     * previously forced a lineage cut — compact is now one streaming
-    * read → range-shuffle → write job with no materialization. */
+    * read → range-shuffle → write job with no materialization.
+    *
+    * Durability scope: the stage-then-rename publish assumes directory
+    * rename is ATOMIC, which holds on HDFS and local filesystems but
+    * NOT on object stores (S3/GCS "rename" is copy+delete, leaving a
+    * visible mixed state mid-swap) — there, atomic publish is
+    * commit-protocol / table-format territory (an S3A committer or a
+    * Delta/Iceberg snapshot swap), not a filesystem rename. */
   def compact(s: SparkSession, path: String, ca: String, cb: String,
               files: Int = 64, curve: String = "z"): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)

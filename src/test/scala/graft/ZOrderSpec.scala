@@ -94,6 +94,27 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("bucket-rank native kernel == interpreted HOF on boundaries and duplicates") {
+    // the codegen'd binary search (upper bound) must equal the linear
+    // count(v >= c) the fallback computes — including values below all
+    // cuts, above all cuts, and EQUAL to a duplicated cut (where a
+    // lower-bound search would differ)
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{aggregate => aggr}
+    val cuts = Array(-5L, 0L, 0L, 3L, 7L, 7L, 7L, 100L)
+    val values = Seq(-100L, -5L, -4L, 0L, 1L, 3L, 7L, 8L, 100L, 1000L) ++
+      (0 until 500).map(i => (i.toLong * 104729L) % 250L - 50L)
+    val df = values.toDF("v").withColumn("cuts", typedLit(cuts))
+    val native = call_function(
+      graft.plans.GraftExtensions.BucketRankName, col("v"), col("cuts"))
+    val hof = aggr(col("cuts"), lit(0L),
+      (acc, c) => acc + when(col("v") >= c, 1L).otherwise(0L))
+    val bad = df.select(col("v"), native.as("n"), hof.as("h"))
+      .filter(col("n") =!= col("h")).collect()
+    assert(bad.isEmpty, s"native != HOF for: ${bad.mkString(", ")}")
+  }
+
   test("equi-depth quantizer restores pruning the linear one loses under skew") {
     // Failure mode pinned: 90% of users in [0,10] of a 1e9 domain →
     // linear scaling maps the dense mass to rank 0, rows tie on z, and
