@@ -180,13 +180,25 @@ object ZOrder {
     * binned). */
   def withZEquiDepth(df: DataFrame, ca: String, cb: String,
                      bits: Int = QuantBits, cutBits: Int = 8,
-                     curve: String = "z"): DataFrame = {
+                     curve: String = "z"): DataFrame =
+    withZEquiDepthN(df, Seq(ca, cb), bits, cutBits, curve)
+
+  /** N-column [[withZEquiDepth]] — the skew quantizer composed with the
+    * r11 N-D curve (separate name: Scala allows default arguments on
+    * only one overload). Each dimension gets its own approx-quantile
+    * cut array from the ONE stats pass; a skewed tenant column no
+    * longer collapses the other N-1 dimensions' pruning. */
+  def withZEquiDepthN(df: DataFrame, cs: Seq[String],
+                      bits: Int = QuantBits, cutBits: Int = 8,
+                      curve: String = "z"): DataFrame = {
     require(cutBits >= 1 && cutBits <= bits, s"cutBits in [1,$bits]")
-    val (aL, bL) = (asLong(df, ca), asLong(df, cb))
+    require(cs.nonEmpty && cs.distinct.size == cs.size,
+      s"clustering columns must be distinct: ${cs.mkString(",")}")
+    val longs = cs.map(asLong(df, _))
     val probs = (1 until (1 << cutBits)).map(_.toDouble / (1 << cutBits)).toArray
-    val stats = df.agg(
-      percentile_approx(aL, lit(probs), lit(10000)).as("__acuts"),
-      percentile_approx(bL, lit(probs), lit(10000)).as("__bcuts"))
+    val aggs = longs.zipWithIndex.map { case (l, i) =>
+      percentile_approx(l, lit(probs), lit(10000)).as(s"__cuts$i") }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
     val native = df.sparkSession.catalog
       .functionExists(graft.plans.GraftExtensions.BucketRankName)
     def rank(v: Column, cuts: Column): Column = shiftleft(
@@ -195,10 +207,11 @@ object ZOrder {
       else
         aggregate(cuts, lit(0L), (acc, c) => acc + when(v >= c, 1L).otherwise(0L)),
       bits - cutBits)
-    val (ra, rb) = (rank(aL, col("__acuts")), rank(bL, col("__bcuts")))
+    val ranks = longs.zipWithIndex.map { case (l, i) =>
+      rank(l, col(s"__cuts$i")) }
     df.crossJoin(broadcast(stats))
-      .withColumn("z", curveIndex(df, Seq(ra, rb), bits, curve))
-      .drop("__acuts", "__bcuts")
+      .withColumn("z", curveIndex(df, ranks, bits, curve))
+      .drop(cs.indices.map(i => s"__cuts$i"): _*)
   }
 
   /** The layout plan: curve-index → ONE range shuffle on z → in-file
@@ -223,6 +236,12 @@ object ZOrder {
                         files: Int = 64, bits: Int = QuantBits,
                         cutBits: Int = 8, curve: String = "z"): DataFrame =
     layoutPlan(df, withZEquiDepth(df, ca, cb, bits, cutBits, curve), files)
+
+  /** N-column [[zOrderedEquiDepth]] (skewed domains × N-D curve). */
+  def zOrderedEquiDepthN(df: DataFrame, cs: Seq[String],
+                         files: Int = 64, bits: Int = QuantBits,
+                         cutBits: Int = 8, curve: String = "z"): DataFrame =
+    layoutPlan(df, withZEquiDepthN(df, cs, bits, cutBits, curve), files)
 
   private def layoutPlan(df: DataFrame, withIdx: DataFrame, files: Int): DataFrame =
     withIdx

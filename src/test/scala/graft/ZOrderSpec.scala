@@ -295,6 +295,57 @@ class ZOrderSpec extends SparkSpec {
     assert(z.count() == ev.count())
   }
 
+  test("equi-depth generalizes to N-D: wrapper == N path, 3-D layout intact, skew still prunes") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val ev = Tables.events(spark, sf)
+    // the 2-D wrapper is the N-D path verbatim: identical z per row
+    val byId2 = ZOrder.withZEquiDepth(ev, "user_id", "ts")
+      .select("event_id", "z")
+    val byIdN = ZOrder.withZEquiDepthN(ev, Seq("user_id", "ts"))
+      .select("event_id", "z")
+    assert(byId2.exceptAll(byIdN).isEmpty && byIdN.exceptAll(byId2).isEmpty)
+    // 3-D equi-depth layout preserves rows and schema like the linear one
+    val out = ZOrder.zOrderedEquiDepthN(ev, Seq("user_id", "event_type", "ts"))
+    assert(out.schema == ev.schema && out.count() == ev.count())
+    // and the quantizer still rescues a skewed dimension with a third
+    // dimension sharing the bit budget: same fixture as the 2-D skew
+    // test, plus a low-cardinality category column
+    val n = 20000
+    val rows = (0 until n).map { i =>
+      val u = if (i % 10 < 9) (i * 7) % 11L else (i.toLong * 104729L) % 1000000000L
+      val ts = new java.sql.Timestamp(1704067200000L + (i.toLong * 86400000L / n))
+      (u, ts, s"cat${i % 5}", i.toLong)
+    }.toDF("user_id", "ts", "cat", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft_zskew3").toString
+    ZOrder.zOrderedN(rows, Seq("user_id", "ts", "cat"), files = 128)
+      .write.mode("overwrite").parquet(s"$base/linear3")
+    ZOrder.zOrderedEquiDepthN(rows, Seq("user_id", "ts", "cat"), files = 128)
+      .write.mode("overwrite").parquet(s"$base/equidepth3")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scanRows(path: String): (Long, Long) = {
+        val q = spark.read.parquet(path)
+          .filter(col("user_id").between(2, 3) &&
+            col("ts") >= lit("2024-01-01 02:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-01 06:48:00").cast("timestamp"))
+          .agg(count(lit(1)).as("n"))
+        val got = q.collect()(0).getLong(0)
+        val scan = q.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f
+        }.head
+        (scan.metrics("numOutputRows").value, got)
+      }
+      val (linScan, nLin) = scanRows(s"$base/linear3")
+      val (eqScan, nEq) = scanRows(s"$base/equidepth3")
+      assert(nLin == nEq && nEq > 0, s"answers must agree: $nLin/$nEq")
+      assert(eqScan < linScan,
+        s"3-D equi-depth must still out-prune linear under skew: " +
+          s"equidepth=$eqScan linear=$linScan of $n")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("qZOrder3 over the 3-D layout == the same query on the flat table") {
     val flat = Tables.events(spark, sf)
       .filter(col("user_id").between(ZOrder.UserLo, ZOrder.UserHi) &&
