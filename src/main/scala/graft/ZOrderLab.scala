@@ -192,6 +192,36 @@ object ZOrderLab {
       f""""arm_skew_quantizer":{"files":$skFiles,"box_rows":$nE,"build_wall_sec":{"linear_quant":$bLin%.2f,"equi_depth":$bEq%.2f},"scan_rows":{"linear_quant":$linScan,"equi_depth":$eqScan},"box_wall_sec":{"linear_quant":$wL%.3f,"equi_depth":$wE%.3f},"equidepth_vs_linear_rows":${f"${eqScan.toDouble / math.max(linScan, 1)}%.3f"}}"""
     }
 
+    // ---- r12 arm: N-D equi-depth (skew quantizer x 3-D curve) -----------
+    // The same 90%-hot-key skew remap, clustered on THREE columns
+    // (user_id x ts x event_type): does the equi-depth rescue survive a
+    // categorical third dimension sharing the bit budget, and what does
+    // the codegen'd rank kernel cost per extra dimension at build time?
+    val armSkew3d: String = {
+      val skewed = ev.withColumn("user_id",
+        when(pmod(col("event_id"), lit(10)) < 9, pmod(col("user_id"), lit(11)))
+          .otherwise(pmod(col("user_id") * 104729L, lit(1000000000L))))
+      val skFiles = 128
+      val (_, bLin) = timed {
+        graft.sources.ZOrder.zOrderedN(skewed,
+          Seq("user_id", "ts", "event_type"), skFiles)
+          .write.mode("overwrite").parquet(s"$base/skew3_linear")
+      }
+      val (_, bEq) = timed {
+        graft.sources.ZOrder.zOrderedEquiDepthN(skewed,
+          Seq("user_id", "ts", "event_type"), skFiles)
+          .write.mode("overwrite").parquet(s"$base/skew3_equidepth")
+      }
+      val (t20a, t20b) = mid(tLo, tHi, 0.30, 0.50)
+      val hotBox: DataFrame => DataFrame = df => df.filter(
+        col("user_id").between(2, 3) &&
+          col("ts") >= lit(inst(t20a)) && col("ts") <= lit(inst(t20b)))
+      val (linScan, nL, wL) = probe(s"$base/skew3_linear", hotBox)
+      val (eqScan, nE, wE) = probe(s"$base/skew3_equidepth", hotBox)
+      require(nL == nE && nE > 0, s"3-D quantizers must agree on the answer: $nL/$nE")
+      f""""arm_skew_quantizer_3d":{"files":$skFiles,"box_rows":$nE,"build_wall_sec":{"linear_quant":$bLin%.2f,"equi_depth":$bEq%.2f},"scan_rows":{"linear_quant":$linScan,"equi_depth":$eqScan},"box_wall_sec":{"linear_quant":$wL%.3f,"equi_depth":$wE%.3f},"equidepth_vs_linear_rows":${f"${eqScan.toDouble / math.max(linScan, 1)}%.3f"}}"""
+    }
+
     // ---- r11 arm: append/compact lifecycle ------------------------------
     // Adversarial full-domain-overlap profile: 8 hash-split batches (each
     // spans the whole (user, ts) domain — the worst case for
@@ -227,7 +257,7 @@ object ZOrderLab {
     }
 
     val json =
-      f"""{"experiment":"zorder_skipping","sf":"$sfDir","total_rows":$total,"files":$files,"build_wall_sec":{"linear":$buildLinear%.2f,"zorder":$buildZ%.2f,"hilbert":$buildH%.2f},${arm("declared_box", declaredBox)},${arm("midpoint_straddle_box", straddleBox)},$arm3d,$armSkew,$armLifecycle}"""
+      f"""{"experiment":"zorder_skipping","sf":"$sfDir","total_rows":$total,"files":$files,"build_wall_sec":{"linear":$buildLinear%.2f,"zorder":$buildZ%.2f,"hilbert":$buildH%.2f},${arm("declared_box", declaredBox)},${arm("midpoint_straddle_box", straddleBox)},$arm3d,$armSkew,$armSkew3d,$armLifecycle}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_ZORDERLAB_OUT", "zorderlab.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
