@@ -54,24 +54,15 @@ object AsOfLab {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val warehouse = java.nio.file.Files
       .createTempDirectory("graft_asoflab_wh").toString
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", warehouse)
+    val spark = GraftSession.build(extra = Seq(
+      "spark.sql.warehouse.dir" -> warehouse,
       // bucketed scans stopped reporting their sortBy order by default in
       // Spark 3.0 because multi-file buckets would need a merge to honor
       // it; the bucketed arm below writes EXACTLY one file per bucket
       // (repartition on the bucket column first), the one layout where
       // the propagated order is sound — and the whole point of the arm
       // is measuring the merge with scan-provided order, no Sort node
-      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true"))
 
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {

@@ -15,40 +15,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmDir = "/root/testdata/sf0.001"
-    // Same gate knobs as Verify (driver-contract-neutral defaults): a
-    // local-cluster master runs the bench through REAL multi-process
-    // executors — the serialization-heavy-plan probe VERDICT r10 asked
-    // for — and needs the compiled-classes path on the executor side.
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder = SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH")
-      .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
-    // local-cluster[n,c,MB] sizes the WORKER only; without this the
-    // executors launch at the 1g default — see ExecutorDrain scaladoc.
-    // The env override applies on ANY master (a spark:// standalone
-    // master legitimately wants an explicit executor heap too); the
-    // bracket-derived value is only the local-cluster fallback.
-    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
-      .orElse(ExecutorDrain.executorMemoryFor(master))
-      .foreach(m => builder.config("spark.executor.memory", m))
-    val spark = builder.getOrCreate()
-    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
-      .foreach(spark.sparkContext.setCheckpointDir)
-    // ERROR: the one recurring WARN is WindowExec's single-partition note
-    // for the dim surrogate-key window, which is by-design for dim-sized
-    // inputs (Etl.dimDept doc) — at WARN it floods the bench JSON's tail.
-    // Overridable because ERROR hides TaskSetManager's lost-task REASONS:
-    // diagnosing a multi-process task abort needs one WARN-level re-run.
-    spark.sparkContext.setLogLevel(
-      sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "ERROR"))
+    // All gate knobs (master / executor classpath+memory / AQE /
+    // checkpoint / log level) come from the shared session fold — see
+    // GraftSession. ERROR default: the one recurring WARN is WindowExec's
+    // single-partition note for the dim surrogate-key window, by-design
+    // for dim-sized inputs (Etl.dimDept doc) — at WARN it floods the
+    // bench JSON's tail.
+    val spark = GraftSession.build(defaultCpus = "4")
+    val master = spark.sparkContext.master
 
     def run(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()

@@ -26,17 +26,8 @@ import org.apache.spark.sql.functions._
   */
 object CcLab {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val maxN = sys.env.getOrElse("SPARK_GRAFT_CCLAB_N", "1000000").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = GraftSession.build()
 
     def chain(n: Int) = spark.range(0, n - 1)
       .select(col("id").as("a"), (col("id") + 1).as("b"))

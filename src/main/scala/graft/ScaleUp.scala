@@ -90,18 +90,8 @@ object ScaleUp {
     val profile = if (args.length > 3) args(3) else "clique"
     require(profile == "clique" || profile == "realistic",
       s"unknown profile '$profile' (clique|realistic)")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // write TimestampType as modern µs TIMESTAMP, not legacy INT96
-      // (deprecated, and nanos-boxed in some readers)
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // (µs TIMESTAMP output — not legacy INT96 — is part of the fold)
+    val spark = GraftSession.build(logLevel = "WARN", extensions = false)
 
     def read(name: String): DataFrame =
       spark.read.schema(Schemas.byName(name)).parquet(s"$srcDir/$name.parquet")

@@ -50,7 +50,6 @@ object ShuffleLab {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "testdata-sf1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmDir = "/root/testdata/sf0.001"
     // Adjudication knobs: SPARK_GRAFT_SHUFFLELAB_QUERIES narrows the run
     // to a comma-separated subset; SPARK_GRAFT_BCAST_MB re-runs it under a
@@ -59,16 +58,8 @@ object ShuffleLab {
     val queries = sys.env.get("SPARK_GRAFT_SHUFFLELAB_QUERIES")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Queries)
     val bcastMb = sys.env.getOrElse("SPARK_GRAFT_BCAST_MB", "10")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.autoBroadcastJoinThreshold", s"${bcastMb}MB")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = GraftSession.build(extra = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> s"${bcastMb}MB"))
 
     val shufWrite = new AtomicLong(0)
     val shufRead = new AtomicLong(0)

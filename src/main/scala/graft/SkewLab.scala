@@ -53,26 +53,18 @@ import scala.collection.mutable
 object SkewLab {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "testdata-sf1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val amp = sys.env.getOrElse("SPARK_GRAFT_SKEW_AMP", "8").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      // AQE only splits a partition exceeding BOTH skewedPartitionFactor
-      // × median AND skewedPartitionThresholdInBytes (default 256 MB —
-      // far above what sf1 produces). Lower the knobs so the experiment
-      // exercises the 100 TB code path at sandbox scale.
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // AQE only splits a partition exceeding BOTH skewedPartitionFactor
+    // × median AND skewedPartitionThresholdInBytes (default 256 MB —
+    // far above what sf1 produces). Lower the knobs so the experiment
+    // exercises the 100 TB code path at sandbox scale.
+    val spark = GraftSession.build(extensions = false, extra = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16m",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2"))
 
     // Straggler evidence: per-stage task count + max task millis. The
     // join stage is the largest-summed-task-time stage AMONG the stages

@@ -34,27 +34,18 @@ import org.apache.spark.sql.SparkSession
 object SpillLab {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "testdata-sf10")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
 
     final case class Arm(wall: Double, memSpill: Long, diskSpill: Long,
                          spillTasks: Int, rows: Seq[String])
 
     def runArm(forceSpill: Boolean): Arm = {
-      val b = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-        .config("spark.ui.enabled", "false")
-      if (forceSpill) {
-        b.config("spark.shuffle.spill.numElementsForceSpillThreshold", "10000")
-          .config("spark.sql.windowExec.buffer.in.memory.threshold", "4096")
-          .config("spark.sql.windowExec.buffer.spill.threshold", "4096")
-      }
-      val spark = b.getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
+      val spark = GraftSession.build(extra =
+        if (forceSpill) Seq(
+          "spark.shuffle.spill.numElementsForceSpillThreshold" -> "10000",
+          "spark.sql.windowExec.buffer.in.memory.threshold" -> "4096",
+          "spark.sql.windowExec.buffer.spill.threshold" -> "4096")
+        else Nil)
       var mem = 0L; var disk = 0L; var tasks = 0
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onTaskEnd(t: SparkListenerTaskEnd): Unit =

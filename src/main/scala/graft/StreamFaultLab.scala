@@ -44,19 +44,8 @@ object StreamFaultLab {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[3,8,8192]")
     val execCp = sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_CLASSPATH",
       "/root/repo/target/scala-2.13/classes")
-    val spark = SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", "24")
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.executor.extraClassPath", execCp)
-      .config("spark.executor.memory",
-        ExecutorDrain.executorMemoryFor(master).getOrElse("1g"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = GraftSession.build(defaultCpus = "24", master = Some(master),
+      extra = Seq("spark.executor.extraClassPath" -> execCp))
 
     val removed = new AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {

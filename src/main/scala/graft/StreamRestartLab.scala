@@ -69,14 +69,8 @@ object StreamRestartLab {
     * only after `processAllAvailable` drains every staged file. */
   private def childMain(staging: String, ckpt: String, out: String,
                         marker: String): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = GraftSession.build(defaultCpus = "8",
+      master = Some("local[8]"), extensions = false)
     import spark.implicits._
     val schema = org.apache.spark.sql.Encoders.product[graft.streaming.Streams.Event].schema
     val stream = spark.readStream.schema(schema)
@@ -98,16 +92,11 @@ object StreamRestartLab {
       childMain(args(1), args(2), args(3), args(4)); return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "testdata-sf1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      // µs precision on the staged chunks: sessionize's gap/order
-      // arithmetic and the batch twin both work in exact epoch-µs
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // µs precision on the staged chunks: sessionize's gap/order
+    // arithmetic and the batch twin both work in exact epoch-µs
+    // (TIMESTAMP_MICROS output is part of the fold)
+    val spark = GraftSession.build(master = Some("local[32]"),
+      extensions = false)
     import spark.implicits._
 
     val tmp = Files.createTempDirectory("graft_streamrestart").toString

@@ -6,41 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Round-10 gate knobs, all driver-contract-neutral (defaults match
-    // the driver's invocation exactly):
-    //  - SPARK_GRAFT_MASTER: e.g. local-cluster[4,8,8192] to run every
-    //    query through REAL multi-process executors (serialized custom
-    //    expressions, remote shuffle/broadcast) instead of local[n].
-    //  - SPARK_GRAFT_EXECUTOR_CLASSPATH: the compiled classes dir, needed
-    //    by local-cluster executors (sbt's classpath is driver-only).
-    //  - SPARK_GRAFT_AQE: "false" sweeps the suite without adaptive
-    //    execution, guarding against silent AQE-dependence.
-    //  - SPARK_GRAFT_CHECKPOINT_DIR: switches Lineage.cut to reliable
-    //    checkpoint() — mandatory whenever executors can die (cluster).
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder = SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH")
-      .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
-    // local-cluster[n,c,MB] sizes the WORKER only; without this the
-    // executors launch at the 1g default — see ExecutorDrain scaladoc.
-    // Env override applies on ANY master; the bracket-derived value is
-    // only the local-cluster fallback.
-    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
-      .orElse(ExecutorDrain.executorMemoryFor(master))
-      .foreach(m => builder.config("spark.executor.memory", m))
-    sys.env.get("SPARK_GRAFT_AQE")
-      .foreach(v => builder.config("spark.sql.adaptive.enabled", v))
-    val spark = builder.getOrCreate()
-    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
-      .foreach(spark.sparkContext.setCheckpointDir)
-    spark.sparkContext.setLogLevel("WARN")
+    // Gate knobs (master / executor classpath+memory / AQE / checkpoint /
+    // log level, all driver-contract-neutral — the driver's invocation
+    // sets none of them) come from the shared session fold: GraftSession
+    // documents each env and derives the local-cluster executor heap so
+    // no main can re-introduce the r11 1 GB-executor trap.
+    val spark = GraftSession.build(defaultCpus = "4", logLevel = "WARN")
     new java.io.File(outDir).mkdirs()
     // Single-file dumps by default, via repartition(1) NOT coalesce(1):
     // coalesce narrows the whole post-shuffle stage to ONE task, so a

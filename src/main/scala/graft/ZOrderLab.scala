@@ -34,19 +34,11 @@ import org.apache.spark.sql.functions._
 object ZOrderLab {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "testdata-sf1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val files = sys.env.getOrElse("SPARK_GRAFT_ZORDER_FILES", "128").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // AQE off is a LAB INVARIANT (scan-row ground truth must not shift
+    // with adaptive coalescing) — extra wins over the SPARK_GRAFT_AQE env.
+    val spark = GraftSession.build(extra = Seq(
+      "spark.sql.adaptive.enabled" -> "false"))
 
     val ev = graft.sources.Tables.events(spark, sfDir)
     val total = ev.count()

@@ -23,4 +23,35 @@ class HarnessSpec extends AnyFunSuite {
     assert(ExecutorDrain.executorMemoryFor("local[*]").isEmpty)
     assert(ExecutorDrain.executorMemoryFor("spark://host:7077").isEmpty)
   }
+
+  // --- GraftSession's pure resolvers: the fold every harness main now
+  // builds through (r12 VERDICT #4). These pins make the 1 GB-executor
+  // class of trap impossible BY CONSTRUCTION: a main that uses
+  // GraftSession.build cannot skip the bracket derivation, and these
+  // tests keep the derivation itself honest.
+
+  test("GraftSession master resolution: fixed > env > local[cpus]") {
+    assert(GraftSession.resolveMaster(Map.empty, "32", None) == "local[32]")
+    assert(GraftSession.resolveMaster(
+      Map("SPARK_GRAFT_MASTER" -> "local-cluster[4,8,16384]"), "32", None)
+      == "local-cluster[4,8,16384]")
+    // a lab's fixed master wins over the env (StreamRestartLab's two
+    // deliberately-sized sessions must not drift with gate envs)
+    assert(GraftSession.resolveMaster(
+      Map("SPARK_GRAFT_MASTER" -> "local[4]"), "32", Some("local[8]"))
+      == "local[8]")
+  }
+
+  test("GraftSession executor memory: explicit env wins on any master; " +
+       "bracket is the local-cluster fallback") {
+    assert(GraftSession.resolveExecutorMemory(
+      Map("SPARK_GRAFT_EXECUTOR_MEM" -> "12g"), "spark://host:7077")
+      .contains("12g"))
+    assert(GraftSession.resolveExecutorMemory(
+      Map("SPARK_GRAFT_EXECUTOR_MEM" -> "12g"), "local-cluster[4,8,8192]")
+      .contains("12g"))
+    assert(GraftSession.resolveExecutorMemory(Map.empty, "local-cluster[4,8,8192]")
+      .contains("8192m"))
+    assert(GraftSession.resolveExecutorMemory(Map.empty, "local[32]").isEmpty)
+  }
 }

@@ -15,28 +15,9 @@ object VerifySubset {
     val (sfDir, outDir, names) = (args(0), args(1), args.drop(2).toSeq)
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"not declared in SparkEntry.queries: ${unknown.mkString(", ")}")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    // Same gate knobs as Verify (master / executor classpath+memory /
-    // AQE / checkpoint dir) so the chunked sf10 gate can run under a
-    // local-cluster master too.
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder = SparkSession.builder().master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH")
-      .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
-    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
-      .orElse(ExecutorDrain.executorMemoryFor(master))
-      .foreach(m => builder.config("spark.executor.memory", m))
-    sys.env.get("SPARK_GRAFT_AQE")
-      .foreach(v => builder.config("spark.sql.adaptive.enabled", v))
-    val spark = builder.getOrCreate()
-    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
-      .foreach(spark.sparkContext.setCheckpointDir)
-    spark.sparkContext.setLogLevel("ERROR")
+    // Same gate knobs as Verify, via the shared session fold (so the
+    // chunked sf10 gate can run under a local-cluster master too).
+    val spark = GraftSession.build(defaultCpus = "8")
     new java.io.File(outDir).mkdirs()
     // Same funnel discipline as Verify: repartition(1), not coalesce(1)
     // (coalesce serializes the whole final stage into the write task),
