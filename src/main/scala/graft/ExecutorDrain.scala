@@ -70,10 +70,17 @@ object ExecutorDrain {
       if (now == last) stable += 1 else stable = 0
       last = now
     }
-    if (last > 0)
+    // Name the exit cause: "timeout" (still moving when the clock ran
+    // out — a genuinely stuck drain) reads very differently from
+    // "stable-nonzero" (the cleaner finished and this residual is the
+    // steady state, e.g. a deliberately persisted block) — ADVICE r12.
+    if (last > 0) {
+      val cause = if (elapsedMs >= timeoutMs) s"timeout ${timeoutMs} ms"
+                  else s"stable for ${stable * 100} ms"
       System.err.println(
         s"ExecutorDrain.awaitClean: exiting with residual storage " +
-          s"${last} B after ${elapsedMs} ms (timeout=${timeoutMs} ms)")
+          s"${last} B after ${elapsedMs} ms ($cause)")
+    }
     last
   }
 }

@@ -111,15 +111,21 @@ object HilbertIndex {
 case class BucketRank(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == LongType &&
-        right.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
-        right.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
-          .elementType == LongType)
+  override def checkInputDataTypes(): TypeCheckResult = right.dataType match {
+    // containsNull must be FALSE: a null cut element would be read as
+    // garbage through ArrayData.getLong (and the HOF fallback counts a
+    // null cut as 0 — silently different ranks). percentile_approx
+    // output — the internal equi-depth path — is containsNull=false by
+    // construction; any other SQL caller with a nullable-element array
+    // is rejected at analysis instead of mis-ranking at runtime
+    // (ADVICE r12).
+    case org.apache.spark.sql.types.ArrayType(LongType, false)
+        if left.dataType == LongType =>
       TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (bigint, array<bigint>), " +
-        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint, array<bigint> with non-null " +
+        s"elements), got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_bucket_rank"

@@ -64,10 +64,21 @@ object GraftExtensions {
       (args: Seq[Expression]) => HilbertIndex(args(0), args(1),
         graft.sources.ZOrder.QuantBits)))
     // equi-depth quantizer kernel: rank of a value among the sorted cut
-    // array (binary search; the ZOrder.withZEquiDepth write-time hot path)
+    // array (binary search; the ZOrder.withZEquiDepth write-time hot
+    // path). Session-wide SQL function, so the usage string carries the
+    // PRECONDITION any external caller must honor (ADVICE r12): cuts
+    // must be sorted non-decreasing — an unsorted array silently
+    // mis-ranks (the binary search's upper-bound contract equals the
+    // linear count only on sorted input). Nullable-element arrays are
+    // rejected at analysis (BucketRank.checkInputDataTypes).
     ext.injectFunction((
       FunctionIdentifier(BucketRankName),
-      new ExpressionInfo(classOf[BucketRank].getName, BucketRankName),
+      new ExpressionInfo(classOf[BucketRank].getName, null, BucketRankName,
+        s"$BucketRankName(x, cuts) - rank of bigint `x` in `cuts` " +
+          "(array<bigint>, MUST be sorted non-decreasing with non-null " +
+          "elements; unsorted input silently mis-ranks). Returns the " +
+          "count of cut values <= x via upper-bound binary search.",
+        ""),
       (args: Seq[Expression]) => BucketRank(args(0), args(1))))
   }
 }

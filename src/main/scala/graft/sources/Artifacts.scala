@@ -115,10 +115,27 @@ object Artifacts {
   }
 
   /** Force retrain at the current fingerprint (e.g. after a logic
-    * change with unchanged data). */
-  def refresh(s: SparkSession, kind: String, src: String)(train: => DataFrame): DataFrame = {
+    * change with unchanged data). `parts` must mirror the layout the
+    * artifact was declared with ([[cachedPartitioned]]): refreshing a
+    * partitioned artifact without its partitionBy would silently drop
+    * the directory layout that runtime pruning (DPP) depends on —
+    * ADVICE r12. The mismatch guard is structural: if the existing
+    * artifact has Hive-style `col=` subdirectories, a flat refresh is
+    * refused at the call site instead of corrupting the layout. */
+  def refresh(s: SparkSession, kind: String, src: String,
+              parts: Seq[String] = Nil)(train: => DataFrame): DataFrame = {
     val p = path(s, kind, src)
-    train.write.mode("overwrite").parquet(p)
+    val hp = new Path(p)
+    val f = fs(s, hp)
+    if (parts.isEmpty && f.exists(hp)) {
+      val partitionedDirs = f.listStatus(hp).exists(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
+      require(!partitionedDirs,
+        s"refresh of $kind without partitionBy would flatten an existing " +
+          s"Hive-partitioned layout at $p — pass the parts it was " +
+          "declared with (cachedPartitioned)")
+    }
+    train.write.mode("overwrite").partitionBy(parts: _*).parquet(p)
     s.read.parquet(p)
   }
 

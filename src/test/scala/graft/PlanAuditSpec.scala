@@ -107,10 +107,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan.partitionFilters.mkString(";").contains("dynamicpruning"),
       s"fact scan lacks a dynamicpruning partition filter: ${scan.partitionFilters}")
     // and it must have engaged: the layout holds one file per month over
-    // the ~7-year o_orderdate span; the quarter keeps exactly 3
-    val layoutMonths = new java.io.File(
+    // the ~7-year o_orderdate span; the quarter keeps exactly 3.
+    // Hadoop FS listing, not java.io.File: Artifacts honors
+    // SPARK_GRAFT_ARTIFACTS, which may be a non-local URI — File
+    // .listFiles() would return null there and NPE instead of failing
+    // with a message (ADVICE r12).
+    val layoutPath = new org.apache.hadoop.fs.Path(
       sources.Artifacts.path(spark, "orders_by_month", s"$sf/orders.parquet"))
-      .listFiles().count(_.getName.startsWith("month="))
+    val layoutFs = layoutPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(layoutFs.exists(layoutPath),
+      s"orders_by_month artifact missing at $layoutPath")
+    val layoutMonths = layoutFs.listStatus(layoutPath)
+      .count(_.getPath.getName.startsWith("month="))
     val filesRead = scan.metrics("numFiles").value
     assert(filesRead < layoutMonths && filesRead <= 3,
       s"DPP did not prune: read $filesRead files of $layoutMonths month partitions")
