@@ -74,6 +74,10 @@ object SparkEntry {
     // at RUNTIME from the calendar dim, so dynamic partition pruning —
     // not the literal-collapse rewrite — prunes the fact scan
     "layout_dpp_star" -> ((s, d) => sources.Partitioned.qDppStar(s, d)),
+    // The same star past the broadcast cliff: SMJ regime pinned, the
+    // runtime bloom filter prunes the fact side of the shuffle
+    // (might_contain machine-checked in PlanAuditSpec)
+    "layout_bloom_smj" -> ((s, d) => sources.BloomJoin.qBloomStar(s, d)),
     // Training-data dedup family over `documents`
     "dedup_exact" -> ((s, d) => Dedup.qExact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.qMinhash(s, d)),
@@ -288,6 +292,7 @@ object SparkEntry {
     "layout_zorder" -> sources.ZOrder.qZOrderSql,
     "layout_zorder3" -> sources.ZOrder.qZOrder3Sql,
     "layout_dpp_star" -> sources.Partitioned.qDppStarSql,
+    "layout_bloom_smj" -> sources.BloomJoin.qBloomStarSql,
     "dedup_exact" -> Dedup.qExactSql,
     "dedup_minhash" -> Dedup.qMinhashSql,
     "dedup_jaccard" -> Dedup.qJaccardSql,

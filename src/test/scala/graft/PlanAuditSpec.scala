@@ -125,6 +125,55 @@ class PlanAuditSpec extends SparkSpec {
       s"DPP did not prune: read $filesRead files of $layoutMonths month partitions")
   }
 
+  test("layout_bloom_smj injects might_contain and prunes the fact shuffle") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // Shuffle-record truth from task metrics: the child regime session
+    // shares this SparkContext, so its tasks report to this listener.
+    val records = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def quiesce(): Unit = { // listener bus is async; settle before reading
+      var prev = -1L; var same = 0
+      while (same < 2) {
+        Thread.sleep(200)
+        val now = records.get()
+        if (now == prev) same += 1 else { same = 0; prev = now }
+      }
+    }
+    try {
+      def measure(on: Boolean): (Long, String) = {
+        records.set(0)
+        val df = sources.BloomJoin.qBloomStar(spark, sf, bloomOn = on)
+        df.collect()
+        quiesce()
+        val plan = (df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }).toString
+        (records.get(), plan)
+      }
+      val (recOff, planOff) = measure(on = false)
+      val (recOn, planOn) = measure(on = true)
+      // the lever must be IN the executed plan (the DPP-gate discipline:
+      // a plan claim is enforced, not narrated) and only in the on-plan
+      assert(planOn.toLowerCase.contains("might_contain"),
+        s"bloom filter not injected:\n${planOn.take(2000)}")
+      assert(!planOff.toLowerCase.contains("might_contain"),
+        "off-twin unexpectedly carries a runtime filter")
+      // and it must have ENGAGED: the 2-month slice keeps ~2.4% of
+      // orders, so pruned lineitem shuffle records collapse (lab truth
+      // ×0.0585 at sf10, RTFILTERLAB_r12_sf10.json); <0.5 is the loose
+      // machine bound that still fails loudly if injection goes inert
+      assert(recOn < recOff / 2,
+        s"bloom filter did not prune the shuffle: on=$recOn off=$recOff")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("jaccard's repeated shingle pipelines collapse via exchange reuse") {
     // qJaccard derives tok/sizes/signatures from the same shingle chain in
     // several sub-plans; Spark dedupes them ONLY while the subtrees stay
@@ -164,6 +213,11 @@ class PlanAuditSpec extends SparkSpec {
       // the DPP star: calendar broadcasts; shuffles are the two-phase
       // countDistinct over the pruned months + presentation sort
       "layout_dpp_star" -> 3,
+      // the bloom star is the DELIBERATE no-broadcast regime: SMJ key
+      // exchanges on both join spines (lineitem/orders, joined/customer)
+      // + the two-phase countDistinct — the bloom filter's point is
+      // pruning the lineitem exchange's ROWS, not removing exchanges
+      "layout_bloom_smj" -> 6,
       // round-3 additions: sampling and frame slicing are narrow (the 1
       // is the presentation sort); vocab = explode-agg + two-phase
       // count-distinct; bm25's 8 counts BOTH uses of the tf subtree
