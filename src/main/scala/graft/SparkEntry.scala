@@ -89,6 +89,11 @@ object SparkEntry {
     // value space quadratic in corpus size (sf10 exclusion in r9); it
     // lives on as a DedupSpec/PlanAuditSpec fixture via Dedup.qEmbed.
     "dedup_embed_scaled" -> ((s, d) => Dedup.qEmbedScaled(s, d)),
+    // Planted-replica twin: the driver-sf base corpus correctly yields
+    // 0 rows above (max cosine 0.513), so this gate plants verbatim
+    // replicas through the same wide-band + verify arithmetic to keep
+    // a NON-VACUOUS driver-visible row at every sf
+    "dedup_embed_planted" -> ((s, d) => Dedup.qEmbedPlanted(s, d)),
     // Incremental: new batch vs persisted corpus band index
     "dedup_incremental" -> ((s, d) => Dedup.qIncremental(s, d)),
     // Edit-distance fuzzy entity matching (deletion-neighborhood
@@ -298,6 +303,7 @@ object SparkEntry {
     "dedup_jaccard" -> Dedup.qJaccardSql,
     "dedup_simhash" -> Dedup.qSimhashSql,
     "dedup_embed_scaled" -> Dedup.qEmbedScaledSql,
+    "dedup_embed_planted" -> Dedup.qEmbedPlantedSql,
     "dedup_incremental" -> Dedup.qIncrementalSql,
     "dedup_fuzzy" -> Dedup.qFuzzySql,
     "dedup_clusters" -> Cluster.qClustersSql,

@@ -627,15 +627,54 @@ object Dedup {
     embedNearDup(s, Similarity.prepared(s, dir), ScaledThreshold,
       graft.plans.GraftExtensions.SignBandsWideName).orderBy("a_id", "b_id")
 
+  /** Planted-replica spacing/offset for [[qEmbedPlanted]]: every 50th
+    * vec_id is replicated verbatim at id + 10^9 (above every sf's max
+    * id — 991,999 at sf10). Verbatim replicas are exactly the mass the
+    * production banding is FOR (the ScaleUp near-dup clusters at sf1/
+    * sf10 are the same shape), and they guarantee the driver-sf gate
+    * row is non-vacuous: cosine(v, v) = 1.0 >= 0.95 at every sf. */
+  val PlantEvery = 50
+  val PlantOffset = 1000000000L
+
+  /** [[qEmbedScaled]] over the base corpus PLUS planted verbatim
+    * replicas — the non-vacuous driver-sf twin (VERDICT r12 #2): on the
+    * driver's base corpus `dedup_embed_scaled`'s correct answer is 0
+    * rows (max pairwise cosine 0.513, measured r9), which gates as an
+    * empty-vs-empty hash match exercising none of the band/verify
+    * arithmetic. This gate plants deterministic near-dup mass through
+    * the SAME wide native kernel + banding + exact-cosine verify, so
+    * every sf's row has nonzero rows: each planted replica must meet
+    * its original (all 8 bands collide; cosine exactly 1.0 in both
+    * engines — integer dot over identical vectors, one IEEE sqrt and
+    * divide), plus whatever true base near-dup mass exists at that sf.
+    * The base-corpus query stays declared as-is: its emptiness at the
+    * driver's sf IS the correct answer there. */
+  def qEmbedPlanted(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.prepared(s, dir)
+    val planted = base
+      .filter(pmod(col("vec_id"), lit(PlantEvery)) === 0)
+      .withColumn("vec_id", col("vec_id") + lit(PlantOffset))
+    embedNearDup(s, base.unionByName(planted), ScaledThreshold,
+      graft.plans.GraftExtensions.SignBandsWideName).orderBy("a_id", "b_id")
+  }
+
   def qEmbedSql: String = embedSql(RpBits, RpBandBits, EmbedThreshold)
 
   def qEmbedScaledSql: String = embedSql(ScaledRpBits, ScaledBandBits, ScaledThreshold)
 
-  private def embedSql(bits: Int, bandBits: Int, threshold: Double): String =
+  def qEmbedPlantedSql: String =
+    embedSql(ScaledRpBits, ScaledBandBits, ScaledThreshold,
+      source = s"""(SELECT vec_id, embedding FROM embeddings
+         |   UNION ALL
+         |   SELECT vec_id + $PlantOffset AS vec_id, embedding
+         |   FROM embeddings WHERE vec_id % $PlantEvery = 0)""".stripMargin)
+
+  private def embedSql(bits: Int, bandBits: Int, threshold: Double,
+                       source: String = "embeddings"): String =
     s"""WITH iv AS (
        |  SELECT vec_id, list_transform(embedding,
        |           x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.Scale}) AS BIGINT)) AS ie
-       |  FROM embeddings),
+       |  FROM $source),
        |ivn AS (
        |  SELECT vec_id, ie,
        |         sqrt(CAST(CAST(list_sum(list_transform(ie, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm

@@ -183,6 +183,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.qEmbedScaled(spark, sf).count() == 0L)
   }
 
+  test("planted embed gate: one pair per planted replica, cosine 1.0 within one ulp") {
+    // the non-vacuous driver-sf twin of qEmbedScaled (VERDICT r12 #2):
+    // every PlantEvery-th vector is replicated verbatim at id+PlantOffset,
+    // and each replica MUST meet its original through the full wide-band
+    // + verify pipeline. On the sf0.001 base corpus (no true near-dups at
+    // 0.95) the result is exactly the planted pairs.
+    val planted = graft.operators.Dedup.qEmbedPlanted(spark, sf).collect()
+    val expected = Similarity.prepared(spark, sf)
+      .filter(pmod(col("vec_id"), lit(graft.operators.Dedup.PlantEvery)) === 0)
+      .count()
+    assert(expected > 0, "fixture corpus must plant at least one replica")
+    assert(planted.length == expected,
+      s"expected $expected planted pairs, got ${planted.length}")
+    planted.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + graft.operators.Dedup.PlantOffset,
+        s"pair must be (v, v+offset): $r")
+      // cosine = int_dot / (nrm*nrm): the dot is exact, but nrm carries
+      // one sqrt rounding and the product a second — the quotient lands
+      // within 1 ulp of 1.0 (observed 1.0000000000000002), BIT-IDENTICALLY
+      // in both engines (that determinism is what the hash gate checks;
+      // this pin only guards the semantics)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-14,
+        s"verbatim replica cosine must be 1.0 within rounding: $r")
+    }
+  }
+
   test("xwide re-cut: exact dups survive any band width; candidates only shrink") {
     // The band-width ladder (Dedup.XWideBandBits): the same 128-bit
     // signature sliced as 4 × 32-bit bands. Two pinned properties:
