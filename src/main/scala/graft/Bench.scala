@@ -104,6 +104,28 @@ object Bench {
       .foreach(f => try spark.read.parquet(f.getPath).limit(1).count()
         catch { case _: Throwable => () })
 
+    // Epoch canary (VERDICT r12 #6): one fixed, DATA-INDEPENDENT plan —
+    // a 32-task range scan + codegen'd sum, no files, no shuffle — timed
+    // min-of-5 after warmup. Its cost is pure machine epoch (JVM/job
+    // launch + dispatch + codegen'd loop), the same fixed overhead that
+    // moved every small query ×1.18 between the r10 and r11 driver
+    // epochs (BENCHDRIFT_r12.json). Cross-round >2× reads divide by the
+    // canary ratio FIRST: if epoch_ms moved with the fleet, the per-
+    // query drift is machine, not plan. Runs once per bench, recorded
+    // as `epoch_ms` in both JSON lines.
+    val epochMs: Long = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 64L * 1000 * 1000, 1, 32)
+          .agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("id")))
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e6
+      }
+      once() // canary warmup: its own codegen compile is not the epoch
+      math.round((1 to 5).map(_ => once()).min)
+    }
+
     // min over reps: single-JVM local mode has multi-second GC/JIT noise
     // (observed 2.8 s vs 8.1 s for the same query across back-to-back
     // runs); the minimum is the standard low-noise estimator of
@@ -128,7 +150,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","epoch_ms":$epochMs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // Second, compact line: the driver's bench artifact keeps only the
     // final ~2000 chars of stdout, which the full-precision flat line has
@@ -146,7 +168,7 @@ object Bench {
     val gq = grouped.map { case (p, sub) =>
       "\"" + p + "\":{" + sub.map { case (r, ms) => "\"" + r + "\":" + ms }.mkString(",") + "}"
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n":${results.size},"queries_ms":$gq,"errors":$errs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    val compact = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n":${results.size},"epoch_ms":$epochMs,"queries_ms":$gq,"errors":$errs,"sf":"${new java.io.File(sfDir).getName}"}"""
     println(compact)
     // Also persist the full JSON to a file: the driver captures stdout
     // through a bounded tail window that has truncated mid-object (round
