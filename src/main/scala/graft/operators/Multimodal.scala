@@ -31,6 +31,17 @@ import graft.sources.Tables
   * inference — and never collects to the driver.
   */
 object Multimodal {
+  // JDK ImageIO defaults to spooling EVERY coder stream through a temp
+  // FILE (FileCacheImage{Input,Output}Stream — one /tmp file create +
+  // write + delete per ImageIO.read/write call). For in-memory byte
+  // payloads that is pure overhead and, worse, a per-JVM contention
+  // point: the r13 parallelism curve measured decode saturating at
+  // ~2.4× speedup by k=4 partitions and DEGRADING beyond, the disk-
+  // cache signature (MEDIALAB_r13_sf1.json, pre-fix arms). Payloads
+  // here are KB-scale, so the memory-cached streams are strictly
+  // better. JVM-global static; runs once per executor at classload.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val FrameCount = 4
 
   /** Synthesize a media table from `documents` (deterministic: content =
@@ -342,14 +353,73 @@ object Multimodal {
     * like duration 0 for a still image); the GIF plugin parses the
     * animated-GIF bytes ([[gifDecode]]: n_frames from an actual
     * sequence scan, duration from the summed per-frame delays). The GIF
-    * reader is partition-scoped (expensive-init pattern); the
-    * ImageIO/AudioSystem readers for stills/sound are instantiated per
-    * row by their codec registries. */
+    * reader is partition-scoped (expensive-init pattern); the ImageIO
+    * readers for stills are instantiated per row by their codec
+    * registry (measured uncontended); the AUDIO provider set is
+    * resolved once per partition — see [[audioFileReaders]]. */
+  /** The audio-decode provider set, resolved ONCE (per partition, like
+    * the GIF reader). `AudioSystem.getAudioInputStream` re-runs its
+    * provider lookup through `JDK13Services.getProviders` — a GLOBALLY
+    * SYNCHRONIZED method — on EVERY call: at 32 decode threads that
+    * monitor serialized the whole stage (ProbeCodecLock: 4,749/4,871
+    * blocked samples on it; MEDIALAB pre-fix: 91.7 s task run vs 5.3 s
+    * CPU at k=32 — 94% of task time spent blocked). ServiceLoader over
+    * the public `AudioFileReader` SPI finds the same platform readers
+    * (WAV/AIFF/AU) without the global lock. */
+  def audioFileReaders(): Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[
+      javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) buf += it.next()
+    require(buf.nonEmpty, "no AudioFileReader providers on this JVM")
+    buf.toSeq
+  }
+
+  /** First provider that accepts the payload — the same contract as
+    * `AudioSystem.getAudioInputStream(stream)`, minus its per-call
+    * globally-synchronized provider scan. Stateful on purpose: the
+    * platform registers a MIDI-backed reader whose REJECTION path
+    * itself consults `MidiSystem.getProviders` (the same global
+    * monitor — ProbeCodecLock caught it as the residual 4,127-sample
+    * block after the first fix), so a homogeneous payload stream must
+    * not re-walk the provider list per row. The last-successful reader
+    * is tried first; a mixed-format stream just falls back to the scan
+    * for the rows that need it. One instance per partition. */
+  final class AudioDecoder(
+      readers: Seq[javax.sound.sampled.spi.AudioFileReader]) {
+    def this() = this(audioFileReaders())
+    private var hot: javax.sound.sampled.spi.AudioFileReader = null
+    def decode(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      if (hot != null) {
+        try return hot.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      }
+      val it = readers.iterator
+      while (it.hasNext) {
+        val r = it.next()
+        if (r ne hot) {
+          try {
+            val in = r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+            hot = r
+            return in
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+          }
+        }
+      }
+      throw new IllegalArgumentException(
+        s"undecodable audio payload (${bytes.length} bytes)")
+    }
+  }
+
   def decodeRealPartitioned(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       lazy val gifReader =
         javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      lazy val audio = new AudioDecoder()
       rows.map { r =>
         if (r.kind == "image") {
           val img = javax.imageio.ImageIO.read(
@@ -358,8 +428,7 @@ object Multimodal {
           DecodedRow(r.media_id, r.kind, img.getWidth, img.getHeight,
             r.content.length.toLong * 8, 0, 1)
         } else if (r.kind == "audio") {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.content))
+          val in = audio.decode(r.content)
           try {
             val fmt = in.getFormat
             require(fmt.getSampleRate > 0 && in.getFrameLength >= 0,
