@@ -126,7 +126,10 @@ object StreamEq {
       ordered.write.mode("overwrite").partitionBy("__chunk").parquet(path)
     }
     val stagedOrdered = s"$tmp/staged_ordered"
-    stage(eventsDf, stagedOrdered)
+    // staged only when an enabled arm consumes it: an ONLY=ingest sf10
+    // run must not pay a multi-GB staging write it never reads
+    if (Seq("cdc_complete", "sessions", "dedup", "upsert").exists(enabled))
+      stage(eventsDf, stagedOrdered)
 
     /** Copy chunk k's files into a stream's monitored dir (copy, not
       * move: several arms share one staged copy). */
