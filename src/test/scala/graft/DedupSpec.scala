@@ -122,6 +122,7 @@ class DedupSpec extends SparkSpec {
     assert(Similarity.Scale == 10000000L && Dedup.EmbedDim == 64)
     assert(Dedup.ScaledRpBits == 128 && Dedup.ScaledBandBits == 16 &&
       Dedup.ScaledThreshold == 0.95)
+    assert(Dedup.PlantEvery == 50 && Dedup.PlantOffset == 1000000000L)
   }
 
   test("embedBands rejects an unknown sign-band function name loudly") {

@@ -117,18 +117,27 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= 0.5;
 """
 
-EMBED_IVN = """
-CREATE TEMP TABLE IF NOT EXISTS ivn AS
+# Planted corpus (dedup_embed_planted): every 50th vec_id replicated
+# verbatim at id + 10^9 — constants pinned Scala-side by DedupSpec's
+# staged-oracle pin (Dedup.PlantEvery / Dedup.PlantOffset).
+PLANTED_SRC = """(SELECT vec_id, embedding FROM embeddings
+   UNION ALL
+   SELECT vec_id + 1000000000 AS vec_id, embedding
+   FROM embeddings WHERE vec_id % 50 = 0)"""
+
+def embed_ivn_sql(tbl, source):
+    return f"""
+CREATE TEMP TABLE IF NOT EXISTS {tbl} AS
 WITH iv AS (
   SELECT vec_id, list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS ie
-  FROM embeddings)
+  FROM {source})
 SELECT vec_id, ie,
        sqrt(CAST(CAST(list_sum(list_transform(ie, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
 FROM iv;
 """
 
-def embed_bits_sql(bits, tag):
+def embed_bits_sql(bits, tag, ivn="ivn"):
     return f"""
 CREATE TEMP TABLE ebits{tag} AS
 WITH hyper AS (
@@ -137,14 +146,14 @@ WITH hyper AS (
   FROM range({bits}) t(b), range(64) u(j)),
 flat AS (
   SELECT vec_id, t.j, ie[t.j + 1] AS val
-  FROM ivn, range(64) t(j))
+  FROM {ivn}, range(64) t(j))
 SELECT f.vec_id, hp.b,
        CASE WHEN sum(hp.h * f.val) >= 0 THEN 1 ELSE 0 END AS bt
 FROM flat f JOIN hyper hp ON hp.j = f.j
 GROUP BY f.vec_id, hp.b;
 """
 
-def embed_final_sql(bandbits, threshold, tag):
+def embed_final_sql(bandbits, threshold, tag, ivn="ivn"):
     return f"""
 WITH bands AS (
   SELECT vec_id, b // {bandbits} AS k,
@@ -157,7 +166,7 @@ verified AS (
   SELECT c.a_id, c.b_id,
          CAST(CAST(list_sum(list_transform(list_zip(x.ie, y.ie), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
            / (x.nrm * y.nrm) AS cosine
-  FROM cand c JOIN ivn x ON x.vec_id = c.a_id JOIN ivn y ON y.vec_id = c.b_id)
+  FROM cand c JOIN {ivn} x ON x.vec_id = c.a_id JOIN {ivn} y ON y.vec_id = c.b_id)
 SELECT a_id, b_id, cosine FROM verified
 WHERE cosine >= {threshold} ORDER BY a_id, b_id"""
 
@@ -300,6 +309,7 @@ FROM cc JOIN csize USING (canonical_id) ORDER BY doc_id""",
     # dedup_embed (demo banding) retired from the declared surface in r10
     "dedup_simhash": SIMHASH_FINAL,
     "dedup_embed_scaled": embed_final_sql(16, 0.95, 128),
+    "dedup_embed_planted": embed_final_sql(16, 0.95, "p128", ivn="ivnp"),
     "pipeline_curate": CC + """,
 noncanon AS (SELECT doc_id FROM cc WHERE doc_id <> canonical_id),
 d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
@@ -357,7 +367,10 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {table_source(sf_dir, t)}")
 
-    embed_variants = {"dedup_embed_scaled": 128}
+    embed_variants = {
+        "dedup_embed_scaled": (128, "128", "ivn", "embeddings"),
+        "dedup_embed_planted": (128, "p128", "ivnp", PLANTED_SRC),
+    }
     solo = set(embed_variants) | {"dedup_simhash"}
     if any(n not in solo for n in names):
         print("staging shingle prefix (sig/pairs/tokc/verified)...", flush=True)
@@ -370,14 +383,14 @@ def main():
         con.execute(SIMHASH_PREFIX)
         n = con.sql("SELECT COUNT(*) FROM fps").fetchone()[0]
         print(f"  fps: {n} rows", flush=True)
-    for name, bits in embed_variants.items():
+    for name, (bits, tag, ivn_tbl, src) in embed_variants.items():
         if name in names:
-            print(f"staging embed prefix (ivn/ebits{bits})...", flush=True)
-            con.execute(EMBED_IVN)
-            con.execute(embed_bits_sql(bits, bits))
-            for t in ("ivn", f"ebits{bits}"):
-                n = con.sql(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
-                print(f"  {t}: {n} rows", flush=True)
+            print(f"staging embed prefix ({ivn_tbl}/ebits{tag})...", flush=True)
+            con.execute(embed_ivn_sql(ivn_tbl, src))
+            con.execute(embed_bits_sql(bits, tag, ivn_tbl))
+            for tb in (ivn_tbl, f"ebits{tag}"):
+                n = con.sql(f"SELECT COUNT(*) FROM {tb}").fetchone()[0]
+                print(f"  {tb}: {n} rows", flush=True)
 
     report = {}
     n_fail = 0
