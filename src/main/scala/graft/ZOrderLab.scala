@@ -248,8 +248,132 @@ object ZOrderLab {
       f""""arm_lifecycle":{"generations":$gens,"curve":[${curve.mkString(",")}],"compact_wall_sec":$wCompact%.2f,"post_compact":{"files":$fileCount,"box_rows":$nc,"scan_rows":$sc}}"""
     }
 
+    // ---- r13 arm: time-partitioning × z-clustering composed -------------
+    // The layout a real 100 TB warehouse actually runs: the fact is
+    // partitionBy(month) — directory pruning serves the time filter —
+    // and WITHIN each month the rows are z-tiled on two attribute
+    // columns, so footer stats serve the attribute box. Claims under
+    // measurement (VERDICT r12 #7), granularity-honest: (a) the levers
+    // COMPOSE — z strictly tightens the partition-pruned scan
+    // (composed < bymonth at every tile budget); (b) the within-month
+    // z fraction follows the tile-resolution law (16 tiles/month prunes
+    // harder than 4); (c) partition pruning is UNDISTURBED by the
+    // z rewrite (composed touches only the box months' directories).
+    // The naive "product of standalone levers" is NOT the right
+    // prediction: a global 320-tile z layout carries an ~18×18 grid
+    // while 4 tiles/month is a 2×2 grid per month — the residual gap
+    // is resolution share, not interference, and the k=4 vs k=16 pair
+    // prices exactly that. Events span one month, so this arm runs on
+    // ORDERS (7-year span, the DPP table): box = one quarter
+    // (3/~84 months) × mid-range custkey × mid-range totalprice.
+    val armCompose: String = {
+      val z = graft.sources.ZOrder
+      val ord = graft.sources.Tables.orders(spark, sfDir)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      val nMonths = ord.select("month").distinct().count().toInt
+      val tileArms = sys.env.getOrElse("SPARK_GRAFT_ZORDER_TILES_PER_MONTH", "4,16")
+        .split(",").map(_.trim.toInt).toSeq
+      // attribute box: mid-range slices of both clustered columns,
+      // data-derived like the straddle box (10% of custkey × 20% of
+      // totalprice — selective but multi-tile)
+      val od = ord.agg(min("o_custkey"), max("o_custkey"),
+        min("o_totalprice"), max("o_totalprice")).collect()(0)
+      val (cLo, cHi) = mid(od.getLong(0), od.getLong(1), 0.45, 0.55)
+      val (pLo, pHi) = (od.getDouble(2) + (od.getDouble(3) - od.getDouble(2)) * 0.30,
+        od.getDouble(2) + (od.getDouble(3) - od.getDouble(2)) * 0.50)
+      val q = graft.sources.Partitioned.QuarterMonths
+      val attrBox: DataFrame => DataFrame = df => df.filter(
+        col("o_custkey").between(cLo, cHi) &&
+          col("o_totalprice").between(pLo, pHi))
+      // month filter form per layout: a pushable o_orderdate range on
+      // unpartitioned layouts, the partition column on partitioned ones
+      val dateBox: DataFrame => DataFrame = df => attrBox(df.filter(
+        graft.sources.Tables.inMonth(col("o_orderdate"), q.head) ||
+          graft.sources.Tables.inMonth(col("o_orderdate"), q(1)) ||
+          graft.sources.Tables.inMonth(col("o_orderdate"), q(2))))
+      val partBox: DataFrame => DataFrame = df =>
+        attrBox(df.filter(col("month").isin(q: _*)))
+
+      // layouts: month-partitioned only; global z only (same total tile
+      // count as the largest composed arm, for the resolution context);
+      // composed at each tile budget
+      val withz = z.withZ(ord, "o_custkey", "o_totalprice")
+      val (_, bPart) = timed {
+        ord.repartition(col("month"))
+          .write.mode("overwrite").partitionBy("month")
+          .parquet(s"$base/ord_bymonth")
+      }
+      val (_, bZ) = timed {
+        withz.repartitionByRange(nMonths * tileArms.max, col("z"))
+          .sortWithinPartitions("z")
+          .drop("z", "month")
+          .write.mode("overwrite").parquet(s"$base/ord_zonly")
+      }
+      val composedBuilds = tileArms.map { k =>
+        val (_, b) = timed {
+          // range-partition on (month, z): each writer task holds one
+          // contiguous (month, z-range) slice → ~k z-tile files inside
+          // each month directory
+          withz.repartitionByRange(nMonths * k, col("month"), col("z"))
+            .sortWithinPartitions("month", "z").drop("z")
+            .write.mode("overwrite").partitionBy("month")
+            .parquet(s"$base/ord_bymonth_z$k")
+        }
+        k -> b
+      }
+      def probeF(path: String, box: DataFrame => DataFrame): (Long, Long, Long, Double) = {
+        def fresh() = box(spark.read.parquet(path))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+        val qd = fresh()
+        val n = qd.collect()(0).getLong(0)
+        val plan = qd.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val scan = plan.collect { case f: FileSourceScanExec => f }.head
+        val (sr, nf) = (scan.metrics("numOutputRows").value,
+          scan.metrics.get("numFiles").map(_.value).getOrElse(-1L))
+        val wall = (1 to 3).map(_ => timed(fresh().collect())._2).min
+        (sr, nf, n, wall)
+      }
+      val (sFlat, fFlat, nFlat, wFlat) = probeF(s"$sfDir/orders.parquet", dateBox)
+      val (sPart, fPart, nPart, wPart) = probeF(s"$base/ord_bymonth", partBox)
+      val (sZ, fZ, nZ2, wZ2) = probeF(s"$base/ord_zonly", dateBox)
+      val composed = tileArms.map { k =>
+        k -> probeF(s"$base/ord_bymonth_z$k", partBox)
+      }
+      composed.foreach { case (k, (sB, fB, nB, _)) =>
+        require(nB == nPart && nB > 0,
+          s"composed k=$k answer drifted: $nB vs $nPart")
+        // claim (a): z strictly tightens the partition-pruned scan
+        require(sB < sPart,
+          s"composed k=$k did not tighten bymonth: $sB vs $sPart")
+        // claim (c): partition pruning undisturbed — only the box
+        // months' tile files are touched (k+2 per month: a (month,z)
+        // range partition straddling a month boundary writes a file
+        // into each neighboring directory)
+        require(fB <= 3L * (k + 2),
+          s"composed k=$k read $fB files — partition pruning degraded")
+      }
+      require(nFlat == nPart && nPart == nZ2,
+        s"layouts must agree on the answer: $nFlat/$nPart/$nZ2")
+      // claim (b): the within-month fraction follows tile resolution
+      val fracs = composed.map { case (k, (sB, _, _, _)) =>
+        k -> sB.toDouble / sPart }
+      require(fracs.sortBy(_._1).sliding(2).forall {
+        case Seq((_, a), (_, b)) => b <= a; case _ => true },
+        s"within-month pruning must improve with tiles: $fracs")
+      val ordTotal = ord.count()
+      val monthFrac = sPart.toDouble / ordTotal
+      val composedJson = composed.map { case (k, (sB, fB, nB, wB)) =>
+        f""""k$k":{"build_wall_sec":${composedBuilds.toMap.apply(k)}%.2f,"scan_rows":$sB,"files_read":$fB,"box_wall_sec":$wB%.3f,"within_month_fraction":${f"${sB.toDouble / sPart}%.4f"}}"""
+      }.mkString(",")
+      f""""arm_partition_compose":{"table":"orders","months":$nMonths,"box":"quarter(3 months) x 10%% custkey x 20%% totalprice","box_rows":$nPart,"total_rows":$ordTotal,"month_fraction":$monthFrac%.4f,"flat":{"scan_rows":$sFlat,"files_read":$fFlat,"box_wall_sec":$wFlat%.3f},"bymonth":{"build_wall_sec":$bPart%.2f,"scan_rows":$sPart,"files_read":$fPart,"box_wall_sec":$wPart%.3f},"zonly_${nMonths * tileArms.max}tiles":{"build_wall_sec":$bZ%.2f,"scan_rows":$sZ,"files_read":$fZ,"box_wall_sec":$wZ2%.3f,"fraction_of_total":${f"${sZ.toDouble / ordTotal}%.4f"}},"composed":{$composedJson}}"""
+    }
+
     val json =
-      f"""{"experiment":"zorder_skipping","sf":"$sfDir","total_rows":$total,"files":$files,"build_wall_sec":{"linear":$buildLinear%.2f,"zorder":$buildZ%.2f,"hilbert":$buildH%.2f},${arm("declared_box", declaredBox)},${arm("midpoint_straddle_box", straddleBox)},$arm3d,$armSkew,$armSkew3d,$armLifecycle}"""
+      f"""{"experiment":"zorder_skipping","sf":"$sfDir","total_rows":$total,"files":$files,"build_wall_sec":{"linear":$buildLinear%.2f,"zorder":$buildZ%.2f,"hilbert":$buildH%.2f},${arm("declared_box", declaredBox)},${arm("midpoint_straddle_box", straddleBox)},$arm3d,$armSkew,$armSkew3d,$armLifecycle,$armCompose}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_ZORDERLAB_OUT", "zorderlab.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
