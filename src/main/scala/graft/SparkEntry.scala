@@ -173,6 +173,9 @@ object SparkEntry {
     // REAL image decode: PNG-encode (javax.imageio) then genuinely
     // decode back; the raster dims must reproduce the oracle's formula
     "media_decode" -> ((s, d) => Multimodal.qMediaDecode(s, d)),
+    // Same decode against the PERSISTED encoded-media artifact (encode
+    // paid once at ingest — the warehouse steady state; same oracle)
+    "media_decode_persisted" -> ((s, d) => Multimodal.qMediaDecodePersisted(s, d)),
     // HLL sketch next to exact distinct — rows+schema-gated with the
     // VALUE waived by design (the sketch is engine-specific, so the
     // oracle substitutes the exact distinct and hash_match is expected
@@ -346,6 +349,7 @@ object SparkEntry {
     "media_meta" -> Multimodal.qMediaMetaSql,
     "media_frames" -> Multimodal.qFramesSql,
     "media_decode" -> Multimodal.qMediaDecodeSql,
+    "media_decode_persisted" -> Multimodal.qMediaDecodeSql,
     "kpi_anomalies_at_scale" -> Kpi.anomaliesSql(),
     "text_repetition" -> Text.qRepetitionSql,
     "text_linedup" -> Text.qLineDedupSql,

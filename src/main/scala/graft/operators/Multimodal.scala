@@ -461,6 +461,26 @@ object Multimodal {
         col("duration_ms"), col("n_frames"))
       .orderBy("media_id")
 
+  /** The production steady-state twin of [[qMediaDecode]]: the encoded
+    * media table is persisted ONCE per source fingerprint
+    * ([[graft.sources.Artifacts]] — the same train-once/read-thereafter
+    * lifecycle as the k-means codebook and the bigram LM) and every
+    * later query DECODES from the artifact. Splits the declared
+    * query's cost exactly where a warehouse splits it: encode is paid
+    * at ingest, decode at read — at sf10 that is ~71 s of by-contract
+    * encode amortized away, leaving the 1.2 s/32-core decode the
+    * MEDIALAB curve prices. Same oracle as the fused query: persistence
+    * may change cost, never an answer. */
+  def qMediaDecodePersisted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = graft.sources.Artifacts.cached(s, "media_encoded",
+      s"$dir/documents.parquet") { mediaTableReal(s, dir).toDF() }
+    decodeRealPartitioned(enc.as[MediaRow])
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("duration_ms"), col("n_frames"))
+      .orderBy("media_id")
+  }
+
   def qMediaDecodeSql: String =
     """WITH m AS (
       |  SELECT doc_id AS media_id,

@@ -177,6 +177,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("persisted-encode decode twin equals the fused encode+decode query") {
+    // the Artifacts-backed steady-state path must be answer-identical
+    // with the in-flight query (persistence changes cost, never an
+    // answer), and its plan must READ the artifact, not re-encode
+    val fused = graft.operators.Multimodal.qMediaDecode(spark, sf)
+    val persisted = graft.operators.Multimodal.qMediaDecodePersisted(spark, sf)
+    assert(persisted.except(fused).isEmpty && fused.except(persisted).isEmpty,
+      "persisted twin drifted from the fused query")
+    val scans = persisted.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(_.contains("media_encoded")),
+      s"persisted twin must scan the media_encoded artifact:\n${scans.mkString.take(400)}")
+  }
+
   test("metadata pruning: filter on meta fields reads no blob bytes (column pruning)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_media").toString
     Multimodal.decodeMeta(media).write.mode("overwrite").parquet(tmp)

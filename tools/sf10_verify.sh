@@ -16,7 +16,7 @@ CHUNKS=(
   "join_anti join_basket join_salted join_semi"
   "kpi_anomalies kpi_anomalies_at_scale kpi_anomalies_dept kpi_by_dept kpi_cube kpi_delta_by_dept kpi_delta_company kpi_gapfill kpi_headcount_approx kpi_headcount_audit kpi_moving_avg"
   "layout_zorder layout_zorder3 layout_dpp_star layout_bloom_smj kpi_pareto kpi_pivot kpi_quantile_audit kpi_quartiles kpi_retention kpi_rollup kpi_slope kpi_summary kpi_trend kpi_winsorize"
-  "media_decode media_frames media_meta"
+  "media_decode media_decode_persisted media_frames media_meta"
   "pipeline_curate pipeline_decontam pipeline_epochs pipeline_match pipeline_mixture pipeline_pack pipeline_split sample_stratified"
   "similar_ann_ivf similar_ann_kmeans similar_ann_kmeans_persisted similar_topk"
   "text_bigrams text_bm25 text_boilerplate text_deciles text_fingerprint text_heavy text_index text_langid text_langid_eval"
