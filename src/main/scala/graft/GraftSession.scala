@@ -46,16 +46,22 @@ object GraftSession {
       .orElse(ExecutorDrain.executorMemoryFor(master))
 
   /** Build the session. `defaultCpus`/`logLevel` keep each main's
-    * historical defaults; `master` pins fixed-master labs; `extensions`
-    * is off only for mains that deliberately probe the no-extensions
-    * fallback path; `extra` carries lab-specific configs (applied last). */
+    * historical defaults; `master` pins fixed-master labs; `fixedCpus`
+    * additionally pins the shuffle-partition count for labs whose
+    * methodology sizes BOTH the master and the shuffle together (ADVICE
+    * r13: a pinned-master lab that still derives shuffle partitions from
+    * SPARK_GRAFT_CPUS drifts half its sizing with a leaked gate env);
+    * `extensions` is off only for mains that deliberately probe the
+    * no-extensions fallback path; `extra` carries lab-specific configs
+    * (applied last, so a lab invariant wins over any env knob). */
   def build(defaultCpus: String = "32",
             logLevel: String = "ERROR",
             master: Option[String] = None,
             extensions: Boolean = true,
-            extra: Seq[(String, String)] = Nil): SparkSession = {
+            extra: Seq[(String, String)] = Nil,
+            fixedCpus: Option[String] = None): SparkSession = {
     val env = sys.env
-    val cpus = env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    val cpus = fixedCpus.getOrElse(env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus))
     val m = resolveMaster(env, cpus, master)
     val b = SparkSession.builder()
       .master(m)

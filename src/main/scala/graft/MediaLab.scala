@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
 object MediaLab {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "testdata-sf1")
-    val spark = GraftSession.build()
+    // Fixed master (ADVICE r13): the coalesce/contention methodology —
+    // runTime-vs-cpuTime attribution of JDK codec locks inside ONE shared
+    // JVM — is meaningless under an env-leaked local-cluster master.
+    val spark = GraftSession.build(master = Some("local[32]"),
+      fixedCpus = Some("32"))
     import graft.operators.Multimodal
 
     val ks = sys.env.getOrElse("SPARK_GRAFT_MEDIALAB_KS", "1,2,4,8,16,32,64")

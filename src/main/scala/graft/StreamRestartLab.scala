@@ -69,8 +69,11 @@ object StreamRestartLab {
     * only after `processAllAvailable` drains every staged file. */
   private def childMain(staging: String, ckpt: String, out: String,
                         marker: String): Unit = {
-    val spark = GraftSession.build(defaultCpus = "8",
-      master = Some("local[8]"), extensions = false)
+    // fixedCpus with the fixed master: this deliberately-sized child
+    // session must not half-drift with a leaked SPARK_GRAFT_CPUS
+    // (ADVICE r13) — master and shuffle width are one sizing decision
+    val spark = GraftSession.build(master = Some("local[8]"),
+      extensions = false, fixedCpus = Some("8"))
     import spark.implicits._
     val schema = org.apache.spark.sql.Encoders.product[graft.streaming.Streams.Event].schema
     val stream = spark.readStream.schema(schema)
@@ -96,7 +99,7 @@ object StreamRestartLab {
     // arithmetic and the batch twin both work in exact epoch-µs
     // (TIMESTAMP_MICROS output is part of the fold)
     val spark = GraftSession.build(master = Some("local[32]"),
-      extensions = false)
+      extensions = false, fixedCpus = Some("32"))
     import spark.implicits._
 
     val tmp = Files.createTempDirectory("graft_streamrestart").toString

@@ -117,23 +117,34 @@ object Artifacts {
   /** Force retrain at the current fingerprint (e.g. after a logic
     * change with unchanged data). `parts` must mirror the layout the
     * artifact was declared with ([[cachedPartitioned]]): refreshing a
-    * partitioned artifact without its partitionBy would silently drop
-    * the directory layout that runtime pruning (DPP) depends on —
-    * ADVICE r12. The mismatch guard is structural: if the existing
-    * artifact has Hive-style `col=` subdirectories, a flat refresh is
-    * refused at the call site instead of corrupting the layout. */
+    * partitioned artifact under a different partitionBy would silently
+    * swap the directory layout that runtime pruning (DPP) depends on —
+    * ADVICE r12/r13. The mismatch guard is structural AND symmetric:
+    * the existing artifact's partition columns are derived from its
+    * Hive-style `col=` directory chain and must equal `parts` exactly
+    * (order included — nesting order IS the layout); a flat refresh of
+    * a partitioned artifact, a partitioned refresh of a flat one, and
+    * a reordered/renamed layout are all refused at the call site. */
   def refresh(s: SparkSession, kind: String, src: String,
               parts: Seq[String] = Nil)(train: => DataFrame): DataFrame = {
     val p = path(s, kind, src)
     val hp = new Path(p)
     val f = fs(s, hp)
-    if (parts.isEmpty && f.exists(hp)) {
-      val partitionedDirs = f.listStatus(hp).exists(st =>
-        st.isDirectory && st.getPath.getName.contains("="))
-      require(!partitionedDirs,
-        s"refresh of $kind without partitionBy would flatten an existing " +
-          s"Hive-partitioned layout at $p — pass the parts it was " +
-          "declared with (cachedPartitioned)")
+    if (f.exists(hp)) {
+      // walk the first Hive-style directory chain: each nesting level's
+      // `col=value` name contributes one partition column, in order
+      def partChain(dir: Path): Seq[String] =
+        f.listStatus(dir).find(st =>
+          st.isDirectory && st.getPath.getName.contains("=")) match {
+          case Some(st) =>
+            st.getPath.getName.split("=", 2)(0) +: partChain(st.getPath)
+          case None => Nil
+        }
+      val existing = partChain(hp)
+      require(existing == parts,
+        s"refresh of $kind with parts=[${parts.mkString(",")}] would " +
+          s"change the existing layout [${existing.mkString(",")}] at $p " +
+          "— pass exactly the parts the artifact was declared with")
     }
     train.write.mode("overwrite").partitionBy(parts: _*).parquet(p)
     s.read.parquet(p)

@@ -47,6 +47,33 @@ class ArtifactsSpec extends SparkSpec {
     rmKind(kind)
   }
 
+  test("refresh refuses any layout change, in both directions (ADVICE r13)") {
+    val kind = "test_refresh_guard"
+    rmKind(kind)
+    val src = java.nio.file.Files.createTempDirectory("graft_art_guard").toString + "/t.parquet"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(src)
+    def model = Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("id", "part", "score")
+    // declare partitioned; flat refresh and differently-partitioned
+    // refresh must both be refused, the declared layout must pass
+    Artifacts.cachedPartitioned(spark, kind, src, Seq("part"))(model)
+    intercept[IllegalArgumentException] {
+      Artifacts.refresh(spark, kind, src)(model) // flatten
+    }
+    intercept[IllegalArgumentException] {
+      Artifacts.refresh(spark, kind, src, Seq("id"))(model) // re-key
+    }
+    Artifacts.refresh(spark, kind, src, Seq("part"))(model)
+    // and the reverse direction: partitioning a flat artifact is refused
+    val kindF = "test_refresh_guard_flat"
+    rmKind(kindF)
+    Artifacts.cached(spark, kindF, src)(model)
+    intercept[IllegalArgumentException] {
+      Artifacts.refresh(spark, kindF, src, Seq("part"))(model)
+    }
+    Artifacts.refresh(spark, kindF, src)(model)
+    rmKind(kind); rmKind(kindF)
+  }
+
   test("benign race: two concurrent writers of one fingerprint converge on identical content") {
     val kind = "test_race"
     rmKind(kind)

@@ -73,7 +73,7 @@ object ProbeCodecLock {
     println(f"PROBE decoded ${nThreads * perThread} payloads in $wall%.2f s with $nThreads threads")
     import scala.jdk.CollectionConverters._
     hist.asScala.toSeq.sortBy(-_._2.get()).take(12).foreach { case (k, v) =>
-      println(s"PROBE ${v.get()}%6s  $k")
+      println(f"PROBE ${v.get()}%6d  $k")
     }
   }
 }
