@@ -117,6 +117,11 @@ object SparkEntry {
     // Same ANN against the PERSISTED codebook artifact (train-once,
     // read-thereafter; fingerprint-keyed freshness)
     "similar_ann_kmeans_persisted" -> ((s, d) => Similarity.qIvfKmeansPersisted(s, d)),
+    // The full 100 TB posture: member assignment ALSO persisted, written
+    // partitionBy(cell); the probe's nprobe cells prune the member scan
+    // at the directory level via dynamic partition pruning (machine-
+    // checked in PlanAuditSpec) — no per-query full-corpus assignment
+    "similar_ann_partitioned" -> ((s, d) => Similarity.qIvfKmeansPartitioned(s, d)),
     // Text analysis over `documents`
     "text_stats" -> ((s, d) => Text.qStats(s, d)),
     "text_langid" -> ((s, d) => Text.qLangId(s, d)),
@@ -316,6 +321,7 @@ object SparkEntry {
     "similar_ann_ivf" -> Similarity.qIvfSql,
     "similar_ann_kmeans" -> Similarity.qIvfKmeansSql(),
     "similar_ann_kmeans_persisted" -> Similarity.qIvfKmeansSql(),
+    "similar_ann_partitioned" -> Similarity.qIvfKmeansSql(),
     "text_stats" -> Text.qStatsSql,
     "text_langid" -> Text.qLangIdSql,
     "text_fingerprint" -> Text.qFingerprintSql,

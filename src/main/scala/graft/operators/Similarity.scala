@@ -56,10 +56,14 @@ object Similarity {
       call_function(graft.plans.GraftExtensions.DotLongName, a, b)
     else dotL(a, b)
 
-  /** embeddings + integer vector + exact norm. */
-  def prepared(s: SparkSession, dir: String): DataFrame = {
+  /** embeddings + integer vector + exact norm. `balanced = false` for
+    * probe-sized reads (a 3-row pushed-down scan gains nothing from a
+    * round-robin exchange, and the extra Exchange inside a dynamic-
+    * pruning build side defeats AQE's broadcast-reuse matching). */
+  def prepared(s: SparkSession, dir: String, balanced: Boolean = true): DataFrame = {
     val d = dot(s) _
-    Tables.balanced(Tables.embeddings(s, dir))
+    val base = Tables.embeddings(s, dir)
+    (if (balanced) Tables.balanced(base) else base)
       .withColumn("ie", intVec(col("embedding")))
       .withColumn("nrm", sqrt(d(col("ie"), col("ie")).cast("double")))
       .select("vec_id", "label", "ie", "nrm")
@@ -232,6 +236,110 @@ object Similarity {
     val codebook = graft.sources.Artifacts.cached(s, CodebookKind,
       s"$dir/embeddings.parquet") { kmeansCodebook(s, prepared(s, dir)) }
     ivfTopK(s, dir, codebook = Some(codebook)).orderBy("probe_id", "rank")
+  }
+
+  /** Artifact kind key for the cluster-partitioned member table. */
+  val MembersKind = "ann_members"
+
+  /** Cluster id → partition-directory value. STRING (`c12`), not the
+    * raw long: parquet partition inference would read a numeric value
+    * back as int while the codebook side stays long, and the resulting
+    * cast on the join key is exactly the kind of wrinkle that can keep
+    * the dynamic-pruning rule from firing. A non-numeric string keeps
+    * both sides' types identical with zero casts. */
+  def cellOf(cluster: Column): Column = concat(lit("c"), cluster)
+
+  /** The k-means member assignment as a TABLE: every corpus vector with
+    * its argmax-cosine cell (same tie-break arithmetic as [[ivfTopK]]'s
+    * in-flight assignment, so the persisted table is bit-identical to
+    * what every query would recompute). `repartition(cell)` before the
+    * partitioned write: one file per cell directory, not one per task
+    * per cell (the [[graft.sources.Partitioned.ordersByMonth]]
+    * discipline). */
+  def assignCells(s: SparkSession, vecs: DataFrame, codebook: DataFrame): DataFrame = {
+    val d = dot(s) _
+    vecs.crossJoin(broadcast(codebook))
+      .withColumn("ccos",
+        d(col("ie"), col("se")).cast("double") / (col("nrm") * col("sn")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cluster"), struct(col("ccos"), -col("cluster"))).as("cluster"),
+        first(col("ie")).as("ie"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("ie"), col("nrm"), cellOf(col("cluster")).as("cell"))
+      .repartition(col("cell"))
+  }
+
+  /** Top-[[NProbe]] cells per probe, WITHOUT a window: sort the
+    * per-probe (−ccos, cluster) structs in-row and slice — the same
+    * (ccos desc, cluster asc) winner set as [[ivfTopK]]'s arank window.
+    * The form matters, not just the result: AQE's dynamic-partition-
+    * pruning broadcast reuse re-plans the build side separately, and a
+    * Window in that subtree makes the two plannings diverge so the
+    * pruning expression degrades to literal true (measured on this
+    * layout: scan+filter build prunes 3/10 files, the same build + a
+    * window reads all 10; aggregate+explode prunes). The collect_list
+    * is |codebook|-bounded per probe — in-row top-k is the right tool
+    * for a bounded group anyway. */
+  def probeCells(s: SparkSession, probesPrep: DataFrame,
+                 codebook: DataFrame): DataFrame = {
+    val d = dot(s) _
+    probesPrep.crossJoin(broadcast(codebook))
+      .withColumn("ccos",
+        d(col("ie"), col("se")).cast("double") / (col("nrm") * col("sn")))
+      .groupBy("vec_id")
+      .agg(slice(array_sort(collect_list(
+        struct((-col("ccos")).as("nc"), col("cluster")))), 1, NProbe).as("top"))
+      .select(col("vec_id").as("probe_id"), explode(col("top")).as("t"))
+      .select(col("probe_id"), cellOf(col("t.cluster")).as("cell"))
+  }
+
+  /** ANN over the PERSISTED, CLUSTER-PARTITIONED member table — the
+    * layout the [[ivfTopK]] scaladoc has always promised, now a declared
+    * query instead of prose. The first query at a source fingerprint
+    * trains the codebook (once), assigns every corpus vector (once) and
+    * writes the members parquet `partitionBy(cell)`; every later query
+    * is: broadcast codebook → rank the probe's nprobe cells → join the
+    * member table on the PARTITION COLUMN. The cells that survive are
+    * known only at runtime (they come from the probe × codebook
+    * ranking), so dynamic partition pruning — not a static filter —
+    * prunes the member scan to the nprobe directories before a single
+    * corpus byte is read. At 100 TB that is the difference between a
+    * full-corpus assignment pass per probe batch (the
+    * [[qIvfKmeansPersisted]] residue VERDICT r13 flagged) and reading
+    * nprobe/|cells| of the data. PlanAuditSpec machine-checks the
+    * dynamicpruning partition filter and that files read == the probed
+    * cells (the layout_dpp_star discipline). Same unrolled-SQL oracle
+    * as [[qIvfKmeans]] — a layout may change cost, never an answer. */
+  def qIvfKmeansPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/embeddings.parquet"
+    val codebook = graft.sources.Artifacts.cached(s, CodebookKind, src) {
+      kmeansCodebook(s, prepared(s, dir))
+    }
+    val members = graft.sources.Artifacts.cachedPartitioned(
+        s, MembersKind, src, Seq("cell")) {
+      assignCells(s, prepared(s, dir), codebook)
+    }
+    val d = dot(s) _
+    val probesPrep = prepared(s, dir, balanced = false)
+      .filter(col("vec_id").isin(ProbeIds: _*))
+    val cells = probeCells(s, probesPrep, codebook)
+    val probes = probesPrep
+      .select(col("vec_id").as("probe_id"), col("ie").as("pe"), col("nrm").as("pn"))
+    // EXPLICIT broadcast of the probe side: the probe batch is small by
+    // definition (that is the ANN contract), and DPP's broadcast-reuse
+    // mode prunes the partitioned scan only when the CELL-KEYED build
+    // side is the broadcast — without the hint, a small-sf members table
+    // out-estimates the windowed probe subtree, Spark broadcasts members
+    // instead, and the pruning expression degrades to literal true
+    // (measured: all 10 cell directories read).
+    members.join(broadcast(cells), Seq("cell"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        d(col("pe"), col("ie")).cast("double") / (col("pn") * col("nrm")))
+      .withColumn("rank", row_number().over(rankWindow))
+      .filter(col("rank") <= TopK)
+      .select("probe_id", "vec_id", "cosine", "rank")
+      .orderBy("probe_id", "rank")
   }
 
   // -------------------------------------------------------------------

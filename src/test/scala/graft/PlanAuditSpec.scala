@@ -125,6 +125,58 @@ class PlanAuditSpec extends SparkSpec {
       s"DPP did not prune: read $filesRead files of $layoutMonths month partitions")
   }
 
+  test("similar_ann_partitioned prunes the member scan to the probed cells") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.functions.col
+    // fresh Dataset + exactly one action (scan SQLMetrics reset on re-run)
+    val df = SparkEntry.queries("similar_ann_partitioned")(spark, sf)
+    df.collect()
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allNodes(r.child)
+        case _ => Nil
+      }
+      (p +: p.children.flatMap(allNodes)) ++ nested
+    }
+    val scan = allNodes(df.queryExecution.executedPlan).collectFirst {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("ann_members")) => s
+    }.getOrElse(fail("cluster-partitioned member scan not found in executed plan"))
+    // the runtime filter must be a REAL dynamicpruning subquery, not the
+    // degraded literal — the exact failure mode a Window in the build
+    // side produces (see Similarity.probeCells)
+    val pf = scan.partitionFilters.mkString(";")
+    assert(pf.contains("dynamicpruning#"),
+      s"member scan lacks a live dynamicpruning partition filter: $pf")
+    assert(!pf.contains("dynamicpruningexpression(true)"),
+      s"dynamic pruning degraded to literal true: $pf")
+    // and it must have ENGAGED, exactly: the layout holds one file per
+    // cell (assignCells repartitions by cell), so files read must equal
+    // the probes' distinct nprobe cells — and be a strict subset
+    val expectedCells = {
+      val codebook = sources.Artifacts.cached(spark,
+        graft.operators.Similarity.CodebookKind, s"$sf/embeddings.parquet") {
+        fail("codebook artifact must exist after the query ran")
+      }
+      val probesPrep = graft.operators.Similarity.prepared(spark, sf, balanced = false)
+        .filter(col("vec_id").isin(graft.operators.Similarity.ProbeIds: _*))
+      graft.operators.Similarity.probeCells(spark, probesPrep, codebook)
+        .select("cell").distinct().count()
+    }
+    val layoutPath = new org.apache.hadoop.fs.Path(
+      sources.Artifacts.path(spark, graft.operators.Similarity.MembersKind,
+        s"$sf/embeddings.parquet"))
+    val layoutFs = layoutPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val layoutCells = layoutFs.listStatus(layoutPath)
+      .count(_.getPath.getName.startsWith("cell="))
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead == expectedCells && filesRead < layoutCells,
+      s"DPP did not prune to the probed cells: read $filesRead files, " +
+        s"expected $expectedCells of $layoutCells cell partitions")
+  }
+
   test("layout_bloom_smj injects might_contain and prunes the fact shuffle") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     // Shuffle-record truth from task metrics: the child regime session

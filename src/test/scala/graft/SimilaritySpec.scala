@@ -17,6 +17,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("partitioned-member ANN is row-identical to the in-flight k-means path") {
+    // same codebook, same assignment arithmetic, different physical
+    // posture (persisted cluster-partitioned members + DPP-pruned scan
+    // vs per-query full-corpus assignment) — a layout may change cost,
+    // never an answer
+    val inflight = Similarity.qIvfKmeans(spark, sf).collect().map(_.toString).toList
+    val part = Similarity.qIvfKmeansPartitioned(spark, sf).collect().map(_.toString).toList
+    assert(part == inflight)
+  }
+
   test("IVF recall vs brute force: measured recall@10 within expected band") {
     // The testdata embeddings are RANDOM unit vectors — the worst case for
     // any ANN (no cluster structure to exploit). Expected recall for
