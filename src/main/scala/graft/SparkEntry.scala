@@ -78,6 +78,10 @@ object SparkEntry {
     // runtime bloom filter prunes the fact side of the shuffle
     // (might_contain machine-checked in PlanAuditSpec)
     "layout_bloom_smj" -> ((s, d) => sources.BloomJoin.qBloomStar(s, d)),
+    // Composed layout: month partitions × z tiles within each month —
+    // directory pruning AND footer skipping in one scan (ZOrderLab's
+    // arm_partition_compose graduated to a gated query)
+    "layout_partition_z" -> ((s, d) => sources.Partitioned.qPartitionZ(s, d)),
     // Training-data dedup family over `documents`
     "dedup_exact" -> ((s, d) => Dedup.qExact(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.qMinhash(s, d)),
@@ -306,6 +310,7 @@ object SparkEntry {
     "layout_zorder3" -> sources.ZOrder.qZOrder3Sql,
     "layout_dpp_star" -> sources.Partitioned.qDppStarSql,
     "layout_bloom_smj" -> sources.BloomJoin.qBloomStarSql,
+    "layout_partition_z" -> sources.Partitioned.qPartitionZSql,
     "dedup_exact" -> Dedup.qExactSql,
     "dedup_minhash" -> Dedup.qMinhashSql,
     "dedup_jaccard" -> Dedup.qJaccardSql,

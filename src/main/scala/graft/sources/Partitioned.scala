@@ -88,4 +88,75 @@ object Partitioned {
        |FROM orders
        |WHERE strftime(o_orderdate, '%Y-%m') IN (${QuarterMonths.map("'" + _ + "'").mkString(",")})
        |GROUP BY 1 ORDER BY month""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Composed layout: month partitions × z-order tiles within each month
+  // -------------------------------------------------------------------
+
+  /** Z-tiles per month directory in the composed layout. 4 tiles split
+    * each month's (custkey, totalprice) z-space at the top two curve
+    * bits, enough for the declared box to skip whole tiles at the
+    * footer level while keeping the file count ~4×|months| (ZOrderLab's
+    * `arm_partition_compose` measured the tile-budget ladder; the
+    * declared query pins one rung as a gated layout). */
+  val TilesPerMonth = 4
+
+  /** sf-stable price box: order totals are sums of a fixed line-item
+    * price distribution, so the [100k, 200k] band is populated at every
+    * scale factor while selecting a minority z-range (the domain spans
+    * ~[850, 558k]). Literals, not data-derived bounds: footer-level
+    * row-group skipping only engages on literal predicates. */
+  val PriceLo = 100000.0
+  val PriceHi = 200000.0
+
+  /** Month-partitioned AND z-clustered copy of orders: the composed
+    * layout ZOrderLab's `arm_partition_compose` measured (z strictly
+    * tightens the partition-pruned scan, partition pruning
+    * undisturbed), graduated to a declared, gated layout. One range
+    * shuffle on (month, z) at build time lays each month directory out
+    * as ~[[TilesPerMonth]] contiguous z-tiles of (o_custkey,
+    * o_totalprice) space — a writer task's range never spans more than
+    * one neighboring month, so partition splitting adds at most 2
+    * straddle files per month. Built once per source fingerprint. */
+  def ordersMonthZ(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cachedPartitioned(s, "orders_month_z",
+        s"$dir/orders.parquet", Seq("month")) {
+      val base = Tables.orders(s, dir)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      // tile budget follows the month count (a build-time-only job)
+      val nMonths = base.select("month").distinct().count().toInt
+      ZOrder.withZ(base, "o_custkey", "o_totalprice")
+        .repartitionByRange(nMonths * TilesPerMonth, col("month"), col("z"))
+        .sortWithinPartitions("month", "z")
+        .drop("z")
+    }
+
+  /** The composed-layout box query: one quarter (served by month
+    * partition pruning — the directory level) × a price band (served by
+    * z-tile footer stats — the row-group level). Both levers in ONE
+    * scan is the warehouse steady state: partition on the coarse
+    * always-filtered dimension, cluster the residual attributes.
+    * PlanAuditSpec machine-checks both engagements: files read stay
+    * within the quarter's tile budget AND scan rows undercut the
+    * quarter's row count. Oracle on the ORIGINAL table — a layout may
+    * change cost, never an answer. */
+  def qPartitionZ(s: SparkSession, dir: String): DataFrame =
+    ordersMonthZ(s, dir)
+      .filter(col("month").isin(QuarterMonths: _*) &&
+        col("o_totalprice").between(PriceLo, PriceHi))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        dbl(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .orderBy("month")
+
+  def qPartitionZSql: String =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |       COUNT(*) AS n_orders,
+       |       COUNT(DISTINCT o_custkey) AS n_custs,
+       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+       |FROM orders
+       |WHERE strftime(o_orderdate, '%Y-%m') IN (${QuarterMonths.map("'" + _ + "'").mkString(",")})
+       |  AND o_totalprice BETWEEN $PriceLo AND $PriceHi
+       |GROUP BY 1 ORDER BY month""".stripMargin
 }

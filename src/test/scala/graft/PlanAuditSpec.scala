@@ -125,6 +125,42 @@ class PlanAuditSpec extends SparkSpec {
       s"DPP did not prune: read $filesRead files of $layoutMonths month partitions")
   }
 
+  test("layout_partition_z prunes directories AND skips row groups in one scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("layout_partition_z")(spark, sf)
+    df.collect()
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allNodes(r.child)
+        case _ => Nil
+      }
+      (p +: p.children.flatMap(allNodes)) ++ nested
+    }
+    val scan = allNodes(df.queryExecution.executedPlan).collectFirst {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("orders_month_z")) => s
+    }.getOrElse(fail("composed-layout scan not found in executed plan"))
+    // lever 1 — directory pruning: only the quarter's month partitions
+    // are listed; each holds <= TilesPerMonth + 2 straddle files
+    val filesRead = scan.metrics("numFiles").value
+    val budget = 3L * (sources.Partitioned.TilesPerMonth + 2)
+    assert(filesRead <= budget,
+      s"partition pruning degraded: read $filesRead files (budget $budget)")
+    // lever 2 — footer skipping: the pushed literal price band must have
+    // skipped whole z-tiles, so rows READ undercut the quarter's rows
+    // (scan numOutputRows counts rows of the row groups actually read)
+    assert(scan.toString.contains("o_totalprice"),
+      s"price band not pushed into the scan:\n${scan.toString.take(600)}")
+    val quarterRows = sources.Partitioned.ordersMonthZ(spark, sf)
+      .filter(col("month").isin(sources.Partitioned.QuarterMonths: _*)).count()
+    val rowsRead = scan.metrics("numOutputRows").value
+    assert(rowsRead < quarterRows,
+      s"z tiles did not skip: read $rowsRead of $quarterRows quarter rows")
+  }
+
   test("similar_ann_partitioned prunes the member scan to the probed cells") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.functions.col
