@@ -155,6 +155,8 @@ object SparkEntry {
     "catalog_audit" -> ((s, d) => sources.Catalog.qAudit(s, d)),
     // Skew-salted join gated against the plain-join oracle
     "join_salted" -> ((s, d) => operators.Skew.qSalted(s, d)),
+    // Rung-1 skew lever: AQE split REQUIRED to engage on a planted hot key
+    "join_skew_aqe" -> ((s, d) => operators.Skew.qSkewAqe(s, d)),
     // Event-time windows + sessionization over `events`
     "events_window" -> ((s, d) => Events.qTumbling(s, d)),
     "events_window_sliding" -> ((s, d) => Events.qSliding(s, d)),
@@ -346,6 +348,7 @@ object SparkEntry {
     "kpi_slope" -> Kpi.slopeSql(),
     "catalog_audit" -> sources.Catalog.qAuditSql,
     "join_salted" -> operators.Skew.qSaltedSql,
+    "join_skew_aqe" -> operators.Skew.qSkewAqeSql,
     "events_window" -> Events.qTumblingSql,
     "events_window_sliding" -> Events.qSlidingSql,
     "events_sessions" -> Events.qSessionsSql,
