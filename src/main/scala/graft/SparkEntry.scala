@@ -103,6 +103,8 @@ object SparkEntry {
     // Edit-distance fuzzy entity matching (deletion-neighborhood
     // blocking, levenshtein-verified)
     "dedup_fuzzy" -> ((s, d) => Dedup.qFuzzy(s, d)),
+    // d<=2 entity resolution: planted two-edit twins + total-recall column
+    "dedup_fuzzy2" -> ((s, d) => Dedup.qFuzzy2(s, d)),
     // Cluster formation over the verified near-dup pairs (connected
     // components via iterative min-label propagation)
     "dedup_clusters" -> ((s, d) => Cluster.qClusters(s, d)),
@@ -321,6 +323,7 @@ object SparkEntry {
     "dedup_embed_planted" -> Dedup.qEmbedPlantedSql,
     "dedup_incremental" -> Dedup.qIncrementalSql,
     "dedup_fuzzy" -> Dedup.qFuzzySql,
+    "dedup_fuzzy2" -> Dedup.qFuzzy2Sql,
     "dedup_clusters" -> Cluster.qClustersSql,
     "sample_stratified" -> Sample.qSampleSql,
     "pipeline_curate" -> Curate.qCurateSql,

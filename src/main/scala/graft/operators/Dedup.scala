@@ -238,38 +238,70 @@ object Dedup {
       transform(sequence(lit(1), length(c)), i =>
         concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c) - i))))
 
-  /** Fuzzy self-match of an (id, name) table at edit distance <= 1 —
-    * the entity-resolution primitive (near-identical names from typos /
-    * id drift), built scale-first:
+  /** Depth-2 deletion neighborhood: the string plus every 1- and
+    * 2-deletion variant (~|s|²/2 keys). FastSS generalizes: for any two
+    * strings within edit distance 2, aligning an edit script of cost ≤2
+    * and deleting, on each side, the substituted positions and that
+    * side's inserted characters leaves a COMMON string reachable with
+    * ≤2 deletions per side — so the equi-join on these keys is a
+    * recall-lossless candidate generator for d≤2 (DedupSpec pins this
+    * against a brute-force all-pairs verify). */
+  def deletionKeys2(c: Column): Column =
+    array_distinct(flatten(transform(deletionKeys(c), k =>
+      array_union(array(k),
+        transform(sequence(lit(1), length(k)), i =>
+          concat(k.substr(lit(1), i - 1), k.substr(i + 1, length(k) - i)))))))
+
+  /** Exact fuzzy-match pairs of an (id, name) table at edit distance
+    * ≤ `maxDist` (1 or 2) — the entity-resolution primitive, built
+    * scale-first:
     *
     *   - candidates come ONLY from the deletion-key equi-join — ~|name|
-    *     keys per row, bucket-bounded pair cost, never the all-pairs
-    *     or prefix-block quadratic blowup;
+    *     keys per row at d=1, ~|name|²/2 at d=2, bucket-bounded pair
+    *     cost, never the all-pairs or prefix-block quadratic blowup;
     *   - `levenshtein` verifies candidates exactly (identical across
-    *     engines), so blocking is recall-lossless AND precision-exact;
-    *   - output aggregates to per-entity neighbor stats (the pair list
-    *     at corpus scale is itself huge; the per-entity rollup is what
-    *     a resolution pipeline consumes).
-    */
-  def fuzzyNeighbors(entities: DataFrame, idCol: String, nameCol: String): DataFrame = {
+    *     engines), so blocking is recall-lossless AND precision-exact.
+    *
+    * d=2 cost law: bucket occupancy is where the quadratic trap hides.
+    * On a LOW-entropy key (TPC-H's zero-padded supplier digits) the
+    * 2-deletion buckets collect every id sharing a 3-digit subsequence —
+    * candidate pairs grow ~|table|²/10³ and the join explodes long
+    * before levenshtein runs. The lever is the BLOCKING KEY, not the
+    * algorithm: compose the name with a high-entropy attribute (what
+    * [[qFuzzy2]] does with exact-integer account cents) and buckets
+    * collapse to true near-duplicates. Same law as the sign-LSH band
+    * re-cut: block width must scale with corpus entropy. */
+  def fuzzyPairs(entities: DataFrame, idCol: String, nameCol: String,
+                 maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
     // Rebalance BEFORE the explode+join: entity tables are small on disk
     // (supplier at sf10 is one ~5 MB part file → a 1-partition scan) but
-    // the per-row work downstream — |name| deletion keys, bucket join,
+    // the per-row work downstream — deletion keys, bucket join,
     // levenshtein per candidate — is ~10^4× the row's scan cost, so a
     // narrow input serializes the whole stage on one core (measured at
     // sf10: single task, 32× under session parallelism). Same
     // pre-explosion discipline as Dedup.shingles / Multimodal.
     // two steps: explode in the same select as the `name` alias would
     // read as a lateral alias reference when nameCol == "name"
+    val keys =
+      if (maxDist == 1) deletionKeys(col("name")) else deletionKeys2(col("name"))
     val keyed = Tables.balanced(entities)
       .select(col(idCol).as("id"), col(nameCol).as("name"))
-      .withColumn("k", explode(deletionKeys(col("name"))))
-    val pairs = keyed.as("x").join(keyed.as("y"),
+      .withColumn("k", explode(keys))
+    keyed.as("x").join(keyed.as("y"),
         col("x.k") === col("y.k") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("x.name").as("an"),
         col("y.id").as("b"), col("y.name").as("bn"))
       .distinct()
-      .filter(levenshtein(col("an"), col("bn")) <= 1)
+      .filter(levenshtein(col("an"), col("bn")) <= maxDist)
+  }
+
+  /** Per-entity neighbor rollup over [[fuzzyPairs]] (the pair list at
+    * corpus scale is itself huge; the rollup is what a resolution
+    * pipeline consumes). */
+  def fuzzyNeighbors(entities: DataFrame, idCol: String, nameCol: String,
+                     maxDist: Int = 1): DataFrame = {
+    val pairs = fuzzyPairs(entities, idCol, nameCol, maxDist)
     // Each verified pair contributes a neighbor row in BOTH directions.
     // An in-row explode of the two (id, nn) orientations emits them from
     // ONE pass over the pair stream; the union-of-two-projections form
@@ -318,6 +350,98 @@ object Dedup {
        |SELECT s.s_suppkey, s.s_name, a.n_neighbors, a.nearest_name
        |FROM agg a JOIN supplier s ON s.s_suppkey = a.id
        |ORDER BY n_neighbors DESC, s_suppkey LIMIT $FuzzyK""".stripMargin
+
+  /** Planted-twin id offset for [[qFuzzy2]]: clear of every real
+    * supplier key at any sf. */
+  val Fuzzy2TwinOffset = 1000000000L
+
+  /** The d≤2 entity table: supplier composed with exact account cents
+    * (`round(acctbal*100)` — integer arithmetic, so Spark and DuckDB
+    * render the identical string; a raw double cast could diverge in
+    * shortest-round-trip corner cases), plus a deterministic two-edit
+    * twin for every 10th supplier: delete char 3, then substitute char
+    * 8 of the result with 'x'. The twin's length differs by one, so a
+    * single edit cannot reach it — its distance to the original is
+    * EXACTLY 2, which makes the gate sensitive to d=2 recall, not just
+    * the d≤1 subset [[qFuzzy]] already covers. The cents suffix is the
+    * entropy that keeps 2-deletion buckets near-singleton (see
+    * [[fuzzyPairs]]' cost law) — on bare names the d=2 bucket join is
+    * quadratic in the id density. */
+  private def fuzzy2Entities(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+    val composite = concat(col("s_name"), lit("|"),
+      round(col("s_acctbal") * 100).cast("long").cast("string"))
+    val base = sup.select(col("s_suppkey").as("id"), composite.as("name"))
+    val del3 = concat(composite.substr(lit(1), lit(2)),
+      composite.substr(lit(4), length(composite) - 3))
+    val twin = concat(del3.substr(lit(1), lit(7)), lit("x"),
+      del3.substr(lit(9), length(del3) - 8))
+    val twins = sup.filter(col("s_suppkey") % 10 === 0)
+      .select((col("s_suppkey") + lit(Fuzzy2TwinOffset)).as("id"), twin.as("name"))
+    base.unionByName(twins)
+  }
+
+  /** Declared query: edit-distance-≤2 entity resolution over the
+    * twin-planted composite table — per-entity neighbor stats for the
+    * first [[FuzzyK]] matched ids plus the TOTAL matched count (so the
+    * hash gate sees full recall, not just the sampled head; a d=2 miss
+    * anywhere shifts `n_matched_total` on every emitted row). */
+  def qFuzzy2(s: SparkSession, dir: String): DataFrame = {
+    val ents = fuzzy2Entities(s, dir)
+    fuzzyNeighbors(ents, "id", "name", maxDist = 2)
+      .join(ents, "id")
+      // post-aggregation global count: bounded by matched entities
+      // (≤ 2·|supplier|/10 rows), the same dim-bounded single-partition
+      // window class as the surrogate-key ranks
+      .withColumn("n_matched_total",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)))
+      .select(col("id"), col("name"), col("n_neighbors"),
+        col("nearest_name"), col("n_matched_total"))
+      .orderBy("id")
+      .limit(FuzzyK)
+  }
+
+  def qFuzzy2Sql: String =
+    s"""WITH ent AS (
+       |  SELECT s_suppkey AS id,
+       |         s_name || '|' || CAST(CAST(ROUND(s_acctbal * 100) AS BIGINT) AS VARCHAR) AS name
+       |  FROM supplier
+       |  UNION ALL
+       |  SELECT s_suppkey + $Fuzzy2TwinOffset AS id,
+       |         substr(m, 1, 7) || 'x' || substr(m, 9) AS name
+       |  FROM (SELECT s_suppkey, substr(nm, 1, 2) || substr(nm, 4) AS m
+       |        FROM (SELECT s_suppkey,
+       |                     s_name || '|' || CAST(CAST(ROUND(s_acctbal * 100) AS BIGINT) AS VARCHAR) AS nm
+       |              FROM supplier)
+       |        WHERE s_suppkey % 10 = 0)),
+       |d1 AS (
+       |  SELECT id, name, t.k1
+       |  FROM ent, unnest(list_append(
+       |    list_transform(range(1, len(name) + 1),
+       |      i -> substr(name, 1, i - 1) || substr(name, i + 1)),
+       |    name)) AS t(k1)),
+       |keyed AS (
+       |  SELECT DISTINCT id, name, t2.k
+       |  FROM d1, unnest(list_append(
+       |    list_transform(range(1, len(k1) + 1),
+       |      i -> substr(k1, 1, i - 1) || substr(k1, i + 1)),
+       |    k1)) AS t2(k)),
+       |pairs AS (
+       |  SELECT DISTINCT x.id AS a, x.name AS an, y.id AS b, y.name AS bn
+       |  FROM keyed x JOIN keyed y ON x.k = y.k AND x.id < y.id),
+       |ok AS (SELECT * FROM pairs WHERE levenshtein(an, bn) <= 2),
+       |nbrs AS (
+       |  SELECT a AS id, bn AS nn FROM ok
+       |  UNION ALL
+       |  SELECT b AS id, an AS nn FROM ok),
+       |agg AS (
+       |  SELECT id, COUNT(*) AS n_neighbors, MIN(nn) AS nearest_name
+       |  FROM nbrs GROUP BY id)
+       |SELECT e.id, e.name, a.n_neighbors, a.nearest_name,
+       |       COUNT(*) OVER () AS n_matched_total
+       |FROM agg a JOIN ent e ON e.id = a.id
+       |ORDER BY e.id LIMIT $FuzzyK""".stripMargin
 
   // -------------------------------------------------------------------
   // SimHash (60-bit) + chunk-LSH hamming candidates

@@ -278,4 +278,57 @@ class DedupSpec extends SparkSpec {
     val ents = Seq((1L, "abcd"), (2L, "abef"), (3L, "wxyz")).toDF("id", "name")
     assert(Dedup.fuzzyNeighbors(ents, "id", "name").isEmpty)
   }
+
+  test("fuzzy2: d<=2 blocking is recall-lossless AND precision-exact vs brute force") {
+    val sp2 = spark
+    import sp2.implicits._
+    // every d=2 edit composition: sub+sub, sub+del, sub+ins, del+del,
+    // ins+ins, del+ins, plus d=3 strings that must NOT pair
+    val names = Seq(
+      1L -> "abcdefgh",
+      2L -> "abXdefgY",  // sub+sub
+      3L -> "abdefg",    // del+del ("h" + "c")
+      4L -> "abcdefghij",// ins+ins
+      5L -> "aXcdefg",   // sub+del
+      6L -> "abcdeXfghi",// sub+ins
+      7L -> "abdefghZ",  // del+ins
+      8L -> "abXYeZgh",  // d=3 from 1 — must not pair with 1
+      9L -> "zzzzzzzz",  // isolated
+      10L -> "abcdefgh") // exact duplicate of 1 (d=0)
+    val ents = names.toDF("id", "name")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (ia, na) <- names; (ib, nb) <- names
+      if ia < ib && lev(na, nb) <= 2
+    } yield (ia, ib)).toSet
+    val got = Dedup.fuzzyPairs(ents, "id", "name", maxDist = 2)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"missing=${brute -- got} extra=${got -- brute}")
+    assert(brute.contains((1L, 2L)) && brute.contains((1L, 3L)) &&
+      brute.contains((1L, 4L)) && !brute.contains((1L, 8L)),
+      "fixture must exercise the d=2 compositions it claims")
+  }
+
+  test("fuzzy2: every planted two-edit twin is recovered at driver sf") {
+    val matched = graft.SparkEntry.queries("dedup_fuzzy2")(spark, sf)
+    val total = matched.select("n_matched_total").head().getLong(0)
+    val nTwins = graft.sources.Tables.supplier(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("s_suppkey") % 10 === 0).count()
+    // every twin AND its original must be matched (natural d<=2 pairs on
+    // the cents-composited key are possible but the planted floor holds)
+    assert(total >= 2 * nTwins, s"matched $total < planted floor ${2 * nTwins}")
+    // the twin of the smallest planted id appears with its original as
+    // the nearest name (exact-distance-2 pair)
+    val rows = matched.collect()
+    assert(rows.exists(_.getLong(0) >= Dedup.Fuzzy2TwinOffset) ||
+      rows.forall(_.getLong(0) < Dedup.Fuzzy2TwinOffset && rows.length == Dedup.FuzzyK),
+      "twin ids should surface in the id-ordered head (or the head is full of originals)")
+  }
 }
