@@ -100,6 +100,10 @@ object SparkEntry {
     "dedup_embed_planted" -> ((s, d) => Dedup.qEmbedPlanted(s, d)),
     // Incremental: new batch vs persisted corpus band index
     "dedup_incremental" -> ((s, d) => Dedup.qIncremental(s, d)),
+    // Same batch vs the COMPACTED index (ingest partitions folded into
+    // the bucketed steady-state table) — compaction may change cost,
+    // never a candidate
+    "dedup_incremental_compacted" -> ((s, d) => Dedup.qIncrementalCompacted(s, d)),
     // Edit-distance fuzzy entity matching (deletion-neighborhood
     // blocking, levenshtein-verified)
     "dedup_fuzzy" -> ((s, d) => Dedup.qFuzzy(s, d)),
@@ -322,6 +326,8 @@ object SparkEntry {
     "dedup_embed_scaled" -> Dedup.qEmbedScaledSql,
     "dedup_embed_planted" -> Dedup.qEmbedPlantedSql,
     "dedup_incremental" -> Dedup.qIncrementalSql,
+    // the SAME oracle: pre- vs post-compaction candidate identity IS the gate
+    "dedup_incremental_compacted" -> Dedup.qIncrementalSql,
     "dedup_fuzzy" -> Dedup.qFuzzySql,
     "dedup_fuzzy2" -> Dedup.qFuzzy2Sql,
     "dedup_clusters" -> Cluster.qClustersSql,

@@ -588,6 +588,54 @@ object Dedup {
        |GROUP BY 1, 2
        |ORDER BY doc_new, doc_idx""".stripMargin
 
+  /** Declared query gating COMPACTION equivalence — the maintenance half
+    * of the incremental-dedup lifecycle that r13 left ungated: the
+    * corpus index is first materialized in the STREAMING INGEST'S shape
+    * (batch_id-partitioned accumulation of small per-trigger writes,
+    * the layout [[graft.streaming.Streams.dedupIngest]] produces), then
+    * [[graft.sources.Sinks.compactBandIndex]] folds it into the
+    * (band, bh)-bucketed steady-state table, and the batch joins THAT.
+    * The oracle is [[qIncrementalSql]] UNCHANGED — identical candidates
+    * before and after compaction is the whole contract of a maintenance
+    * job. Both materializations are fingerprint-keyed (ingest layout via
+    * [[graft.sources.Artifacts]], compacted table by fingerprint-suffixed
+    * name with superseded fingerprints dropped), so repeated queries
+    * over unchanged data pay one bucketed scan, not a rebuild. */
+  def qIncrementalCompacted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val newBatch = docs.filter(col("doc_id") % 5 === 0)
+    incrementalCandidates(bandIndex(newBatch), s.table(compactedBandTable(s, dir)))
+      .orderBy("doc_new", "doc_idx")
+  }
+
+  /** Materialize (once per source fingerprint) the ingest-shaped index
+    * and its compacted bucketed table; returns the table name. Split
+    * out of [[qIncrementalCompacted]] so the layout spec can assert the
+    * bucketed scan joins unshuffled without re-deriving the naming. */
+  def compactedBandTable(s: SparkSession, dir: String): String = {
+    import graft.sources.{Artifacts, Sinks}
+    val src = s"$dir/documents.parquet"
+    val ingestPath = Artifacts.path(s, "band_index_ingest", src)
+    // ingest-shaped accumulation: 3 batch partitions, as if three
+    // triggers wrote them (the streaming twin's exact layout)
+    Artifacts.cachedPartitioned(s, "band_index_ingest", src, Seq("batch_id")) {
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+      bandIndex(corpus).withColumn("batch_id", pmod(col("doc_id"), lit(3L)))
+    }
+    val fpTag = new org.apache.hadoop.fs.Path(ingestPath).getName
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    val tbl = s"graft_band_compacted_$fpTag"
+    if (!s.catalog.tableExists(tbl)) {
+      // retire superseded fingerprints first (the sweep discipline)
+      s.catalog.listTables().collect()
+        .map(_.name)
+        .filter(n => n.startsWith("graft_band_compacted_") && n != tbl)
+        .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+      Sinks.compactBandIndex(s, ingestPath, tbl)
+    }
+    tbl
+  }
+
   // -------------------------------------------------------------------
   // Embedding-cosine near-dup (sign-random-projection LSH)
   // -------------------------------------------------------------------

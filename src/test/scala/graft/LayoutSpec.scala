@@ -84,6 +84,43 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental_compacted: candidates identical pre/post compaction; index joins unshuffled") {
+    // Candidate identity: the compacted declared query vs the uncompacted
+    // incremental query — a maintenance job may change cost, never a
+    // candidate (the driver gates the same via the shared oracle; this
+    // pins it engine-side without DuckDB in the loop).
+    val compacted = SparkEntry.queries("dedup_incremental_compacted")(spark, sf)
+    val plain = SparkEntry.queries("dedup_incremental")(spark, sf)
+    assert(compacted.collect().map(_.toString).toSeq ==
+      plain.collect().map(_.toString).toSeq)
+    // Layout posture: the compacted table joins from its bucket layout
+    // with no Exchange on the corpus side (same assertion as the raw
+    // bucketed-index test, but on the DECLARED query's table).
+    val tbl = graft.operators.Dedup.compactedBandTable(spark, sf)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val batch = graft.operators.Dedup.bandIndex(
+        Tables.documents(spark, sf).filter(
+          org.apache.spark.sql.functions.col("doc_id") % 5 === 0))
+      val j = graft.operators.Dedup.incrementalCandidates(batch, spark.table(tbl))
+      j.collect()
+      val smj = j.queryExecution.executedPlan.collect {
+        case sj: org.apache.spark.sql.execution.joins.SortMergeJoinExec => sj
+      }.head
+      val idxSide = smj.children.find(
+        _.collect { case f: FileSourceScanExec => f }
+          .exists(_.toString.contains("graft_band_compacted")))
+        .getOrElse(fail("no join side scans the compacted table"))
+      assert(idxSide.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "compacted index must join from its bucketed layout unshuffled")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("bucketed layout: co-located fact⋈fact join runs with ZERO shuffles") {
     // The pre-partitioning lever for repeated big⋈big joins: both sides
     // written bucketBy(join key) read back already hash-partitioned, so
