@@ -105,6 +105,52 @@ class ArtifactsSpec extends SparkSpec {
     rmKind(kind)
   }
 
+  test("media_encoded artifact: source mutation triggers exactly one rebuild (VERDICT r13 #7)") {
+    import graft.operators.Multimodal
+    val kind = "media_encoded"
+    // an isolated source dir so the declared queries' cached artifacts
+    // (keyed by the real testdata paths) are untouched
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_src").toString
+    val src = s"$dir/documents.parquet"
+    def docs(n: Int) = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < n)
+    docs(12).write.mode("overwrite").parquet(src)
+    def artifactDirs() = Option(new java.io.File(s"${Artifacts.root}/$kind").listFiles)
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.contains("graft_media_src")).sorted.toList
+    val before = artifactDirs()
+    assert(before.isEmpty, s"stale test artifacts: $before")
+
+    val r1 = Multimodal.qMediaDecodePersisted(spark, dir).collect().map(_.toString).toList
+    val r2 = Multimodal.qMediaDecodePersisted(spark, dir).collect().map(_.toString).toList
+    assert(r1 == r2)
+    val once = artifactDirs()
+    assert(once.length == 1, s"repeat query over unchanged source must not re-encode: $once")
+    assert(r1 == Multimodal.qMediaDecode(spark, dir).collect().map(_.toString).toList,
+      "persisted decode must equal the in-flight encode+decode")
+
+    // mutate the source: the fingerprint moves, the rebuild fires ONCE,
+    // and the fresh artifact scores the fresh data (a stale 12-doc
+    // encode can never serve the 15-doc corpus)
+    Thread.sleep(5) // mtime tick
+    docs(15).write.mode("overwrite").parquet(src)
+    val r3 = Multimodal.qMediaDecodePersisted(spark, dir).collect().map(_.toString).toList
+    val r4 = Multimodal.qMediaDecodePersisted(spark, dir).collect().map(_.toString).toList
+    assert(r3.length == 15 && r3 == r4)
+    assert(r3 == Multimodal.qMediaDecode(spark, dir).collect().map(_.toString).toList)
+    val after = artifactDirs()
+    assert(after.length == 2 && once.toSet.subsetOf(after.toSet) &&
+      (after.toSet -- once.toSet).size == 1,
+      s"mutation must add exactly one fingerprint dir: before=$once after=$after")
+
+    // clean only this test's fingerprint dirs (the kind is shared with
+    // the declared queries' real-testdata artifacts)
+    after.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"${Artifacts.root}/$kind/$d")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("persisted k-means ANN equals the in-flight training path") {
     rmKind(Similarity.CodebookKind)
     val inflight = Similarity.qIvfKmeans(spark, sf).collect().map(_.toString).toList
