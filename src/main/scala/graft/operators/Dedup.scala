@@ -631,6 +631,18 @@ object Dedup {
         .map(_.name)
         .filter(n => n.startsWith("graft_band_compacted_") && n != tbl)
         .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+      // a PREVIOUS PROCESS may have left this table's physical location
+      // without a catalog entry (the in-memory catalog dies with its
+      // session; the warehouse directory does not), and saveAsTable
+      // refuses to create a managed table over an existing location —
+      // clear any unregistered leftovers under our own prefix (content
+      // is deterministic per fingerprint, so deleting loses nothing)
+      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh))
+        fs.listStatus(wh).map(_.getPath)
+          .filter(_.getName.startsWith("graft_band_compacted_"))
+          .foreach(p => fs.delete(p, true))
       Sinks.compactBandIndex(s, ingestPath, tbl)
     }
     tbl
