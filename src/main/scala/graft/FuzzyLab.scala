@@ -32,7 +32,7 @@ import graft.sources.Tables
 object FuzzyLab {
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_FUZZYLAB_SFS",
-      "/root/testdata/sf0.1,/root/testdata/sf1").split(",").toSeq
+      "/root/testdata/sf0.1,testdata-sf1").split(",").toSeq
     val spark = GraftSession.build()
 
     def keyedOf(ents: DataFrame, depth: Int): DataFrame = {
