@@ -285,15 +285,33 @@ object Dedup {
     // read as a lateral alias reference when nameCol == "name"
     val keys =
       if (maxDist == 1) deletionKeys(col("name")) else deletionKeys2(col("name"))
-    val keyed = Tables.balanced(entities)
+    val base = Tables.balanced(entities)
       .select(col(idCol).as("id"), col(nameCol).as("name"))
-      .withColumn("k", explode(keys))
-    keyed.as("x").join(keyed.as("y"),
-        col("x.k") === col("y.k") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("x.name").as("an"),
-        col("y.id").as("b"), col("y.name").as("bn"))
+    // Join on the 64-BIT HASH of each deletion key, carrying bare ids:
+    // the equi-join needs only key identity, and the raw form shuffles
+    // and SORT-MERGES ~|name|-byte key strings plus both names through
+    // every stage (measured 97 s at sf10 on the d2 query — the sort of
+    // 35 M wide rows, not the levenshtein, was the bill). Hashing cuts
+    // the join payload to 16 bytes/row; a hash collision can only ADD a
+    // candidate pair, which the exact levenshtein verify rejects, so
+    // semantics are untouched. Names re-attach AFTER the (a, b) distinct
+    // — the pair set is orders of magnitude smaller than the raw bucket
+    // join output, and the dim-sized entity table auto-broadcasts.
+    val keyed = base.withColumn("k", explode(keys))
+      .select(col("id"), xxhash64(col("k")).as("kh"))
+    // SHUFFLE_HASH: the self-join's only alternative is sort-merge, and
+    // sorting two 35 M-row sides costs more than hashing one of them
+    // (per-partition build maps are |keyed|/shuffle-partitions × 16 B —
+    // comfortably in-memory at any sane partition sizing)
+    val pairIds = keyed.as("x").hint("SHUFFLE_HASH").join(keyed.as("y"),
+        col("x.kh") === col("y.kh") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+    pairIds
+      .join(base.select(col("id").as("a"), col("name").as("an")), "a")
+      .join(base.select(col("id").as("b"), col("name").as("bn")), "b")
       .filter(levenshtein(col("an"), col("bn")) <= maxDist)
+      .select(col("a"), col("an"), col("b"), col("bn"))
   }
 
   /** Per-entity neighbor rollup over [[fuzzyPairs]] (the pair list at
