@@ -331,12 +331,14 @@ class PlanAuditSpec extends SparkSpec {
       "events_funnel" -> 2, "catalog_checksum" -> 2,
       "catalog_histogram" -> 3, "kpi_retention" -> 4, "text_bigrams" -> 5,
       // winsorize = bounds agg + clamped agg + sort (bounds broadcast
-      // back); anti = anti-join key shuffle + agg/sort; fuzzy = the
-      // entity-table-sized pre-explode rebalance counted on BOTH
-      // self-join sides (one inside the broadcast build) + pair
-      // distinct + neighbor agg — the deletion-key join itself
-      // broadcasts, top-k is TakeOrdered
-      "kpi_winsorize" -> 3, "join_anti" -> 2, "dedup_fuzzy" -> 4,
+      // back); anti = anti-join key shuffle + agg/sort; fuzzy (r14
+      // shape) = pre-explode rebalance + hashed-key SHUFFLE_HASH
+      // self-join spine counted on both sides + pair distinct +
+      // neighbor agg — the self-join is DELIBERATELY shuffled at every
+      // sf (an entity self-join never broadcasts at scale, and the
+      // spine rows are 16-byte (hash, id) pairs — the r14 9× sf10 win);
+      // the name re-attach joins broadcast, top-k is TakeOrdered
+      "kpi_winsorize" -> 3, "join_anti" -> 2, "dedup_fuzzy" -> 8,
       // scd2 = full-outer join sides + sort; tfidf counts its tf subtree
       // in BOTH the weight and score branches plus the n-docs scan
       // (ReusedExchange dedupes at runtime, as the jaccard test proves) —
