@@ -153,6 +153,9 @@ object SparkEntry {
     "text_heavy" -> ((s, d) => operators.Heavy.qHeavy(s, d)),
     // Benchmark decontamination: train-vs-eval k-gram overlap report
     "pipeline_decontam" -> ((s, d) => operators.Decontam.qReport(s, d)),
+    // Semantic twin: cosine contamination vs the broadcast benchmark set,
+    // planted bench replicas keep the row non-vacuous at every sf
+    "pipeline_decontam_embed" -> ((s, d) => operators.Decontam.qEmbedReport(s, d)),
     // Deterministic train/val/test split manifest (salted-hash assignment)
     "pipeline_split" -> ((s, d) => Sample.qSplit(s, d)),
     // Per-dept exact least-squares trend slope (closed form, int/decimal sums)
@@ -353,6 +356,7 @@ object SparkEntry {
     "pipeline_pack" -> Text.qPackSql,
     "text_heavy" -> operators.Heavy.qHeavySql,
     "pipeline_decontam" -> operators.Decontam.qReportSql,
+    "pipeline_decontam_embed" -> operators.Decontam.qEmbedReportSql,
     "pipeline_split" -> Sample.qSplitSql,
     "kpi_slope" -> Kpi.slopeSql(),
     "catalog_audit" -> sources.Catalog.qAuditSql,

@@ -90,4 +90,95 @@ object Decontam {
        |       CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap_ratio,
        |       n_overlap > 0 AS contaminated
        |FROM g ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Semantic (embedding-cosine) decontamination
+  // -------------------------------------------------------------------
+
+  /** The n-gram report's SEMANTIC twin: paraphrased eval leakage shares
+    * no k-gram but sits at high cosine, so a serious pipeline runs BOTH
+    * checks. Same scale shape as [[report]]: the benchmark side is
+    * eval-corpora-sized, so its LSH bands AND its vectors BROADCAST —
+    * the train corpus never shuffles for the match; the only keyed
+    * exchange is the candidate-pair distinct, whose cardinality is the
+    * (tiny) contamination mass, not the corpus. Banding/verify reuse
+    * the production 8×16-bit sign-RP configuration and the exact
+    * integer cosine ([[Dedup.embedBands]] / [[Similarity.dot]]).
+    *
+    * Planted contamination: every benchmark vector is replicated
+    * verbatim into the train side at id + [[Dedup.PlantOffset]] — the
+    * literal shape of eval leakage — so the gate row is non-vacuous at
+    * every sf (the base corpus's max cross-pair cosine is ~0.51,
+    * correctly below the 0.95 bar; the same planted-twin discipline as
+    * `dedup_embed_planted`). */
+  def embedReport(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.prepared(s, dir).drop("label")
+    val bench = base.filter(isBench(col("vec_id")))
+    val train = base.filter(!isBench(col("vec_id")))
+      .unionByName(bench.withColumn("vec_id",
+        col("vec_id") + lit(Dedup.PlantOffset)))
+    val wide = graft.plans.GraftExtensions.SignBandsWideName
+    val tb = Dedup.embedBands(s, train, wide).toDF("train_id", "k", "bv")
+    val bb = broadcast(Dedup.embedBands(s, bench, wide).toDF("bench_id", "k", "bv"))
+    val cand = tb.join(bb, Seq("k", "bv")).select("train_id", "bench_id").distinct()
+    val d = Similarity.dot(s) _
+    cand
+      .join(train.select(col("vec_id").as("train_id"),
+        col("ie").as("it"), col("nrm").as("nt")), "train_id")
+      .join(broadcast(bench.select(col("vec_id").as("bench_id"),
+        col("ie").as("ib"), col("nrm").as("nb"))), "bench_id")
+      .withColumn("cosine",
+        d(col("it"), col("ib")).cast("double") / (col("nt") * col("nb")))
+      .filter(col("cosine") >= Dedup.ScaledThreshold)
+      .select("train_id", "bench_id", "cosine")
+  }
+
+  def qEmbedReport(s: SparkSession, dir: String): DataFrame =
+    embedReport(s, dir).orderBy("train_id", "bench_id")
+
+  def qEmbedReportSql: String = {
+    val bits = Dedup.ScaledRpBits
+    val bandBits = Dedup.ScaledBandBits
+    s"""WITH benchids AS (
+       |  SELECT vec_id FROM embeddings WHERE ${isBenchSql("vec_id")}),
+       |src AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT e.vec_id + ${Dedup.PlantOffset} AS vec_id, e.embedding
+       |  FROM embeddings e JOIN benchids bi ON bi.vec_id = e.vec_id),
+       |iv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.Scale}) AS BIGINT)) AS ie
+       |  FROM src),
+       |ivn AS (
+       |  SELECT vec_id, ie,
+       |         sqrt(CAST(CAST(list_sum(list_transform(ie, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+       |  FROM iv),
+       |hyper AS (
+       |  SELECT b, j, CASE WHEN substr(md5('rp:' || b || ':' || j), 1, 1)
+       |                    IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS h
+       |  FROM range($bits) t(b), range(${Dedup.EmbedDim}) u(j)),
+       |bits AS (
+       |  SELECT v.vec_id, hp.b,
+       |         CASE WHEN sum(hp.h * v.ie[hp.j + 1]) >= 0 THEN 1 ELSE 0 END AS bt
+       |  FROM ivn v, hyper hp GROUP BY v.vec_id, hp.b),
+       |bands AS (
+       |  SELECT vec_id, b // $bandBits AS k,
+       |         CAST(sum(bt * (1 << (${bandBits - 1} - (b % $bandBits)))) AS BIGINT) AS bv
+       |  FROM bits GROUP BY vec_id, b // $bandBits),
+       |cand AS (
+       |  SELECT DISTINCT t.vec_id AS train_id, b.vec_id AS bench_id
+       |  FROM bands t JOIN bands b ON t.k = b.k AND t.bv = b.bv
+       |  WHERE b.vec_id IN (SELECT vec_id FROM benchids)
+       |    AND (t.vec_id >= ${Dedup.PlantOffset}
+       |         OR t.vec_id NOT IN (SELECT vec_id FROM benchids))),
+       |verified AS (
+       |  SELECT c.train_id, c.bench_id,
+       |         CAST(CAST(list_sum(list_transform(list_zip(x.ie, y.ie), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+       |           / (x.nrm * y.nrm) AS cosine
+       |  FROM cand c JOIN ivn x ON x.vec_id = c.train_id JOIN ivn y ON y.vec_id = c.bench_id)
+       |SELECT train_id, bench_id, cosine FROM verified
+       |WHERE cosine >= ${Dedup.ScaledThreshold}
+       |ORDER BY train_id, bench_id""".stripMargin
+  }
 }

@@ -50,6 +50,42 @@ class DecontamSpec extends SparkSpec {
     assert(out(train.head) === 1L && out(train(1)) === 0L)
   }
 
+  test("embed decontam: every planted bench replica is flagged at cosine 1.0; sides are asymmetric; bench broadcasts") {
+    val out = Decontam.qEmbedReport(spark, sf)
+    out.collect() // executes; AQE final plan below
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bench = graft.sources.Tables.embeddings(spark, sf)
+      .filter(Decontam.isBench(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(bench.nonEmpty, "fixture needs a nonempty bench set")
+    // every planted twin (bench id + offset) meets EXACTLY its original
+    // at cosine 1.0 — identical vectors through the integer dot
+    val planted = rows.filter(_._1 >= graft.operators.Dedup.PlantOffset)
+    assert(planted.map(_._1).toSet ==
+      bench.map(_ + graft.operators.Dedup.PlantOffset),
+      "every planted replica must be flagged, none missed")
+    planted.foreach { case (t, b, c) =>
+      assert(t - graft.operators.Dedup.PlantOffset == b,
+        s"twin $t should hit its own original, hit $b")
+      // dot/(sqrt(dot))^2 can land an ulp either side of 1.0 in IEEE;
+      // both engines compute the identical value (the hash gate pins it)
+      assert(math.abs(c - 1.0) <= 1e-12,
+        s"verbatim replica cosine must be 1.0 within one ulp, got $c")
+    }
+    // asymmetry: the train column never holds a bench id, the bench
+    // column only bench ids (no bench x bench, no train x train)
+    rows.foreach { case (t, b, _) =>
+      assert(!bench.contains(t) || t >= graft.operators.Dedup.PlantOffset)
+      assert(bench.contains(b))
+    }
+    // scale shape: the candidate join and the verify both broadcast the
+    // bench side — the train corpus never shuffles for the match
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench side must broadcast:\n${plan.take(1200)}")
+  }
+
   test("audit: expected rules fire on testdata, FK and PK hold, pass is consistent") {
     val out = Catalog.qAudit(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap

@@ -125,6 +125,36 @@ PLANTED_SRC = """(SELECT vec_id, embedding FROM embeddings
    SELECT vec_id + 1000000000 AS vec_id, embedding
    FROM embeddings WHERE vec_id % 50 = 0)"""
 
+# Decontam corpus (pipeline_decontam_embed): every BENCHMARK vector
+# (salted-hash split, Decontam.isBench) replicated verbatim into the
+# train side at id + 10^9 — the literal shape of eval leakage.
+BENCH_PRED = "CAST('0x' || substr(md5('bench:' || vec_id), 1, 15) AS BIGINT) % 20 = 0"
+DECONTAM_SRC = f"""(SELECT vec_id, embedding FROM embeddings
+   UNION ALL
+   SELECT vec_id + 1000000000 AS vec_id, embedding
+   FROM embeddings WHERE {BENCH_PRED})"""
+
+def decontam_final_sql(bandbits, threshold, tag, ivn="ivn"):
+    return f"""
+WITH benchids AS (SELECT vec_id FROM embeddings WHERE {BENCH_PRED}),
+bands AS (
+  SELECT vec_id, b // {bandbits} AS k,
+         CAST(sum(bt * (1 << ({bandbits - 1} - (b % {bandbits})))) AS BIGINT) AS bv
+  FROM ebits{tag} GROUP BY vec_id, b // {bandbits}),
+cand AS (
+  SELECT DISTINCT t.vec_id AS train_id, b.vec_id AS bench_id
+  FROM bands t JOIN bands b ON t.k = b.k AND t.bv = b.bv
+  WHERE b.vec_id IN (SELECT vec_id FROM benchids)
+    AND (t.vec_id >= 1000000000
+         OR t.vec_id NOT IN (SELECT vec_id FROM benchids))),
+verified AS (
+  SELECT c.train_id, c.bench_id,
+         CAST(CAST(list_sum(list_transform(list_zip(x.ie, y.ie), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+           / (x.nrm * y.nrm) AS cosine
+  FROM cand c JOIN {ivn} x ON x.vec_id = c.train_id JOIN {ivn} y ON y.vec_id = c.bench_id)
+SELECT train_id, bench_id, cosine FROM verified
+WHERE cosine >= {threshold} ORDER BY train_id, bench_id"""
+
 def embed_ivn_sql(tbl, source):
     return f"""
 CREATE TEMP TABLE IF NOT EXISTS {tbl} AS
@@ -310,6 +340,7 @@ FROM cc JOIN csize USING (canonical_id) ORDER BY doc_id""",
     "dedup_simhash": SIMHASH_FINAL,
     "dedup_embed_scaled": embed_final_sql(16, 0.95, 128),
     "dedup_embed_planted": embed_final_sql(16, 0.95, "p128", ivn="ivnp"),
+    "pipeline_decontam_embed": decontam_final_sql(16, 0.95, "d128", ivn="ivnd"),
     "pipeline_curate": CC + """,
 noncanon AS (SELECT doc_id FROM cc WHERE doc_id <> canonical_id),
 d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
@@ -370,6 +401,7 @@ def main():
     embed_variants = {
         "dedup_embed_scaled": (128, "128", "ivn", "embeddings"),
         "dedup_embed_planted": (128, "p128", "ivnp", PLANTED_SRC),
+        "pipeline_decontam_embed": (128, "d128", "ivnd", DECONTAM_SRC),
     }
     solo = set(embed_variants) | {"dedup_simhash"}
     if any(n not in solo for n in names):
