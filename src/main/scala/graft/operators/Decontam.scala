@@ -146,26 +146,7 @@ object Decontam {
        |  UNION ALL
        |  SELECT e.vec_id + ${Dedup.PlantOffset} AS vec_id, e.embedding
        |  FROM embeddings e JOIN benchids bi ON bi.vec_id = e.vec_id),
-       |iv AS (
-       |  SELECT vec_id, list_transform(embedding,
-       |           x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.Scale}) AS BIGINT)) AS ie
-       |  FROM src),
-       |ivn AS (
-       |  SELECT vec_id, ie,
-       |         sqrt(CAST(CAST(list_sum(list_transform(ie, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
-       |  FROM iv),
-       |hyper AS (
-       |  SELECT b, j, CASE WHEN substr(md5('rp:' || b || ':' || j), 1, 1)
-       |                    IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS h
-       |  FROM range($bits) t(b), range(${Dedup.EmbedDim}) u(j)),
-       |bits AS (
-       |  SELECT v.vec_id, hp.b,
-       |         CASE WHEN sum(hp.h * v.ie[hp.j + 1]) >= 0 THEN 1 ELSE 0 END AS bt
-       |  FROM ivn v, hyper hp GROUP BY v.vec_id, hp.b),
-       |bands AS (
-       |  SELECT vec_id, b // $bandBits AS k,
-       |         CAST(sum(bt * (1 << (${bandBits - 1} - (b % $bandBits)))) AS BIGINT) AS bv
-       |  FROM bits GROUP BY vec_id, b // $bandBits),
+       |${Dedup.embedSqlPrefix(bits, bandBits, "src")},
        |cand AS (
        |  SELECT DISTINCT t.vec_id AS train_id, b.vec_id AS bench_id
        |  FROM bands t JOIN bands b ON t.k = b.k AND t.bv = b.bv

@@ -285,8 +285,11 @@ object Dedup {
     // read as a lateral alias reference when nameCol == "name"
     val keys =
       if (maxDist == 1) deletionKeys(col("name")) else deletionKeys2(col("name"))
-    val base = Tables.balanced(entities)
-      .select(col(idCol).as("id"), col(nameCol).as("name"))
+    val named = entities.select(col(idCol).as("id"), col(nameCol).as("name"))
+    // only the EXPLODE side needs the pre-explosion rebalance; the name
+    // re-attach joins below broadcast the dim-sized table and must not
+    // pay balanced()'s repartition inside each broadcast build
+    val base = Tables.balanced(named)
     // Join on the 64-BIT HASH of each deletion key, carrying bare ids:
     // the equi-join needs only key identity, and the raw form shuffles
     // and SORT-MERGES ~|name|-byte key strings plus both names through
@@ -308,8 +311,8 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
     pairIds
-      .join(base.select(col("id").as("a"), col("name").as("an")), "a")
-      .join(base.select(col("id").as("b"), col("name").as("bn")), "b")
+      .join(named.select(col("id").as("a"), col("name").as("an")), "a")
+      .join(named.select(col("id").as("b"), col("name").as("bn")), "b")
       .filter(levenshtein(col("an"), col("bn")) <= maxDist)
       .select(col("a"), col("an"), col("b"), col("bn"))
   }
@@ -642,25 +645,33 @@ object Dedup {
     }
     val fpTag = new org.apache.hadoop.fs.Path(ingestPath).getName
       .replaceAll("[^A-Za-z0-9_]", "_")
-    val tbl = s"graft_band_compacted_$fpTag"
+    // PROCESS-SCOPED table name: a bucketed table's bucket spec lives in
+    // the catalog, and the in-memory catalog is process-local — so the
+    // table cannot be shared across processes anyway (a re-registered
+    // bare directory would silently lose its bucketing). Scoping the
+    // name by pid means this process never touches a directory another
+    // LIVE process may be building or reading (the delete-any-prefix
+    // form raced exactly that way — r14 review finding), while the
+    // same-pid leftover below is provably from a dead process.
+    val tbl = s"graft_band_compacted_${fpTag}_p${ProcessHandle.current().pid()}"
     if (!s.catalog.tableExists(tbl)) {
-      // retire superseded fingerprints first (the sweep discipline)
+      // retire THIS PROCESS's superseded fingerprints (registered ⇒ ours;
+      // managed-table DROP also removes their directories)
       s.catalog.listTables().collect()
         .map(_.name)
-        .filter(n => n.startsWith("graft_band_compacted_") && n != tbl)
+        .filter(n => n.startsWith("graft_band_compacted_") &&
+          n.endsWith(s"_p${ProcessHandle.current().pid()}") && n != tbl)
         .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
-      // a PREVIOUS PROCESS may have left this table's physical location
-      // without a catalog entry (the in-memory catalog dies with its
-      // session; the warehouse directory does not), and saveAsTable
-      // refuses to create a managed table over an existing location —
-      // clear any unregistered leftovers under our own prefix (content
-      // is deterministic per fingerprint, so deleting loses nothing)
+      // a DEAD process with this pid (pid reuse across boots) may have
+      // left this exact location without a catalog entry; saveAsTable
+      // refuses to create over it. Same-pid concurrency is impossible,
+      // so deleting only OUR name is race-free. Other processes' leftover
+      // directories are inert garbage under distinct names — bounded by
+      // process count, never deleted from here.
       val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(wh))
-        fs.listStatus(wh).map(_.getPath)
-          .filter(_.getName.startsWith("graft_band_compacted_"))
-          .foreach(p => fs.delete(p, true))
+      val loc = new org.apache.hadoop.fs.Path(wh, tbl)
+      if (fs.exists(loc)) fs.delete(loc, true)
       Sinks.compactBandIndex(s, ingestPath, tbl)
     }
     tbl
@@ -871,9 +882,14 @@ object Dedup {
          |   SELECT vec_id + $PlantOffset AS vec_id, embedding
          |   FROM embeddings WHERE vec_id % $PlantEvery = 0)""".stripMargin)
 
-  private def embedSql(bits: Int, bandBits: Int, threshold: Double,
-                       source: String = "embeddings"): String =
-    s"""WITH iv AS (
+  /** The sign-RP banding CTE prefix (iv → ivn → hyper → bits → bands),
+    * shared verbatim by every embed oracle — the dedup family here AND
+    * the semantic decontamination report ([[Decontam.qEmbedReportSql]]);
+    * one definition so a banding change can never silently diverge the
+    * oracles (r14 review finding). */
+  private[operators] def embedSqlPrefix(bits: Int, bandBits: Int,
+                                        source: String): String =
+    s"""iv AS (
        |  SELECT vec_id, list_transform(embedding,
        |           x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.Scale}) AS BIGINT)) AS ie
        |  FROM $source),
@@ -892,7 +908,11 @@ object Dedup {
        |bands AS (
        |  SELECT vec_id, b // $bandBits AS k,
        |         CAST(sum(bt * (1 << (${bandBits - 1} - (b % $bandBits)))) AS BIGINT) AS bv
-       |  FROM bits GROUP BY vec_id, b // $bandBits),
+       |  FROM bits GROUP BY vec_id, b // $bandBits)""".stripMargin
+
+  private def embedSql(bits: Int, bandBits: Int, threshold: Double,
+                       source: String = "embeddings"): String =
+    s"""WITH ${embedSqlPrefix(bits, bandBits, source)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |  FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.vec_id < b.vec_id),

@@ -314,8 +314,17 @@ object Similarity {
     val codebook = graft.sources.Artifacts.cached(s, CodebookKind, src) {
       kmeansCodebook(s, prepared(s, dir))
     }
+    // The members table is DERIVED from the codebook, so it fingerprints
+    // on the CODEBOOK ARTIFACT DIRECTORY, not the raw embeddings: an
+    // Artifacts.refresh of the codebook at an unchanged source
+    // fingerprint (the documented post-logic-change remedy) rewrites
+    // that directory, moving this key and forcing re-assignment — keying
+    // on `src` would silently serve cells assigned under the OLD
+    // codebook to probes ranked by the NEW one. Data changes are covered
+    // transitively: a new source fingerprint is a new codebook path.
+    val codebookPath = graft.sources.Artifacts.path(s, CodebookKind, src)
     val members = graft.sources.Artifacts.cachedPartitioned(
-        s, MembersKind, src, Seq("cell")) {
+        s, MembersKind, codebookPath, Seq("cell")) {
       assignCells(s, prepared(s, dir), codebook)
     }
     val d = dot(s) _

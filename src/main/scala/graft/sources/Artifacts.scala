@@ -141,7 +141,17 @@ object Artifacts {
           case None => Nil
         }
       val existing = partChain(hp)
-      require(existing == parts,
+      // a ZERO-ROW artifact publishes no col= directories and no data
+      // files (just _SUCCESS) regardless of its declared layout — its
+      // on-disk shape is layout-indeterminate, so the guard cannot (and
+      // must not) refuse a refresh there: requiring Nil == parts would
+      // permanently brick refresh for empty partitioned artifacts
+      // (r14 review finding)
+      val hasData = f.listFiles(hp, true)
+      var empty = true
+      while (empty && hasData.hasNext)
+        if (hasData.next().getPath.getName.endsWith(".parquet")) empty = false
+      require(existing == parts || (existing.isEmpty && empty),
         s"refresh of $kind with parts=[${parts.mkString(",")}] would " +
           s"change the existing layout [${existing.mkString(",")}] at $p " +
           "— pass exactly the parts the artifact was declared with")

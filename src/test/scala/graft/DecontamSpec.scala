@@ -52,7 +52,8 @@ class DecontamSpec extends SparkSpec {
 
   test("embed decontam: every planted bench replica is flagged at cosine 1.0; sides are asymmetric; bench broadcasts") {
     val out = Decontam.qEmbedReport(spark, sf)
-    out.collect() // executes; AQE final plan below
+    // one action: the collected rows AND the executed AQE plan below
+    // come from the same run
     val rows = out.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val bench = graft.sources.Tables.embeddings(spark, sf)

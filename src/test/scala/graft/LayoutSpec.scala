@@ -97,9 +97,11 @@ class LayoutSpec extends SparkSpec {
     // with no Exchange on the corpus side (same assertion as the raw
     // bucketed-index test, but on the DECLARED query's table).
     val tbl = graft.operators.Dedup.compactedBandTable(spark, sf)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // save-and-restore, not hardcoded defaults: a regime sweep (AQE-off,
+    // non-default broadcast threshold) must get ITS values back
+    graft.operators.Skew.withConfs(spark, Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")) {
       val batch = graft.operators.Dedup.bandIndex(
         Tables.documents(spark, sf).filter(
           org.apache.spark.sql.functions.col("doc_id") % 5 === 0))
@@ -115,9 +117,6 @@ class LayoutSpec extends SparkSpec {
       assert(idxSide.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }.isEmpty, "compacted index must join from its bucketed layout unshuffled")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
   }
 
