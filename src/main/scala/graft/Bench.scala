@@ -152,24 +152,44 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","epoch_ms":$epochMs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
-    // Second, compact line: the driver's bench artifact keeps only the
-    // final ~2000 chars of stdout, which the full-precision flat line has
-    // never fit (rounds 1-8 all record parsed:null and a mid-line tail).
-    // Grouping query names by family prefix ("kpi_summary" ->
-    // kpi:{summary:...}) and quantizing to whole milliseconds fits every
-    // per-query timing inside the window, so the driver artifact carries
-    // the complete map; bench_full.json stays the full-precision copy.
-    val grouped = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashMap[String, Long]]()
-    results.foreach { case (name, sec) =>
+    // Second, compact line — printed LAST so it is the line the driver's
+    // bounded stdout capture parses. The window keeps only the final
+    // ~2000 chars and sbt's own "[success] Total time ..." line eats
+    // ~75 of them, so the line must stay under ~1900 chars even as the
+    // surface grows. The r13/r14 family-grouped ms line measured 2078
+    // chars at 118 queries and both rounds recorded parsed:false (the
+    // window opened mid-object). This encoding measures 1651 chars at
+    // 118 queries (~1840 at 132):
+    //   - names: 2-letter family code + each '_'-word of the rest
+    //     truncated to 4 chars (trailing digits the cut would drop are
+    //     kept: fuzzy2 -> fuzz2, zorder3 -> zord3), words concatenated.
+    //     kpi_headcount_approx -> "kpheadappr". Decode rule also in
+    //     BASELINE.md; bench_full.json keeps the full-name full-precision
+    //     map. Uniqueness is ASSERTED below — a colliding future name
+    //     fails the bench loudly instead of silently merging timings.
+    //   - values: centiseconds (10 ms resolution — the epoch canary
+    //     itself wanders ~70 ms, so nothing real lives below this).
+    val famCode = Map(
+      "events" -> "ev", "dedup" -> "dd", "etl" -> "et", "text" -> "tx",
+      "join" -> "jn", "catalog" -> "ct", "media" -> "md",
+      "pipeline" -> "pp", "kpi" -> "kp", "similar" -> "sm",
+      "layout" -> "ly", "sample" -> "sa")
+    def abbr(name: String): String = {
       val i = name.indexOf('_')
       val (p, rest) = if (i > 0) (name.substring(0, i), name.substring(i + 1)) else (name, name)
-      grouped.getOrElseUpdate(p, scala.collection.mutable.LinkedHashMap.empty).update(rest, math.round(sec * 1000))
+      def short(w: String) = w.take(4) + w.drop(4).filter(_.isDigit)
+      famCode.getOrElse(p, p) + rest.split('_').map(short).mkString
     }
-    val gq = grouped.map { case (p, sub) =>
-      "\"" + p + "\":{" + sub.map { case (r, ms) => "\"" + r + "\":" + ms }.mkString(",") + "}"
+    val abbrs = results.keys.map(n => abbr(n) -> n).toSeq
+    require(abbrs.map(_._1).distinct.size == abbrs.size,
+      s"bench abbr collision: ${abbrs.groupBy(_._1).filter(_._2.size > 1)}")
+    val gq = results.map { case (n, sec) =>
+      "\"" + abbr(n) + "\":" + math.max(1, math.round(sec * 100))
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n":${results.size},"epoch_ms":$epochMs,"queries_ms":$gq,"errors":$errs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    val compact = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n":${results.size},"ep":$epochMs,"cs":$gq,"errors":$errs,"sf":"${new java.io.File(sfDir).getName}"}"""
     println(compact)
+    if (compact.length > 1850)
+      System.err.println(s"bench: WARNING compact line ${compact.length} chars — approaching the ~1900-char driver capture bound; tighten the encoding")
     // Also persist the full JSON to a file: the driver captures stdout
     // through a bounded tail window that has truncated mid-object (round
     // 7 kept 66 of 101 per-query timings), leaving the recorded total

@@ -31,8 +31,15 @@ import graft.sources.Tables
   */
 object FuzzyLab {
   def main(args: Array[String]): Unit = {
+    // Relative entries resolve against the repo root (where the
+    // gitignored testdata-sf1/ scale-up lives), not the launch CWD —
+    // the r14 default mixed an absolute path with a CWD-relative one
+    // and silently broke outside the repo root (ADVICE r14). Override
+    // SPARK_GRAFT_REPO_ROOT if the checkout lives elsewhere.
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", "/root/repo")
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_FUZZYLAB_SFS",
       "/root/testdata/sf0.1,testdata-sf1").split(",").toSeq
+      .map(d => if (new java.io.File(d).isAbsolute) d else s"$repoRoot/$d")
     val spark = GraftSession.build()
 
     def keyedOf(ents: DataFrame, depth: Int): DataFrame = {

@@ -270,7 +270,20 @@ object Dedup {
     * algorithm: compose the name with a high-entropy attribute (what
     * [[qFuzzy2]] does with exact-integer account cents) and buckets
     * collapse to true near-duplicates. Same law as the sign-LSH band
-    * re-cut: block width must scale with corpus entropy. */
+    * re-cut: block width must scale with corpus entropy.
+    *
+    * REQUIRES `idCol` unique (one row per id). The r14 hashed-key
+    * rewrite carries bare ids through the bucket join and re-attaches
+    * names by joining back to `entities` — with duplicate ids that
+    * re-attach multiplies pair rows and can verify a pair under a name
+    * other than the one that generated the candidate (ADVICE r14). All
+    * call sites join on key columns (s_suppkey, o_custkey aggregates);
+    * a caller with non-unique ids must pre-dedup. Enforced fail-loud:
+    * the re-attach side is built from a per-id aggregate that
+    * `raise_error`s on any id with >1 row — cost is one dim-sized
+    * groupBy on the side the join already materializes, and a violating
+    * caller dies with a named error instead of silently multiplying
+    * pairs (DedupSpec pins both directions). */
   def fuzzyPairs(entities: DataFrame, idCol: String, nameCol: String,
                  maxDist: Int = 1): DataFrame = {
     require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
@@ -310,9 +323,18 @@ object Dedup {
         col("x.kh") === col("y.kh") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+    // unique-id guard (scaladoc REQUIRES): one aggregate over the
+    // dim-sized table the re-attach joins anyway; any duplicated id
+    // raises at execution time rather than silently multiplying pairs
+    val nameById = named.groupBy("id")
+      .agg(count(lit(1)).as("_n"), first(col("name")).as("name"))
+      .select(col("id"), when(col("_n") > 1, raise_error(concat(
+          lit("fuzzyPairs requires unique ids; duplicate id: "),
+          col("id").cast("string"))))
+        .otherwise(col("name")).as("name"))
     pairIds
-      .join(named.select(col("id").as("a"), col("name").as("an")), "a")
-      .join(named.select(col("id").as("b"), col("name").as("bn")), "b")
+      .join(nameById.select(col("id").as("a"), col("name").as("an")), "a")
+      .join(nameById.select(col("id").as("b"), col("name").as("bn")), "b")
       .filter(levenshtein(col("an"), col("bn")) <= maxDist)
       .select(col("a"), col("an"), col("b"), col("bn"))
   }
@@ -633,6 +655,18 @@ object Dedup {
     * and its compacted bucketed table; returns the table name. Split
     * out of [[qIncrementalCompacted]] so the layout spec can assert the
     * bucketed scan joins unshuffled without re-deriving the naming. */
+  /** (host, pid) discriminator for process-scoped catalog table names —
+    * pid alone is unique only per host, and a shared warehouse dir can
+    * serve drivers on several machines (ADVICE r14). Sanitized to the
+    * catalog's identifier alphabet; hostname truncated (table-name
+    * hygiene) but kept human-readable for leftover triage. */
+  private lazy val procTag: String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+               catch { case _: Throwable => "unknownhost" }
+    val h = host.replaceAll("[^A-Za-z0-9]", "_").take(24).toLowerCase
+    s"h${h}_p${ProcessHandle.current().pid()}"
+  }
+
   def compactedBandTable(s: SparkSession, dir: String): String = {
     import graft.sources.{Artifacts, Sinks}
     val src = s"$dir/documents.parquet"
@@ -649,25 +683,30 @@ object Dedup {
     // the catalog, and the in-memory catalog is process-local — so the
     // table cannot be shared across processes anyway (a re-registered
     // bare directory would silently lose its bucketing). Scoping the
-    // name by pid means this process never touches a directory another
-    // LIVE process may be building or reading (the delete-any-prefix
-    // form raced exactly that way — r14 review finding), while the
-    // same-pid leftover below is provably from a dead process.
-    val tbl = s"graft_band_compacted_${fpTag}_p${ProcessHandle.current().pid()}"
+    // name by HOST + pid means this process never touches a directory
+    // another LIVE process may be building or reading (the
+    // delete-any-prefix form raced exactly that way — r14 review
+    // finding), while the same-suffix leftover below is provably from a
+    // dead process. The host component matters when two driver machines
+    // share one spark.sql.warehouse.dir: equal pids on different hosts
+    // are otherwise the same name, and the unconditional delete below
+    // would race live data (ADVICE r14).
+    val tbl = s"graft_band_compacted_${fpTag}_$procTag"
     if (!s.catalog.tableExists(tbl)) {
       // retire THIS PROCESS's superseded fingerprints (registered ⇒ ours;
       // managed-table DROP also removes their directories)
       s.catalog.listTables().collect()
         .map(_.name)
         .filter(n => n.startsWith("graft_band_compacted_") &&
-          n.endsWith(s"_p${ProcessHandle.current().pid()}") && n != tbl)
+          n.endsWith(s"_$procTag") && n != tbl)
         .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
-      // a DEAD process with this pid (pid reuse across boots) may have
-      // left this exact location without a catalog entry; saveAsTable
-      // refuses to create over it. Same-pid concurrency is impossible,
-      // so deleting only OUR name is race-free. Other processes' leftover
-      // directories are inert garbage under distinct names — bounded by
-      // process count, never deleted from here.
+      // a DEAD same-host process with this pid (pid reuse across boots)
+      // may have left this exact location without a catalog entry;
+      // saveAsTable refuses to create over it. Same-(host,pid)
+      // concurrency is impossible, so deleting only OUR name is
+      // race-free. Other processes' leftover directories are inert
+      // garbage under distinct names — bounded by process count, never
+      // deleted from here.
       val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
       val loc = new org.apache.hadoop.fs.Path(wh, tbl)

@@ -81,6 +81,32 @@ object Artifacts {
       parts: Seq[String])(train: => DataFrame): DataFrame =
     cachedWith(s, kind, src, parts)(train)
 
+  /** Declared-layout sidecar (`_parts.json`): the partition columns an
+    * artifact was DECLARED with, persisted at write time. The refresh
+    * guard validates against this rather than inferring layout from
+    * `col=` directories, which a zero-row partitioned write never
+    * produces — without the sidecar, an empty partitioned artifact
+    * could be refreshed under a different layout, exactly the swap the
+    * guard exists to refuse (ADVICE r14). Underscore prefix keeps it
+    * invisible to parquet readers. */
+  private def writeParts(s: SparkSession, dir: Path, parts: Seq[String]): Unit = {
+    val out = fs(s, dir).create(new Path(dir, "_parts.json"), true)
+    out.write(parts.map("\"" + _ + "\"").mkString("[", ",", "]").getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readParts(s: SparkSession, dir: Path): Option[Seq[String]] = {
+    val sp = new Path(dir, "_parts.json")
+    val f = fs(s, dir)
+    if (!f.exists(sp)) None
+    else {
+      val in = f.open(sp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(txt.trim.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+    }
+  }
+
   private def cachedWith(s: SparkSession, kind: String, src: String,
       parts: Seq[String])(train: => DataFrame): DataFrame = {
     val p = path(s, kind, src)
@@ -91,6 +117,9 @@ object Artifacts {
       // share one output path's _temporary staging (see scaladoc).
       val tmp = new Path(p + s".train-${java.util.UUID.randomUUID}")
       train.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
+      // sidecar rides inside the staging dir so the atomic rename
+      // publishes data + declared layout together
+      writeParts(s, tmp, parts)
       val claimed =
         try { f.create(new Path(p + ".claim"), false).close(); true }
         catch { case _: java.io.IOException => false } // racer claimed first
@@ -131,32 +160,42 @@ object Artifacts {
     val hp = new Path(p)
     val f = fs(s, hp)
     if (f.exists(hp)) {
-      // walk the first Hive-style directory chain: each nesting level's
-      // `col=value` name contributes one partition column, in order
-      def partChain(dir: Path): Seq[String] =
-        f.listStatus(dir).find(st =>
-          st.isDirectory && st.getPath.getName.contains("=")) match {
-          case Some(st) =>
-            st.getPath.getName.split("=", 2)(0) +: partChain(st.getPath)
-          case None => Nil
-        }
-      val existing = partChain(hp)
-      // a ZERO-ROW artifact publishes no col= directories and no data
-      // files (just _SUCCESS) regardless of its declared layout — its
-      // on-disk shape is layout-indeterminate, so the guard cannot (and
-      // must not) refuse a refresh there: requiring Nil == parts would
-      // permanently brick refresh for empty partitioned artifacts
-      // (r14 review finding)
-      val hasData = f.listFiles(hp, true)
-      var empty = true
-      while (empty && hasData.hasNext)
-        if (hasData.next().getPath.getName.endsWith(".parquet")) empty = false
-      require(existing == parts || (existing.isEmpty && empty),
-        s"refresh of $kind with parts=[${parts.mkString(",")}] would " +
-          s"change the existing layout [${existing.mkString(",")}] at $p " +
-          "— pass exactly the parts the artifact was declared with")
+      readParts(s, hp) match {
+        // the sidecar IS the declared layout — authoritative even for a
+        // zero-row artifact, whose directory shape is indeterminate (no
+        // `col=` dirs, no data files); the ADVICE-r14 hole where an
+        // empty partitioned artifact accepted a layout-swapping refresh
+        // is closed by validating against the declaration, not the disk
+        case Some(declared) =>
+          require(declared == parts,
+            s"refresh of $kind with parts=[${parts.mkString(",")}] would " +
+              s"change the declared layout [${declared.mkString(",")}] at $p " +
+              "— pass exactly the parts the artifact was declared with")
+        case None =>
+          // pre-sidecar artifact: fall back to inferring the layout from
+          // the first Hive-style `col=value` directory chain, with the
+          // zero-row carve-out (an empty write publishes neither `col=`
+          // dirs nor data files, so its shape proves nothing)
+          def partChain(dir: Path): Seq[String] =
+            f.listStatus(dir).find(st =>
+              st.isDirectory && st.getPath.getName.contains("=")) match {
+              case Some(st) =>
+                st.getPath.getName.split("=", 2)(0) +: partChain(st.getPath)
+              case None => Nil
+            }
+          val existing = partChain(hp)
+          val hasData = f.listFiles(hp, true)
+          var empty = true
+          while (empty && hasData.hasNext)
+            if (hasData.next().getPath.getName.endsWith(".parquet")) empty = false
+          require(existing == parts || (existing.isEmpty && empty),
+            s"refresh of $kind with parts=[${parts.mkString(",")}] would " +
+              s"change the existing layout [${existing.mkString(",")}] at $p " +
+              "— pass exactly the parts the artifact was declared with")
+      }
     }
     train.write.mode("overwrite").partitionBy(parts: _*).parquet(p)
+    writeParts(s, hp, parts)
     s.read.parquet(p)
   }
 

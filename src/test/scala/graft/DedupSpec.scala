@@ -272,6 +272,23 @@ class DedupSpec extends SparkSpec {
       3L -> ((3L, "ab")), 5L -> ((3L, "ab"))), s"got $out")
   }
 
+  test("fuzzy: duplicate ids fail loudly, unique ids pass the guard") {
+    val sp2 = spark
+    import sp2.implicits._
+    // the hashed-key re-attach REQUIRES unique ids (scaladoc): with a
+    // duplicated id the name re-join would multiply pair rows and could
+    // verify a pair under the wrong name — the guard must raise, not
+    // silently emit (ADVICE r14)
+    val dup = Seq((1L, "ab"), (1L, "ac"), (2L, "ab")).toDF("id", "name")
+    val ex = intercept[Exception] {
+      Dedup.fuzzyPairs(dup, "id", "name").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("requires unique ids")),
+      s"expected the named guard error, got: $ex")
+  }
+
   test("fuzzy: distance-2 strings never pair, even when plausible-looking") {
     val sp2 = spark
     import sp2.implicits._
