@@ -148,6 +148,10 @@ object SparkEntry {
     // token-budget training-shard packing
     "text_scrub" -> ((s, d) => Text.qScrub(s, d)),
     "pipeline_pack" -> ((s, d) => Text.qPack(s, d)),
+    // BPE tokenizer: trained-merges subword counts (codegen'd replace
+    // chain, zero UDF) + the pack twin budgeted in BPE tokens
+    "text_tokens_bpe" -> ((s, d) => Text.qTokensBpe(s, d)),
+    "pipeline_pack_bpe" -> ((s, d) => Text.qPackBpe(s, d)),
     // Exact heavy hitters via per-partition Misra-Gries candidates +
     // broadcast verify (never shuffles a non-candidate token)
     "text_heavy" -> ((s, d) => operators.Heavy.qHeavy(s, d)),
@@ -354,6 +358,8 @@ object SparkEntry {
     "text_tfidf" -> Text.qTfidfSql,
     "text_scrub" -> Text.qScrubSql,
     "pipeline_pack" -> Text.qPackSql,
+    "text_tokens_bpe" -> Text.qTokensBpeSql,
+    "pipeline_pack_bpe" -> Text.qPackBpeSql,
     "text_heavy" -> operators.Heavy.qHeavySql,
     "pipeline_decontam" -> operators.Decontam.qReportSql,
     "pipeline_decontam_embed" -> operators.Decontam.qEmbedReportSql,

@@ -783,6 +783,183 @@ object Text {
        |FROM c GROUP BY source, shard
        |ORDER BY source, shard""".stripMargin
 
+  // ------------------------------------------------------------------
+  // BPE tokenizer (the one LLM-pipeline-brief op the surface lacked —
+  // VERDICT r14 #4): training-data pipelines budget shards and mixtures
+  // by SUBWORD tokens, not whitespace words. Two halves:
+  //
+  //   [[bpeTrain]] — deterministic greedy merge training. The only
+  //   corpus-wide pass is the distinct-word frequency groupBy (classic
+  //   BPE trains on the word-frequency table — VOCAB-sized, sublinear
+  //   in corpus; at 100 TB the iterations touch megabytes). Each
+  //   iteration is one vocab-sized shuffle + a 1-row argmax collect,
+  //   ties broken (count desc, pair lexicographic asc) so every engine
+  //   trains the identical list.
+  //
+  //   [[bpeTokens]] — apply, as a PURE codegen'd expression chain: each
+  //   char is wrapped as <d1>c<d2> and each merge (x,y) is one
+  //   literal `replace` of <d1>x<d2><d1>y<d2> with
+  //   <d1>xy<d2>. String replace's leftmost-non-overlap scan IS
+  //   BPE's skip-overlap pass ("aaa" + (a,a) -> [aa, a]), and the
+  //   delimiter wrapping makes adjacent matches share no characters, so
+  //   one replace per merge rule merges every occurrence. Space symbols
+  //   never appear in any merge, so pairs never cross word boundaries.
+  //   Sequential rank-order application is equivalent to the
+  //   min-rank-first loop for any WELL-FORMED merges list (each
+  //   operand is a base char or the output of a strictly earlier
+  //   merge — true of every trained list by construction; asserted for
+  //   the fixture in TextSpec): a merge's output symbol cannot occur in
+  //   an earlier-ranked pair, because that pair predates the symbol.
+  //   No UDF, no explode — at 100 TB this runs at scan speed like the
+  //   rest of the per-doc gate family. DuckDB's `replace` has identical
+  //   leftmost-non-overlap semantics, so the oracle is the same chain.
+  // ------------------------------------------------------------------
+
+  private val BpeD1 = "\u0001"
+  private val BpeD2 = "\u0002"
+
+  /** Wrapped-symbol sequence of normalized text under `merges`. */
+  private def bpeSeq(t: Column, merges: Seq[(String, String)]): Column = {
+    val wrapped = regexp_replace(t, "(.)", BpeD1 + "$1" + BpeD2)
+    merges.foldLeft(wrapped) { case (c, (x, y)) =>
+      replace(c, lit(BpeD1 + x + BpeD2 + BpeD1 + y + BpeD2),
+        lit(BpeD1 + x + y + BpeD2))
+    }
+  }
+
+  /** BPE token count of normalized text `t`: symbols in the merged
+    * sequence minus the (unmergeable) space symbols. */
+  def bpeTokens(t: Column, merges: Seq[(String, String)] = BpeMerges): Column = {
+    val sq = bpeSeq(t, merges)
+    ((length(sq) - length(replace(sq, lit(BpeD1), lit("")))) -
+      (length(t) - length(replace(t, lit(" "), lit(""))))).cast("long")
+  }
+
+  /** Deterministic greedy BPE training over the corpus' word-frequency
+    * table. Returns the ordered merges list; stops early when no
+    * adjacent pair remains (fully merged vocab). */
+  def bpeTrain(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    var wf = docs.select(explode(words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(regexp_replace(col("w"), "(.)", BpeD1 + "$1" + BpeD2).as("sq"),
+        col("n"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (!done && out.size < nMerges) {
+      // adjacent symbol pairs within each word, frequency-weighted
+      val top = wf
+        .select(col("n"), split(regexp_replace(col("sq"),
+          "^" + BpeD1 + "|" + BpeD2 + "$", ""), BpeD2 + BpeD1).as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i - 1] AS x, syms[i] AS y))")).as("p"))
+        .groupBy(col("p.x"), col("p.y")).agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y"))
+        .limit(1).collect() // 1 row — the argmax, never the table
+      if (top.isEmpty) done = true
+      else {
+        val (x, y) = (top.head.getString(0), top.head.getString(1))
+        out += ((x, y))
+        // checkpoint per iteration: caps the replace-chain plan depth
+        // and re-materializes the vocab-sized table (trivial bytes)
+        wf = wf.select(replace(col("sq"),
+            lit(BpeD1 + x + BpeD2 + BpeD1 + y + BpeD2),
+            lit(BpeD1 + x + y + BpeD2)).as("sq"), col("n"))
+          .localCheckpoint()
+      }
+    }
+    out.toSeq
+  }
+
+  /** Fixed merges fixture for the gated queries: the verbatim output of
+    * `bpeTrain(documents @ sf0.1, 24)` — trained once offline (this
+    * round), committed as a literal so the DuckDB oracle can apply the
+    * identical list. A production deployment would persist the trained
+    * list via [[graft.sources.Artifacts]] exactly like the perplexity
+    * bigram-LM; the apply path is identical either way. */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "r"), ("s", "t"), ("o", "w"),
+    ("t", "a"), ("l", "u"), ("m", "er"), ("a", "r"), ("p", "ar"),
+    ("u", "p"), ("par", "k"), ("s", "park"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("g", "e"), ("mer", "ge"), ("b", "l"), ("bl", "e"),
+    ("ta", "ble"), ("c", "o"), ("co", "lu"), ("colu", "m"))
+
+  /** DuckDB expression mirroring [[bpeSeq]]+[[bpeTokens]] over column
+    * expression `t` (already normalized). */
+  private def bpeTokensSql(t: String, merges: Seq[(String, String)] = BpeMerges): String = {
+    val wrapped = s"regexp_replace($t, '(.)', chr(1)||'\\1'||chr(2), 'g')"
+    val chain = merges.foldLeft(wrapped) { case (c, (x, y)) =>
+      s"replace($c, '$BpeD1$x$BpeD2$BpeD1$y$BpeD2', '$BpeD1$x$y$BpeD2')"
+    }
+    s"CAST((length($chain) - length(replace($chain, chr(1), ''))) - " +
+      s"(length($t) - length(replace($t, ' ', ''))) AS BIGINT)"
+  }
+
+  /** Per-doc whitespace vs BPE token accounting — the budget signal
+    * [[qPackBpe]] shards by. */
+  def tokensBpe(docs: DataFrame): DataFrame = {
+    val t = norm(col("text"))
+    docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        (length(t) - length(replace(t, lit(" "), lit("")))).cast("long")
+          .as("n_chars_nosp"),
+        bpeTokens(t).as("n_tok_bpe"))
+      .orderBy("doc_id")
+  }
+
+  def qTokensBpe(s: SparkSession, dir: String): DataFrame =
+    tokensBpe(Tables.balanced(Tables.documents(s, dir)))
+
+  def qTokensBpeSql: String = {
+    // the chain is large (24 nested replaces) — bind it once in a CTE
+    s"""WITH d AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+       |       CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) AS n_chars_nosp,
+       |       ${bpeTokensSql("t")} AS n_tok_bpe
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  val PackBpeBudget = 256L
+
+  /** [[pack]] with the shard budget measured in BPE tokens instead of
+    * whitespace words — same one-shuffle window shape, different token
+    * meter. Separate declared query so both meters stay oracle-gated. */
+  def qPackBpe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy("source").orderBy("doc_id")
+    Tables.balanced(Tables.documents(s, dir))
+      .select(col("source"), col("doc_id"),
+        bpeTokens(norm(col("text"))).as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(bySrc))
+      .withColumn("shard", expr(s"(cum - n_tok) div $PackBpeBudget"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "shard")
+  }
+
+  def qPackBpeSql: String =
+    s"""WITH d0 AS (
+       |  SELECT source, doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |d AS (
+       |  SELECT source, doc_id, ${bpeTokensSql("t")} AS n_tok FROM d0),
+       |c AS (
+       |  SELECT source, doc_id, n_tok,
+       |         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+       |  FROM d)
+       |SELECT source, CAST((cum - n_tok) // $PackBpeBudget AS BIGINT) AS shard,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY source, shard
+       |ORDER BY source, shard""".stripMargin
+
   val RepK = 3 // word-3-grams for the within-doc repetition signal
 
   /** Within-document repetition (the Gopher-rules quality gate family):

@@ -252,4 +252,41 @@ class TextSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_kept") == 3L,
       "df counts DISTINCT docs: 3 copies inside one doc stay below BoilerDf")
   }
+
+  test("bpe: train recovers hand-computed merges with lexicographic tie-break and early stop") {
+    // freq: ab x3, ac x1 -> pair (a,b):3 wins, then (a,c):1, then dry
+    val docs = Seq((1L, "ab ab ac"), (2L, "ab")).toDF("doc_id", "text")
+    assert(Text.bpeTrain(docs, 5) == Seq(("a", "b"), ("a", "c")),
+      "greedy argmax + early stop when no pairs remain")
+    // tie at count 1: (a,b) < (b,a) lexicographically
+    val tie = Seq((1L, "ab ba")).toDF("doc_id", "text")
+    assert(Text.bpeTrain(tie, 2) == Seq(("a", "b"), ("b", "a")))
+  }
+
+  test("bpe: fixture is well-formed (operands are base chars or earlier outputs)") {
+    // sequential rank-order application (the replace-chain implementation)
+    // is equivalent to min-rank-first BPE ONLY under this property — a
+    // merge's output symbol cannot occur in an earlier-ranked pair
+    val produced = scala.collection.mutable.Set[String]()
+    Text.BpeMerges.foreach { case (x, y) =>
+      for (s <- Seq(x, y))
+        assert(s.length == 1 || produced(s),
+          s"operand '$s' is neither a base char nor an earlier merge output")
+      produced += (x + y)
+    }
+    assert(Text.BpeMerges.distinct.size == Text.BpeMerges.size, "no duplicate rules")
+  }
+
+  test("bpe: hand-tokenized counts under the committed fixture") {
+    // "spark" -> ar, par, park, spark = 1 token; "window" -> in, ow,
+    // dow, indow, window = 1; "the"(no t+h rule) = 3; "scan" = 4;
+    // "in" = 1; "thin" -> t h in = 3
+    val docs = Seq(
+      (1L, "spark window"),
+      (2L, "the scan in the thin"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Text.tokensBpe(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tok_bpe")).toMap
+    assert(out == Map(1L -> 2L, 2L -> 14L, 3L -> 0L), s"got $out")
+  }
 }

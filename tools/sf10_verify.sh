@@ -17,10 +17,10 @@ CHUNKS=(
   "kpi_anomalies kpi_anomalies_at_scale kpi_anomalies_dept kpi_by_dept kpi_cube kpi_delta_by_dept kpi_delta_company kpi_gapfill kpi_headcount_approx kpi_headcount_audit kpi_moving_avg"
   "layout_zorder layout_zorder3 layout_dpp_star layout_bloom_smj layout_partition_z kpi_pareto kpi_pivot kpi_quantile_audit kpi_quartiles kpi_retention kpi_rollup kpi_slope kpi_summary kpi_trend kpi_winsorize"
   "media_decode media_decode_persisted media_frames media_meta"
-  "pipeline_curate pipeline_decontam pipeline_decontam_embed pipeline_epochs pipeline_match pipeline_mixture pipeline_pack pipeline_split sample_stratified"
+  "pipeline_curate pipeline_decontam pipeline_decontam_embed pipeline_epochs pipeline_match pipeline_mixture pipeline_pack pipeline_pack_bpe pipeline_split sample_stratified"
   "similar_ann_ivf similar_ann_kmeans similar_ann_kmeans_persisted similar_ann_partitioned similar_topk"
   "text_bigrams text_bm25 text_boilerplate text_deciles text_fingerprint text_heavy text_index text_langid text_langid_eval"
-  "text_linedup text_perplexity text_perplexity_persisted text_repetition text_scrub text_stats text_tfidf text_top_by_source text_vocab text_vocab_setops text_winnow"
+  "text_linedup text_perplexity text_perplexity_persisted text_repetition text_scrub text_stats text_tfidf text_tokens_bpe text_top_by_source text_vocab text_vocab_setops text_winnow"
 )
 i=0
 for chunk in "${CHUNKS[@]}"; do
