@@ -54,6 +54,9 @@ object SparkEntry {
     "etl_employee_upsert" -> ((s, _) => Etl.qEmployeeUpsert(s)),
     "etl_fact_upsert" -> ((s, _) => Etl.qFactUpsert(s)),
     "etl_count" -> ((s, _) => Etl.qCount(s)),
+    // Manifest-pointer multi-table atomic commit over the same 3-table
+    // lifecycle (summary computed FROM the published generations)
+    "etl_publish" -> ((s, _) => Etl.qPublish(s)),
     "etl_snapshot_diff" -> ((s, _) => Etl.qSnapshotDiff(s)),
     // SCD Type-2 versioned-dimension maintenance (close + reopen in one
     // full-outer pass)
@@ -315,6 +318,7 @@ object SparkEntry {
     "etl_employee_upsert" -> Etl.qEmployeeUpsertSql,
     "etl_fact_upsert" -> Etl.qFactUpsertSql,
     "etl_count" -> Etl.qCountSql,
+    "etl_publish" -> Etl.qPublishSql,
     "etl_snapshot_diff" -> Etl.qSnapshotDiffSql,
     "etl_scd2" -> Etl.qScd2Sql,
     "catalog_columns" -> Catalog.columnsSql,

@@ -156,6 +156,56 @@ object Etl {
   def qCount(s: SparkSession): DataFrame =
     qFactUpsert(s).agg(count(lit(1)).as("cnt"))
 
+  /** Declared query gating the manifest-pointer multi-table commit
+    * ([[graft.sources.Publish]]) on the REAL 3-table lifecycle: publish
+    * generation 1 (initial load), read it back through the pointer,
+    * build generation 2's upserts FROM THE PUBLISHED TABLES (dims/
+    * employees/facts as a downstream consumer would read them — not
+    * from in-flight frames), publish, read back again. The returned
+    * summary rows are computed from the PUBLISHED parquet, so the gate
+    * covers staging, the atomic swap, and the all-of-one-generation
+    * read view; per-table contents stay hash-gated by etl_dim_upsert /
+    * etl_employee_upsert / etl_fact_upsert.
+    *
+    * Employee note: published employees carry resolved `dept_id` (no
+    * raw dept name), so generation 2 resolves the INCOMING batch
+    * against the upserted dims first, then merges by emp_id — same
+    * result as [[qEmployeeUpsert]]'s merge-then-resolve because
+    * insert-if-absent dims keep existing ids (the oracle mirrors this
+    * resolve-then-merge shape verbatim). */
+  def qPublish(s: SparkSession): DataFrame = {
+    import graft.sources.Publish
+    val root = s"${graft.sources.Artifacts.root}/publish/etl"
+    val c1 = cleanse(readRaw(s, RawCsv))
+    val c2 = cleanse(readRaw(s, UpdateCsv))
+    val dims1 = dimDept(c1)
+    val emp1 = employees(c1)
+      .join(broadcast(dims1), col("dept") === col("dept_name"))
+      .select("emp_id", "dept_id", "job_grade", "location")
+    Publish.publishGeneration(s, root,
+      Seq("dept" -> dims1, "employees" -> emp1, "facts" -> facts(c1)))
+    val g1 = Publish.readGeneration(s, root)
+    val dims2 = dimUpsert(g1("dept"), c2)
+    val emp2in = employees(c2)
+      .join(broadcast(dims2), col("dept") === col("dept_name"))
+      .select("emp_id", "dept_id", "job_grade", "location")
+    Publish.publishGeneration(s, root, Seq(
+      "dept" -> dims2,
+      "employees" -> Merge.upsert(g1("employees"), emp2in, Seq("emp_id")),
+      "facts" -> factUpsert(g1("facts"), facts(c2))))
+    val g2 = Publish.readGeneration(s, root)
+    def summary(gen: Int, t: Map[String, DataFrame]): DataFrame = {
+      def row(name: String, df: DataFrame, keySum: Column) =
+        df.agg(count(lit(1)).as("n_rows"), keySum.cast("long").as("key_sum"))
+          .select(lit(gen.toLong).as("gen"), lit(name).as("table_name"),
+            col("n_rows"), col("key_sum"))
+      row("dept", t("dept"), sum("dept_id"))
+        .unionByName(row("employees", t("employees"), sum("dept_id")))
+        .unionByName(row("facts", t("facts"), countDistinct("emp_id")))
+    }
+    summary(1, g1).unionByName(summary(2, g2)).orderBy("gen", "table_name")
+  }
+
   /** Validation rules for [[quarantine]], evaluated on the RAW all-string
     * frame — BEFORE [[cleanse]] coerces garbage to 0/NULL and hides it.
     * Each is (rule_id, fires-when predicate). */
@@ -512,4 +562,46 @@ object Etl {
   def qCountSql: String =
     s"""WITH $factMergedCtes
        |SELECT COUNT(*) AS cnt FROM merged""".stripMargin
+
+  /** Oracle for [[qPublish]]: generation 1 = the raw-load pipeline,
+    * generation 2 = resolve-then-merge upserts over generation 1 (the
+    * exact shape the Spark side computes from the published tables). */
+  def qPublishSql: String =
+    s"""WITH ${cleanCte("clean1", RawCsv)},
+       |${cleanCte("clean2", UpdateCsv)},
+       |${dimCte("dims1", "clean1")},
+       |${empCte("emp1r", "clean1")},
+       |emp1 AS (
+       |  SELECT e.emp_id, d.dept_id, e.job_grade, e.location
+       |  FROM emp1r e JOIN dims1 d ON d.dept_name = e.dept),
+       |${factCte("fact1", "clean1")},
+       |${dimUpsertCte("dims2", "dims1", "clean2")},
+       |${empCte("emp2r", "clean2")},
+       |emp2i AS (
+       |  SELECT e.emp_id, d.dept_id, e.job_grade, e.location
+       |  FROM emp2r e JOIN dims2 d ON d.dept_name = e.dept),
+       |emp2 AS (
+       |  SELECT e1.* FROM emp1 e1
+       |  WHERE NOT EXISTS (SELECT 1 FROM emp2i i WHERE i.emp_id = e1.emp_id)
+       |  UNION ALL SELECT * FROM emp2i),
+       |${factCte("fact2i", "clean2")},
+       |fact2 AS (
+       |  SELECT f1.* FROM fact1 f1
+       |  WHERE NOT EXISTS (SELECT 1 FROM fact2i f2
+       |                    WHERE f2.emp_id = f1.emp_id AND f2.month = f1.month)
+       |  UNION ALL SELECT * FROM fact2i)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS gen, 'dept' AS table_name,
+       |         COUNT(*) AS n_rows, CAST(SUM(dept_id) AS BIGINT) AS key_sum FROM dims1
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT), 'employees', COUNT(*), CAST(SUM(dept_id) AS BIGINT) FROM emp1
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT), 'facts', COUNT(*), CAST(COUNT(DISTINCT emp_id) AS BIGINT) FROM fact1
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'dept', COUNT(*), CAST(SUM(dept_id) AS BIGINT) FROM dims2
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'employees', COUNT(*), CAST(SUM(dept_id) AS BIGINT) FROM emp2
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'facts', COUNT(*), CAST(COUNT(DISTINCT emp_id) AS BIGINT) FROM fact2)
+       |ORDER BY gen, table_name""".stripMargin
 }
