@@ -68,6 +68,9 @@ import graft.streaming.Streams.Event
   *    doc_id mod 3 so near-dup clusters span the batches; no driver
   *    materialization) vs batch `incrementalCandidates` of batch 2
   *    against batch 1's band index.
+  *  - decontam: `decontamIngest` over the planted train side in two
+  *    micro-batches vs the one-shot `Decontam.embedReport` (bench side
+  *    static + broadcast; per-batch hit sets required non-empty).
   *
   * Run: SPARK_GRAFT_SF_DIR=testdata-sf1 SPARK_GRAFT_CPUS=32 \
   *        SPARK_DRIVER_MEM=24g sbt "runMain graft.StreamEq"
@@ -352,6 +355,45 @@ object StreamEq {
           graft.operators.Dedup.bandIndex(b2),
           graft.operators.Dedup.bandIndex(b1))
           .select("doc_new", "doc_idx"))
+    }
+
+    // ---- decontam (semantic, r15) --------------------------------------
+    // Streaming twin of pipeline_decontam_embed: the planted train side
+    // arrives in two micro-batches, each probed against the broadcast
+    // bench bands; union of per-batch hits must equal the one-shot batch
+    // report. Split on pmod(vec_id, 2): hits are per-train-row
+    // independent (batches interact only with the static bench side), so
+    // ANY split must reproduce the batch rows — and the planted replicas
+    // land in both batches, keeping each batch's hit set non-empty.
+    if (enabled("decontam")) {
+      import graft.operators.{Decontam, Dedup, Similarity}
+      val base = Similarity.prepared(spark, sfDir).drop("label")
+      val bench = base.filter(Decontam.isBench(col("vec_id")))
+      val train = base.filter(!Decontam.isBench(col("vec_id")))
+        .unionByName(bench.withColumn("vec_id",
+          col("vec_id") + lit(Dedup.PlantOffset)))
+      val stagedTrain = s"$tmp/staged_train"
+      train.withColumn("__chunk", pmod(col("vec_id"), lit(2)).cast("int"))
+        .repartition(col("__chunk"))
+        .write.mode("overwrite").partitionBy("__chunk").parquet(stagedTrain)
+      val sink = s"$tmp/src_decontam"
+      new java.io.File(sink).mkdirs()
+      val trainStream = spark.readStream
+        .schema(train.schema).parquet(sink)
+      val q = Streams.decontamIngest(trainStream, bench,
+        s"$tmp/decontam_hits", s"$tmp/ckpt_decontam")
+      try {
+        feed(stagedTrain, 0, sink, q)
+        feed(stagedTrain, 1, sink, q)
+      } finally q.stop()
+      val hits = spark.read.parquet(s"$tmp/decontam_hits")
+      val perBatch = hits.groupBy("batch_id").count().collect()
+      require(perBatch.length == 2 && perBatch.forall(_.getLong(1) > 0),
+        s"decontam arm went vacuous: ${perBatch.mkString(",")}")
+      record("decontam",
+        hits.select("train_id", "bench_id", "cosine"),
+        Decontam.embedReport(spark, sfDir)
+          .select("train_id", "bench_id", "cosine"))
     }
 
     val checks = results.map { case (n, (s, b, ok)) =>

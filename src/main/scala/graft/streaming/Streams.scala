@@ -351,6 +351,55 @@ object Streams {
       }
       .start()
 
+  /** Streaming semantic decontamination — the incremental face of
+    * [[graft.operators.Decontam.embedReport]] (VERDICT r14 #6): each
+    * micro-batch of prepared train vectors (vec_id, ie, nrm) is
+    * sign-RP banded and probed against the STATIC benchmark set, whose
+    * bands AND vectors broadcast into every batch (the benchmark is
+    * eval-corpora-sized by definition — the 100 TB train stream never
+    * shuffles for the match; the only keyed exchange per batch is the
+    * candidate distinct, sized by that batch's contamination mass).
+    * Verified hits (exact integer cosine ≥ the production threshold)
+    * append per batch. Effectively-once like [[dedupIngest]]: the hits
+    * sink is batch_id-partitioned with dynamic overwrite, so a replayed
+    * micro-batch rewrites exactly its own partition. Unlike dedupIngest
+    * there is no growing index: batches interact only with the fixed
+    * bench side, so the streaming union over batches is row-identical
+    * to the one-shot batch report (the StreamEq decontam arm gates it). */
+  def decontamIngest(train: DataFrame, bench: DataFrame, hitsPath: String,
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val wide = graft.plans.GraftExtensions.SignBandsWideName
+    // static side banded once, outside the per-batch closure
+    val benchBands = graft.operators.Dedup.embedBands(
+      bench.sparkSession, bench, wide).toDF("bench_id", "k", "bv")
+    val benchVecs = bench.select(col("vec_id").as("bench_id"),
+      col("ie").as("ib"), col("nrm").as("nb"))
+    train.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val b = graft.functions.Lineage.cut(batch) // two consumers: bands + verify
+        val tb = graft.operators.Dedup.embedBands(s, b, wide)
+          .toDF("train_id", "k", "bv")
+        val d = graft.operators.Similarity.dot(s) _
+        tb.join(broadcast(benchBands), Seq("k", "bv"))
+          .select("train_id", "bench_id").distinct()
+          .join(b.select(col("vec_id").as("train_id"),
+            col("ie").as("it"), col("nrm").as("nt")), "train_id")
+          .join(broadcast(benchVecs), "bench_id")
+          .withColumn("cosine",
+            d(col("it"), col("ib")).cast("double") / (col("nt") * col("nb")))
+          .filter(col("cosine") >= graft.operators.Dedup.ScaledThreshold)
+          .select("train_id", "bench_id", "cosine")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(hitsPath)
+      }
+      .start()
+  }
+
   /** File-source stream over the sf directory's events table — the
     * deployment-shape source half (`readStream.parquet`). Only the
     * events files are ingested (the sibling tables share the directory —
