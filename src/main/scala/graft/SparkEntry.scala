@@ -154,6 +154,7 @@ object SparkEntry {
     // BPE tokenizer: trained-merges subword counts (codegen'd replace
     // chain, zero UDF) + the pack twin budgeted in BPE tokens
     "text_tokens_bpe" -> ((s, d) => Text.qTokensBpe(s, d)),
+    "text_bpe_train" -> ((s, d) => Text.qBpeTrain(s, d)),
     "pipeline_pack_bpe" -> ((s, d) => Text.qPackBpe(s, d)),
     // Exact heavy hitters via per-partition Misra-Gries candidates +
     // broadcast verify (never shuffles a non-candidate token)
@@ -363,6 +364,7 @@ object SparkEntry {
     "text_scrub" -> Text.qScrubSql,
     "pipeline_pack" -> Text.qPackSql,
     "text_tokens_bpe" -> Text.qTokensBpeSql,
+    "text_bpe_train" -> Text.qBpeTrainSql,
     "pipeline_pack_bpe" -> Text.qPackBpeSql,
     "text_heavy" -> operators.Heavy.qHeavySql,
     "pipeline_decontam" -> operators.Decontam.qReportSql,

@@ -874,6 +874,52 @@ object Text {
     out.toSeq
   }
 
+  val BpeTrainN = 8 // gated-training depth (the loop is the point, not the vocab)
+
+  /** Declared query hash-gating [[bpeTrain]] ITSELF: the first
+    * [[BpeTrainN]] merges learned from this sf dir's corpus. The oracle
+    * unrolls the greedy loop into chained MATERIALIZED CTEs — per
+    * iteration one pair-count aggregate, a (count desc, pair asc)
+    * argmax, and a corpus rewrite whose replace arguments are scalar
+    * subqueries of that argmax — the same
+    * iterative-training-in-the-oracle discipline as the unrolled Lloyd
+    * loop in `similar_ann_kmeans` (MATERIALIZED matters: inlining the
+    * chain re-expands every level ~5x and goes exponential). */
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrain(Tables.balanced(Tables.documents(s, dir)), BpeTrainN)
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((x, y), i) => ((i + 1).toLong, x, y) }
+      .toDF("rank", "x", "y").orderBy("rank")
+  }
+
+  def qBpeTrainSql: String = {
+    val (d1, d2) = ("chr(1)", "chr(2)")
+    val wf0 =
+      s"""wf0 AS MATERIALIZED (
+         |  SELECT regexp_replace(w, '(.)', $d1||'\\1'||$d2, 'g') AS sq, COUNT(*) AS n
+         |  FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+         |        FROM documents) WHERE length(w) > 0 GROUP BY 1)""".stripMargin
+    val steps = (0 until BpeTrainN).flatMap { i =>
+      Seq(
+        s"""a$i AS MATERIALIZED (
+           |  SELECT syms[i] AS x, syms[i+1] AS y, SUM(n) AS cnt
+           |  FROM (SELECT n, string_split(regexp_replace(sq, '^'||$d1||'|'||$d2||'$$', '', 'g'), $d2||$d1) AS syms FROM wf$i),
+           |       unnest(range(1, len(syms))) AS t(i)
+           |  GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1)""".stripMargin,
+        s"""wf${i + 1} AS MATERIALIZED (
+           |  SELECT replace(sq, $d1||(SELECT x FROM a$i)||$d2||$d1||(SELECT y FROM a$i)||$d2,
+           |                     $d1||(SELECT x FROM a$i)||(SELECT y FROM a$i)||$d2) AS sq, n FROM wf$i)""".stripMargin)
+    }
+    val arms = (0 until BpeTrainN)
+      .map(i => s"SELECT CAST(${i + 1} AS BIGINT) AS rank, x, y FROM a$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${(wf0 +: steps).mkString(",\n")}
+       |SELECT rank, x, y FROM (
+       |  $arms)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Fixed merges fixture for the gated queries: the verbatim output of
     * `bpeTrain(documents @ sf0.1, 24)` — trained once offline (this
     * round), committed as a literal so the DuckDB oracle can apply the
