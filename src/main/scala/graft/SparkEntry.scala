@@ -155,6 +155,7 @@ object SparkEntry {
     // chain, zero UDF) + the pack twin budgeted in BPE tokens
     "text_tokens_bpe" -> ((s, d) => Text.qTokensBpe(s, d)),
     "text_bpe_train" -> ((s, d) => Text.qBpeTrain(s, d)),
+    "text_tokens_bpe_trained" -> ((s, d) => Text.qTokensBpeTrained(s, d)),
     "pipeline_pack_bpe" -> ((s, d) => Text.qPackBpe(s, d)),
     // Exact heavy hitters via per-partition Misra-Gries candidates +
     // broadcast verify (never shuffles a non-candidate token)
@@ -365,6 +366,7 @@ object SparkEntry {
     "pipeline_pack" -> Text.qPackSql,
     "text_tokens_bpe" -> Text.qTokensBpeSql,
     "text_bpe_train" -> Text.qBpeTrainSql,
+    "text_tokens_bpe_trained" -> Text.qTokensBpeTrainedSql,
     "pipeline_pack_bpe" -> Text.qPackBpeSql,
     "text_heavy" -> operators.Heavy.qHeavySql,
     "pipeline_decontam" -> operators.Decontam.qReportSql,

@@ -893,7 +893,9 @@ object Text {
       .toDF("rank", "x", "y").orderBy("rank")
   }
 
-  def qBpeTrainSql: String = {
+  /** The unrolled greedy-train CTE chain (wf0, a0, wf1, …, a{N-1}) —
+    * shared by [[qBpeTrainSql]] and [[qTokensBpeTrainedSql]]. */
+  private def bpeTrainCtes: String = {
     val (d1, d2) = ("chr(1)", "chr(2)")
     val wf0 =
       s"""wf0 AS MATERIALIZED (
@@ -911,13 +913,71 @@ object Text {
            |  SELECT replace(sq, $d1||(SELECT x FROM a$i)||$d2||$d1||(SELECT y FROM a$i)||$d2,
            |                     $d1||(SELECT x FROM a$i)||(SELECT y FROM a$i)||$d2) AS sq, n FROM wf$i)""".stripMargin)
     }
+    (wf0 +: steps).mkString(",\n")
+  }
+
+  def qBpeTrainSql: String = {
     val arms = (0 until BpeTrainN)
       .map(i => s"SELECT CAST(${i + 1} AS BIGINT) AS rank, x, y FROM a$i")
       .mkString("\n  UNION ALL ")
-    s"""WITH ${(wf0 +: steps).mkString(",\n")}
+    s"""WITH $bpeTrainCtes
        |SELECT rank, x, y FROM (
        |  $arms)
        |ORDER BY rank""".stripMargin
+  }
+
+  /** Trained-merges artifact: the per-corpus [[bpeTrain]] output
+    * persisted as a tiny (rank, x, y) parquet under the same
+    * fingerprint-keyed lifecycle as the k-means codebook and bigram-LM
+    * ([[graft.sources.Artifacts.cached]]): train once per source
+    * fingerprint, read thereafter. The collect is 8 bounded rows — the
+    * merges list, never corpus data. */
+  def bpeMergesArtifact(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val src = s"$dir/documents.parquet"
+    val df = graft.sources.Artifacts.cached(s, "bpe_merges", src) {
+      val m = bpeTrain(Tables.balanced(Tables.documents(s, dir)), BpeTrainN)
+      import s.implicits._
+      m.zipWithIndex.map { case ((x, y), i) => ((i + 1).toLong, x, y) }
+        .toDF("rank", "x", "y")
+    }
+    df.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** Declared query gating the full BPE LIFECYCLE — train on THIS
+    * corpus, persist, read back, apply: per-doc token counts under the
+    * persisted [[BpeTrainN]]-merge list (vs [[qTokensBpe]]'s fixed
+    * committed fixture). The oracle re-derives the merges with the
+    * unrolled-train CTE chain of [[qBpeTrainSql]] and applies them with
+    * 8 chained replaces whose arguments are scalar subqueries of each
+    * argmax — so the trained list, its persistence round-trip, and the
+    * apply arithmetic are all under one hash gate. */
+  def qTokensBpeTrained(s: SparkSession, dir: String): DataFrame =
+    tokensBpe(Tables.balanced(Tables.documents(s, dir)),
+      bpeMergesArtifact(s, dir))
+
+  def qTokensBpeTrainedSql: String = {
+    val (d1, d2) = ("chr(1)", "chr(2)")
+    val applyLevels = (0 until BpeTrainN).map { i =>
+      s"""ap${i + 1} AS MATERIALIZED (
+         |  SELECT doc_id, t,
+         |         replace(sq, $d1||(SELECT x FROM a$i)||$d2||$d1||(SELECT y FROM a$i)||$d2,
+         |                     $d1||(SELECT x FROM a$i)||(SELECT y FROM a$i)||$d2) AS sq
+         |  FROM ap$i)""".stripMargin
+    }
+    s"""WITH $bpeTrainCtes,
+       |d AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |ap0 AS MATERIALIZED (
+       |  SELECT doc_id, t, regexp_replace(t, '(.)', $d1||'\\1'||$d2, 'g') AS sq FROM d),
+       |${applyLevels.mkString(",\n")}
+       |SELECT doc_id,
+       |       CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+       |       CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) AS n_chars_nosp,
+       |       CAST((length(sq) - length(replace(sq, chr(1), ''))) -
+       |            (length(t) - length(replace(t, ' ', ''))) AS BIGINT) AS n_tok_bpe
+       |FROM ap$BpeTrainN ORDER BY doc_id""".stripMargin
   }
 
   /** Fixed merges fixture for the gated queries: the verbatim output of
@@ -946,13 +1006,14 @@ object Text {
 
   /** Per-doc whitespace vs BPE token accounting — the budget signal
     * [[qPackBpe]] shards by. */
-  def tokensBpe(docs: DataFrame): DataFrame = {
+  def tokensBpe(docs: DataFrame,
+                merges: Seq[(String, String)] = BpeMerges): DataFrame = {
     val t = norm(col("text"))
     docs.select(col("doc_id"),
         size(words(col("text"))).cast("long").as("n_words"),
         (length(t) - length(replace(t, lit(" "), lit("")))).cast("long")
           .as("n_chars_nosp"),
-        bpeTokens(t).as("n_tok_bpe"))
+        bpeTokens(t, merges).as("n_tok_bpe"))
       .orderBy("doc_id")
   }
 
