@@ -151,6 +151,39 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("bpe_merges artifact: train-once, read-back identity, mutation retrains once (r15)") {
+    // isolated source dir — the declared queries' artifacts (keyed by
+    // the real testdata paths) stay untouched
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_src").toString
+    val src = s"$dir/documents.parquet"
+    def docs(n: Int) = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < n)
+    docs(12).write.mode("overwrite").parquet(src)
+    def artifactDirs() = Option(new java.io.File(s"${Artifacts.root}/bpe_merges").listFiles)
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.contains("graft_bpe_src")).sorted.toList
+    assert(artifactDirs().isEmpty, "stale test artifacts")
+
+    val m1 = Text.bpeMergesArtifact(spark, dir)
+    val m2 = Text.bpeMergesArtifact(spark, dir)
+    assert(m1 == m2 && m1.nonEmpty)
+    assert(artifactDirs().length == 1,
+      "repeat read over unchanged source must not retrain")
+    // persisted == in-flight: the artifact IS the trainer's output
+    assert(m1 == Text.bpeTrain(docs(12), Text.BpeTrainN))
+
+    Thread.sleep(5) // mtime tick
+    docs(15).write.mode("overwrite").parquet(src)
+    val m3 = Text.bpeMergesArtifact(spark, dir)
+    assert(m3 == Text.bpeTrain(docs(15), Text.BpeTrainN),
+      "a mutated source must retrain on the fresh corpus")
+    assert(artifactDirs().length == 2, "mutation adds exactly one fingerprint dir")
+    artifactDirs().foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"${Artifacts.root}/bpe_merges/$d")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("persisted k-means ANN equals the in-flight training path") {
     rmKind(Similarity.CodebookKind)
     val inflight = Similarity.qIvfKmeans(spark, sf).collect().map(_.toString).toList

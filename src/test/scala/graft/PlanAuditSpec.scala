@@ -357,6 +357,17 @@ class PlanAuditSpec extends SparkSpec {
       "join_semi" -> 2, "kpi_gapfill" -> 4, "text_scrub" -> 2,
       "pipeline_pack" -> 3, "text_heavy" -> 5, "pipeline_decontam" -> 6,
       "pipeline_split" -> 2, "kpi_slope" -> 3, "catalog_audit" -> 7,
+      // round-15 BPE family: apply is IN-ROW (the nested-replace chain
+      // adds zero exchanges — the scan-speed claim, machine-checked):
+      // tokens = pre-explode-free balance + presentation sort only;
+      // pack_bpe = pack's source window + shard agg + sort; the
+      // trained twin reads the 8-row merges artifact on the driver, so
+      // its plan is identical to tokens; bpe_train's DECLARED frame is
+      // the collected merges (training jobs run at build time — each
+      // iteration one vocab-sized shuffle — and the returned plan
+      // carries just the 8-row localized sort)
+      "text_tokens_bpe" -> 2, "pipeline_pack_bpe" -> 3,
+      "text_tokens_bpe_trained" -> 2, "text_bpe_train" -> 1,
       // round-7 additions: linedup = chunk window + doc regroup/join +
       // sort; repetition/epochs = in-row only + presentation sort; cdc =
       // the ONE keyed agg (max-struct, map-side combined) + sort;
