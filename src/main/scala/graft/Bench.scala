@@ -91,6 +91,27 @@ object Bench {
     }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
 
+    // Compact-line abbreviation uniqueness is checked BEFORE any query
+    // runs (ADVICE r15): the abbreviation depends only on names, and the
+    // old post-run require threw away a completed (expensive) bench run's
+    // durable artifact over a collision that was knowable at startup.
+    val famCode = Map(
+      "events" -> "ev", "dedup" -> "dd", "etl" -> "et", "text" -> "tx",
+      "join" -> "jn", "catalog" -> "ct", "media" -> "md",
+      "pipeline" -> "pp", "kpi" -> "kp", "similar" -> "sm",
+      "layout" -> "ly", "sample" -> "sa")
+    def abbr(name: String): String = {
+      val i = name.indexOf('_')
+      val (p, rest) = if (i > 0) (name.substring(0, i), name.substring(i + 1)) else (name, name)
+      def short(w: String) = w.take(4) + w.drop(4).filter(_.isDigit)
+      famCode.getOrElse(p, p) + rest.split('_').map(short).mkString
+    }
+    locally {
+      val abbrs = selected.keys.map(n => abbr(n) -> n).toSeq
+      require(abbrs.map(_._1).distinct.size == abbrs.size,
+        s"bench abbr collision: ${abbrs.groupBy(_._1).filter(_._2.size > 1)}")
+    }
+
     // Warmup: same plan shapes, tiny data — compiles codegen + JITs hot paths.
     selected.foreach { case (_, fn) =>
       try run(fn(spark, warmDir)) catch { case _: Throwable => () }
@@ -126,6 +147,30 @@ object Bench {
       math.round((1 to 5).map(_ => once()).min)
     }
 
+    // Shuffle canary (VERDICT r15 #8): the CPU canary above cannot see
+    // shuffle/IO epoch drift — BASELINE.md §r14 records exactly that
+    // blind spot, and it is where cross-round drift adjudications keep
+    // landing. This probe is the same fixed data-independent discipline
+    // but dominated by the shuffle machinery: 8M rows hashed on a 2M-key
+    // column (high cardinality so partial aggregation cannot collapse the
+    // map side) — ~128 MB through shuffle write, spill-file create, fetch
+    // and the hash aggregate's memory manager. Recorded as `shuffle_ms` /
+    // compact `sh`; drift adjudications divide shuffle-heavy queries by
+    // THIS canary's ratio and CPU-bound ones by `epoch_ms`'s.
+    val shuffleMs: Long = {
+      import org.apache.spark.sql.functions.{col, pmod, sum => fsum}
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 8L * 1000 * 1000, 1, 32)
+          .select(pmod(col("id"), org.apache.spark.sql.functions.lit(2L * 1000 * 1000)).as("k"), col("id"))
+          .groupBy("k").agg(fsum(col("id")))
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e6
+      }
+      once() // its own codegen/JIT compile is not the probe
+      math.round((1 to 5).map(_ => once()).min)
+    }
+
     // min over reps: single-JVM local mode has multi-second GC/JIT noise
     // (observed 2.8 s vs 8.1 s for the same query across back-to-back
     // runs); the minimum is the standard low-noise estimator of
@@ -150,7 +195,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","epoch_ms":$epochMs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","epoch_ms":$epochMs,"shuffle_ms":$shuffleMs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // Second, compact line — printed LAST so it is the line the driver's
     // bounded stdout capture parses. The window keeps only the final
@@ -165,28 +210,15 @@ object Bench {
     //     kept: fuzzy2 -> fuzz2, zorder3 -> zord3), words concatenated.
     //     kpi_headcount_approx -> "kpheadappr". Decode rule also in
     //     BASELINE.md; bench_full.json keeps the full-name full-precision
-    //     map. Uniqueness is ASSERTED below — a colliding future name
-    //     fails the bench loudly instead of silently merging timings.
+    //     map. Uniqueness is ASSERTED at startup (before any query runs —
+    //     ADVICE r15) so a colliding future name fails the bench loudly
+    //     without first burning a full timed suite.
     //   - values: centiseconds (10 ms resolution — the epoch canary
     //     itself wanders ~70 ms, so nothing real lives below this).
-    val famCode = Map(
-      "events" -> "ev", "dedup" -> "dd", "etl" -> "et", "text" -> "tx",
-      "join" -> "jn", "catalog" -> "ct", "media" -> "md",
-      "pipeline" -> "pp", "kpi" -> "kp", "similar" -> "sm",
-      "layout" -> "ly", "sample" -> "sa")
-    def abbr(name: String): String = {
-      val i = name.indexOf('_')
-      val (p, rest) = if (i > 0) (name.substring(0, i), name.substring(i + 1)) else (name, name)
-      def short(w: String) = w.take(4) + w.drop(4).filter(_.isDigit)
-      famCode.getOrElse(p, p) + rest.split('_').map(short).mkString
-    }
-    val abbrs = results.keys.map(n => abbr(n) -> n).toSeq
-    require(abbrs.map(_._1).distinct.size == abbrs.size,
-      s"bench abbr collision: ${abbrs.groupBy(_._1).filter(_._2.size > 1)}")
     val gq = results.map { case (n, sec) =>
       "\"" + abbr(n) + "\":" + math.max(1, math.round(sec * 100))
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n":${results.size},"ep":$epochMs,"cs":$gq,"errors":$errs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    val compact = s"""{"metric":"total","value":${math.round(total * 100) / 100.0},"unit":"sec","n":${results.size},"ep":$epochMs,"sh":$shuffleMs,"cs":$gq,"errors":$errs,"sf":"${new java.io.File(sfDir).getName}"}"""
     println(compact)
     if (compact.length > 1850)
       System.err.println(s"bench: WARNING compact line ${compact.length} chars — approaching the ~1900-char driver capture bound; tighten the encoding")

@@ -660,12 +660,7 @@ object Dedup {
     * serve drivers on several machines (ADVICE r14). Sanitized to the
     * catalog's identifier alphabet; hostname truncated (table-name
     * hygiene) but kept human-readable for leftover triage. */
-  private lazy val procTag: String = {
-    val host = try java.net.InetAddress.getLocalHost.getHostName
-               catch { case _: Throwable => "unknownhost" }
-    val h = host.replaceAll("[^A-Za-z0-9]", "_").take(24).toLowerCase
-    s"h${h}_p${ProcessHandle.current().pid()}"
-  }
+  private lazy val procTag: String = graft.sources.Artifacts.procTag
 
   def compactedBandTable(s: SparkSession, dir: String): String = {
     import graft.sources.{Artifacts, Sinks}

@@ -174,8 +174,26 @@ object Etl {
     * insert-if-absent dims keep existing ids (the oracle mirrors this
     * resolve-then-merge shape verbatim). */
   def qPublish(s: SparkSession): DataFrame = {
-    import graft.sources.Publish
-    val root = s"${graft.sources.Artifacts.root}/publish/etl"
+    import graft.sources.{Artifacts, Publish}
+    // PROCESS-SCOPED publish root (ADVICE r15): two concurrent driver
+    // processes sharing `.artifacts/publish/etl` race on CURRENT
+    // last-wins and on the retention sweep — one run's readGeneration
+    // can resolve the other's generation (wrong summary rows) or read
+    // files the other's sweep just deleted. Same host+pid discipline as
+    // the compacted band table; leftovers from provably-dead processes
+    // on THIS host are swept below (other hosts' liveness is unknowable
+    // here, so their roots are left alone).
+    val base = s"${Artifacts.root}/publish"
+    val root = s"$base/etl_${Artifacts.procTag}"
+    locally {
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(bp))
+        fs.listStatus(bp).map(_.getPath)
+          .filter(p => p.getName.startsWith("etl_") &&
+            Artifacts.isDeadProcessLeftover(p.getName))
+          .foreach(p => fs.delete(p, true))
+    }
     val c1 = cleanse(readRaw(s, RawCsv))
     val c2 = cleanse(readRaw(s, UpdateCsv))
     val dims1 = dimDept(c1)

@@ -39,6 +39,34 @@ object Artifacts {
     * isolate runs; default is repo-local (gitignored). */
   def root: String = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS", ".artifacts")
 
+  /** (host, pid) discriminator for process-scoped paths/table names —
+    * pid alone is unique only per host, and a shared artifact root can
+    * serve drivers on several machines (the Dedup.compactedBandTable
+    * discipline, centralized here in r16 so the publish root can use
+    * it). Sanitized to the catalog's identifier alphabet; hostname
+    * truncated but kept human-readable for leftover triage. */
+  lazy val procTag: String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+               catch { case _: Throwable => "unknownhost" }
+    val h = host.replaceAll("[^A-Za-z0-9]", "_").take(24).toLowerCase
+    s"h${h}_p${ProcessHandle.current().pid()}"
+  }
+
+  /** True iff `name` carries THIS host's procTag suffix for a pid that
+    * is no longer alive — the provably-dead-leftover test used by the
+    * per-process janitors (band table, publish root). Names from OTHER
+    * hosts are never claimed dead: their liveness is unknowable here. */
+  def isDeadProcessLeftover(name: String): Boolean = {
+    val hostPart = procTag.substring(0, procTag.lastIndexOf("_p") + 2)
+    name.contains(hostPart) && {
+      val pidStr = name.substring(name.lastIndexOf("_p") + 2).takeWhile(_.isDigit)
+      pidStr.nonEmpty && pidStr.toLongOption.exists { pid =>
+        pid != ProcessHandle.current().pid() &&
+          !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+      }
+    }
+  }
+
   private def fs(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 

@@ -46,18 +46,30 @@ object Publish {
   private def genDir(root: String, gen: String) =
     new Path(s"$root/generations/$gen")
 
-  /** The live generation name, if any generation was ever published. */
-  def currentGen(s: SparkSession, root: String): Option[String] = {
-    val cur = new Path(s"$root/CURRENT")
-    val f = fs(s, cur)
-    if (!f.exists(cur)) None
+  private def readPointer(s: SparkSession, p: Path): Option[String] = {
+    val f = fs(s, p)
+    if (!f.exists(p)) None
     else {
-      val in = f.open(cur)
+      val in = f.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
                 finally in.close()
       if (txt.isEmpty) None else Some(txt)
     }
   }
+
+  /** The live generation name, if any generation was ever published. */
+  def currentGen(s: SparkSession, root: String): Option[String] =
+    readPointer(s, new Path(s"$root/CURRENT"))
+
+  /** The generation the previous CURRENT named — written by [[swapPointer]]
+    * just before each swap, so retention keeps the generation in-flight
+    * readers of the OLD pointer may still be scanning. Inferring the
+    * predecessor from directory order instead is wrong: a staged-but-
+    * never-swapped orphan (writer crash between stage and swap) sorts
+    * newer than the real predecessor and would get kept in its place
+    * while the real one is deleted under live readers (ADVICE r15). */
+  def previousGen(s: SparkSession, root: String): Option[String] =
+    readPointer(s, new Path(s"$root/PREVIOUS"))
 
   /** Stage a complete generation (all tables + manifest) WITHOUT making
     * it live — the crash-window half that EtlPublishSpec kills between.
@@ -89,12 +101,27 @@ object Publish {
   def swapPointer(s: SparkSession, root: String, gen: String): Unit = {
     require(fs(s, genDir(root, gen)).exists(new Path(genDir(root, gen), "_MANIFEST.json")),
       s"generation $gen has no manifest — stage before swapping")
-    val cur = new Path(s"$root/CURRENT")
-    val f = fs(s, cur)
-    val tmp = new Path(s"$root/CURRENT.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    // Record the outgoing generation FIRST: PREVIOUS is what retention
+    // protects for in-flight readers of the old pointer. Crash between
+    // the two writes is benign — PREVIOUS then names the still-live
+    // generation, which the sweep keeps anyway.
+    currentGen(s, root).foreach(old => writePointer(s, root, "PREVIOUS", old))
+    writePointer(s, root, "CURRENT", gen)
+  }
+
+  /** Atomically (re)write a small pointer file: write-beside, then
+    * rename over ([[FileContext]] supports rename-with-overwrite; plain
+    * `FileSystem.rename` refuses an existing destination, and
+    * delete-then-rename would open exactly the no-pointer window this
+    * module exists to close). */
+  private def writePointer(s: SparkSession, root: String, name: String,
+                           value: String): Unit = {
+    val dst = new Path(s"$root/$name")
+    val f = fs(s, dst)
+    val tmp = new Path(s"$root/$name.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = f.create(tmp, false)
-    out.write(gen.getBytes("UTF-8")); out.close()
-    val qualified = f.makeQualified(cur)
+    out.write(value.getBytes("UTF-8")); out.close()
+    val qualified = f.makeQualified(dst)
     val fc = FileContext.getFileContext(qualified.toUri, s.sparkContext.hadoopConfiguration)
     fc.rename(f.makeQualified(tmp), qualified, Options.Rename.OVERWRITE)
   }
@@ -125,22 +152,34 @@ object Publish {
     tables.map(t => t -> s.read.parquet(new Path(dir, t).toString)).toMap
   }
 
-  /** Retention: keep the live generation and its immediate predecessor
-    * (in-flight readers of the old pointer), drop everything older plus
-    * any orphaned pointer temp files. */
+  /** Retention: keep the live generation and the generation the previous
+    * CURRENT actually named (in-flight readers of the old pointer —
+    * the PREVIOUS pointer, recorded at swap time). Everything else goes,
+    * including staged-but-never-swapped orphans from crashed writers: no
+    * reader can be scanning a generation CURRENT never named, and they
+    * are NOT predecessors however new they sort (ADVICE r15). Roots
+    * written before PREVIOUS existed fall back to the newest generation
+    * strictly OLDER than live by generation number — an orphan (staged
+    * after live, so numbered >= live) can never be mistaken for the
+    * predecessor under that order either. */
   def sweep(s: SparkSession, root: String): Unit = {
     val gens = new Path(s"$root/generations")
     val f = fs(s, gens)
     if (f.exists(gens)) {
-      val live = currentGen(s, root).toSet
+      val live = currentGen(s, root)
       val all = f.listStatus(gens).map(_.getPath.getName).sorted
-      val keep = live ++ all.filter(n => !live(n)).takeRight(1)
+      def num(n: String): Int =
+        n.split("-").lift(1).flatMap(_.toIntOption).getOrElse(Int.MaxValue)
+      val pred = previousGen(s, root).filter(all.contains).orElse(
+        live.flatMap(l => all.filter(n => num(n) < num(l)).lastOption))
+      val keep = (live ++ pred).toSet
       all.filter(n => !keep(n)).foreach(n => f.delete(new Path(gens, n), true))
     }
     val rootP = new Path(root)
     if (f.exists(rootP))
       f.listStatus(rootP).map(_.getPath)
-        .filter(_.getName.startsWith("CURRENT.tmp-"))
+        .filter(p => p.getName.startsWith("CURRENT.tmp-") ||
+          p.getName.startsWith("PREVIOUS.tmp-"))
         .foreach(p => f.delete(p, false))
   }
 }

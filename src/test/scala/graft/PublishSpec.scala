@@ -57,6 +57,33 @@ class PublishSpec extends SparkSpec {
     assert(Publish.readGeneration(sp, root)("t").head().getInt(0) == 3)
   }
 
+  test("a staged-but-never-swapped orphan is not mistaken for the predecessor") {
+    // ADVICE r15 (medium): the old sweep inferred the predecessor as the
+    // lexicographically-last NON-LIVE generation. A writer that crashed
+    // between stage and swap leaves an orphan that sorts NEWER than the
+    // real predecessor; the next publish's sweep then kept the orphan
+    // and deleted the generation in-flight readers of the old CURRENT
+    // may still be scanning. PREVIOUS (recorded at swap) names the real
+    // predecessor; the orphan — which no reader can hold, CURRENT never
+    // named it — is swept as a separate class.
+    val root = freshRoot()
+    Publish.publishGeneration(sp, root,
+      Seq("t" -> Seq((1, 1L)).toDF("id", "x")))
+    val gen2 = Publish.publishGeneration(sp, root,
+      Seq("t" -> Seq((2, 2L)).toDF("id", "x")))
+    // crashed writer: staged after gen2, never swapped
+    val orphan = Publish.stageGeneration(sp, root,
+      Seq("t" -> Seq((99, 99L)).toDF("id", "x")))
+    val gen3 = Publish.publishGeneration(sp, root,
+      Seq("t" -> Seq((3, 3L)).toDF("id", "x")))
+    val onDisk = new java.io.File(s"$root/generations")
+      .listFiles().map(_.getName).toSet
+    assert(onDisk == Set(gen2, gen3),
+      s"retention must keep the REAL predecessor $gen2 (in-flight readers) " +
+        s"and drop the never-swapped orphan $orphan, got $onDisk")
+    assert(Publish.previousGen(sp, root).contains(gen2))
+  }
+
   test("swap refuses a generation without a manifest; empty root refuses reads") {
     val root = freshRoot()
     intercept[IllegalArgumentException] {
