@@ -73,6 +73,10 @@ object SparkEntry {
     // may change cost, never an answer)
     "layout_zorder" -> ((s, d) => sources.ZOrder.qZOrder(s, d)),
     "layout_zorder3" -> ((s, d) => sources.ZOrder.qZOrder3(s, d)),
+    // The same 3-D box over a HILBERT-clustered layout (N-D Skilling
+    // transpose kernel) — a curve swap may change scan cost, never an
+    // answer, so the oracle is qZOrder3's on the original table
+    "layout_hilbert" -> ((s, d) => sources.ZOrder.qHilbert3(s, d)),
     // Month-partitioned fact + dim-filter star: the months are resolved
     // at RUNTIME from the calendar dim, so dynamic partition pruning —
     // not the literal-collapse rewrite — prunes the fact scan
@@ -115,6 +119,10 @@ object SparkEntry {
     // Cluster formation over the verified near-dup pairs (connected
     // components via iterative min-label propagation)
     "dedup_clusters" -> ((s, d) => Cluster.qClusters(s, d)),
+    // The O(log n) large-star/small-star fallback FORCED as the component
+    // algorithm (the path deep graphs degrade to) — same oracle: component
+    // identity is algorithm-independent
+    "dedup_clusters_stars" -> ((s, d) => Cluster.qClustersStars(s, d)),
     // Deterministic stratified hash sampling (training-data mixing)
     "sample_stratified" -> ((s, d) => Sample.qSample(s, d)),
     // End-to-end curation: exact dedup -> near-dup clusters -> quality
@@ -329,6 +337,8 @@ object SparkEntry {
     "catalog_histogram" -> Catalog.qHistogramSql,
     "layout_zorder" -> sources.ZOrder.qZOrderSql,
     "layout_zorder3" -> sources.ZOrder.qZOrder3Sql,
+    // same oracle as layout_zorder3: identical box, curve only moves cost
+    "layout_hilbert" -> sources.ZOrder.qZOrder3Sql,
     "layout_dpp_star" -> sources.Partitioned.qDppStarSql,
     "layout_bloom_smj" -> sources.BloomJoin.qBloomStarSql,
     "layout_partition_z" -> sources.Partitioned.qPartitionZSql,
@@ -344,6 +354,8 @@ object SparkEntry {
     "dedup_fuzzy" -> Dedup.qFuzzySql,
     "dedup_fuzzy2" -> Dedup.qFuzzy2Sql,
     "dedup_clusters" -> Cluster.qClustersSql,
+    // the SAME oracle: the star variant must produce identical components
+    "dedup_clusters_stars" -> Cluster.qClustersSql,
     "sample_stratified" -> Sample.qSampleSql,
     "pipeline_curate" -> Curate.qCurateSql,
     "similar_topk" -> Similarity.qTopKSql,

@@ -532,22 +532,38 @@ object Kpi {
        |  WHERE o.o_custkey = c.c_custkey AND ${inMonthSql("o.o_orderdate", m)})
        |GROUP BY n.n_name ORDER BY dept""".stripMargin
 
+  /** Finest-grain pre-aggregate shared by [[rollup]] and [[cube]]: one
+    * keyed hash agg of the fact rows in EXACT decimal (the additive
+    * measures grouping sets re-aggregate from). Why this exists
+    * (VERDICT r15 #3): Spark plans `GROUP BY ROLLUP/CUBE` as
+    * `Expand × |grouping sets|` over its INPUT — the fact rows — so the
+    * grouping-set aggregate's stage was one CPU-bound ~3× fact-sized
+    * pass (~99 s task CPU at sf10, the kpi_rollup floor). Aggregating to
+    * the (dept, month) grain FIRST costs the same single fact shuffle as
+    * the plain agg (map-side combinable), and the Expand then multiplies
+    * |groups| rows (dims × months — dozens), not |fact|. Decimal sums
+    * are exact and associative, so two-level summation is bit-identical
+    * to the one-shot sums; COUNT re-aggregates as SUM of group counts. */
+  private def rollupBase(s: SparkSession, dir: String, m1: String, m2: String): DataFrame =
+    Tables.fact(s, dir, Seq(m1, m2))
+      .groupBy(col("dept"), col("month"))
+      .agg(sum("gross").as("g"), sum("net").as("nt"), count(lit(1)).as("c"))
+
   /** ROLLUP(dept, month): per-(dept, month) sums, per-dept subtotals,
-    * grand total in ONE pass — Spark expands the grouping sets and the
-    * partial aggregation stays map-side combinable, so the rollup costs
-    * one shuffle like the plain agg. gid disambiguates levels exactly as
-    * the engines' shared GROUPING semantics define (bit per column). */
+    * grand total — grouping sets over the [[rollupBase]] pre-aggregate,
+    * so the fact rows are touched once and the Expand runs on a
+    * groups-sized input. gid disambiguates levels exactly as the
+    * engines' shared GROUPING semantics define (bit per column). */
   def rollup(s: SparkSession, dir: String, m1: String = M1, m2: String = M2): DataFrame = {
-    val f = Tables.fact(s, dir, Seq(m1, m2))
     // Column args, not string names: Spark 4.1's ambiguous-self-join
     // detector rejects rollup("dept","month") on a join-derived frame
     // (string-name grouping resolves through dataset-id metadata that
     // the rollup expansion duplicates); rollup(col(...)) is equivalent
     // and resolves cleanly. grouping_id() is an aggregate-context
     // expression — it must be computed IN the agg, not a later projection.
-    f.rollup(col("dept"), col("month"))
-      .agg(dbl(sum("gross")).as("gross"), dbl(sum("net")).as("net"),
-        count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
+    rollupBase(s, dir, m1, m2).rollup(col("dept"), col("month"))
+      .agg(dbl(sum("g")).as("gross"), dbl(sum("nt")).as("net"),
+        sum("c").as("n"), grouping_id().cast("int").as("gid"))
       .select(coalesce(col("dept"), lit("ALL")).as("dept"),
         coalesce(col("month"), lit("ALL")).as("month"),
         col("gross"), col("net"), col("n"), col("gid"))
@@ -565,14 +581,14 @@ object Kpi {
        |ORDER BY gid, dept, month""".stripMargin
 
   /** CUBE(dept, month): all four grouping sets — (dept,month), dept
-    * subtotals, month subtotals, grand total — in one pass. Same
-    * one-shuffle expansion as [[rollup]]; the month-subtotal level is
-    * what CUBE adds over ROLLUP. */
+    * subtotals, month subtotals, grand total — over the same
+    * [[rollupBase]] pre-aggregate as [[rollup]] (the Expand ×4 runs on
+    * groups, not fact rows); the month-subtotal level is what CUBE adds
+    * over ROLLUP. */
   def cube(s: SparkSession, dir: String, m1: String = M1, m2: String = M2): DataFrame = {
-    val f = Tables.fact(s, dir, Seq(m1, m2))
-    f.cube(col("dept"), col("month"))
-      .agg(dbl(sum("gross")).as("gross"), dbl(sum("net")).as("net"),
-        count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
+    rollupBase(s, dir, m1, m2).cube(col("dept"), col("month"))
+      .agg(dbl(sum("g")).as("gross"), dbl(sum("nt")).as("net"),
+        sum("c").as("n"), grouping_id().cast("int").as("gid"))
       .select(coalesce(col("dept"), lit("ALL")).as("dept"),
         coalesce(col("month"), lit("ALL")).as("month"),
         col("gross"), col("net"), col("n"), col("gid"))

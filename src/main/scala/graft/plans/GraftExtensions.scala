@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSessionExtensions, SparkSessionExtensionsProvider}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BucketRank, DotLong, HilbertIndex, SignBands}
+import graft.functions.{BucketRank, DotLong, HilbertIndex, HilbertIndexN, SignBands}
 
 /** Engine extension point, registered the public way:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -25,6 +25,7 @@ object GraftExtensions {
   val SignBandsWideName = "graft_sign_bands_wide"
   val SignBandsXWideName = "graft_sign_bands_xwide"
   val HilbertName = "graft_hilbert"
+  val HilbertNName = "graft_hilbert_n"
   val BucketRankName = "graft_bucket_rank"
 
   def install(ext: SparkSessionExtensions): Unit = {
@@ -62,6 +63,19 @@ object GraftExtensions {
       FunctionIdentifier(HilbertName),
       new ExpressionInfo(classOf[HilbertIndex].getName, HilbertName),
       (args: Seq[Expression]) => HilbertIndex(args(0), args(1),
+        graft.sources.ZOrder.QuantBits)))
+    // N-D Hilbert (Skilling transpose form) over an array<bigint> of
+    // quantized coordinates — same fixed order as the 2-D kernel, so
+    // n_dims <= 3 at the 16-bit quantizer (n*order must fit a long;
+    // checked per row against the actual array length)
+    ext.injectFunction((
+      FunctionIdentifier(HilbertNName),
+      new ExpressionInfo(classOf[HilbertIndexN].getName, null, HilbertNName,
+        s"$HilbertNName(coords) - Hilbert curve index of an array<bigint> " +
+          s"of quantized coordinates at order ${graft.sources.ZOrder.QuantBits} " +
+          "(n_dims * order must be <= 63). NULL array or element -> NULL.",
+        ""),
+      (args: Seq[Expression]) => HilbertIndexN(args(0),
         graft.sources.ZOrder.QuantBits)))
     // equi-depth quantizer kernel: rank of a value among the sorted cut
     // array (binary search; the ZOrder.withZEquiDepth write-time hot

