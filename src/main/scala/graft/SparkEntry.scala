@@ -165,6 +165,13 @@ object SparkEntry {
     "text_bpe_train" -> ((s, d) => Text.qBpeTrain(s, d)),
     "text_tokens_bpe_trained" -> ((s, d) => Text.qTokensBpeTrained(s, d)),
     "pipeline_pack_bpe" -> ((s, d) => Text.qPackBpe(s, d)),
+    // BPE at production VOCAB scale (r16): exact batched training to 512
+    // merges on the fixed entity corpus, gated against an independent
+    // sequential-greedy recursion; apply through the native rank-map
+    // kernel with all merges bound as one constant (cost independent of
+    // vocab size — the r15 replace-chain cliff)
+    "text_bpe_train512" -> ((s, d) => Text.qBpeTrain512(s, d)),
+    "text_tokens_bpe512" -> ((s, d) => Text.qTokensBpe512(s, d)),
     // Exact heavy hitters via per-partition Misra-Gries candidates +
     // broadcast verify (never shuffles a non-candidate token)
     "text_heavy" -> ((s, d) => operators.Heavy.qHeavy(s, d)),
@@ -379,6 +386,8 @@ object SparkEntry {
     "text_tokens_bpe" -> Text.qTokensBpeSql,
     "text_bpe_train" -> Text.qBpeTrainSql,
     "text_tokens_bpe_trained" -> Text.qTokensBpeTrainedSql,
+    "text_bpe_train512" -> Text.qBpeTrain512Sql,
+    "text_tokens_bpe512" -> Text.qTokensBpe512Sql,
     "pipeline_pack_bpe" -> Text.qPackBpeSql,
     "text_heavy" -> operators.Heavy.qHeavySql,
     "pipeline_decontam" -> operators.Decontam.qReportSql,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSessionExtensions, SparkSessionExtensionsProvider}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BucketRank, DotLong, HilbertIndex, HilbertIndexN, SignBands}
+import graft.functions.{BpeCount, BucketRank, DotLong, HilbertIndex, HilbertIndexN, SignBands}
 
 /** Engine extension point, registered the public way:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -27,6 +27,7 @@ object GraftExtensions {
   val HilbertName = "graft_hilbert"
   val HilbertNName = "graft_hilbert_n"
   val BucketRankName = "graft_bucket_rank"
+  val BpeCountName = "graft_bpe_count"
 
   def install(ext: SparkSessionExtensions): Unit = {
     // the whole-operator path: plans AsOfJoinNode -> AsOfJoinExec
@@ -94,5 +95,19 @@ object GraftExtensions {
           "count of cut values <= x via upper-bound binary search.",
         ""),
       (args: Seq[Expression]) => BucketRank(args(0), args(1))))
+    // BPE tokenizer apply at production vocab scale: token count of a
+    // pre-normalized text under a TRAINED merges list bound as a foldable
+    // array<struct<x,y>> constant — the rank-map kernel whose cost is
+    // independent of vocabulary size (replaces the per-merge replace
+    // chain past ~24 merges; see functions.BpeCount)
+    ext.injectFunction((
+      FunctionIdentifier(BpeCountName),
+      new ExpressionInfo(classOf[BpeCount].getName, null, BpeCountName,
+        s"$BpeCountName(text, merges) - BPE token count of pre-normalized " +
+          "`text` (lowercase, single spaces) under the constant merges " +
+          "list `merges` (array<struct<x string, y string>>, rank order, " +
+          "must be foldable).",
+        ""),
+      (args: Seq[Expression]) => BpeCount(args(0), args(1))))
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Text
+import org.apache.spark.sql.functions.{call_function, col, lit, typedLit}
 
 class TextSpec extends SparkSpec {
   private lazy val sp = spark
@@ -288,5 +289,101 @@ class TextSpec extends SparkSpec {
     val out = Text.tokensBpe(docs).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("n_tok_bpe")).toMap
     assert(out == Map(1L -> 2L, 2L -> 14L, 3L -> 0L), s"got $out")
+  }
+
+  test("bpe512: batched trainer == sequential greedy (entity corpus and documents)") {
+    // The r16 exactness claim behind text_bpe_train512: the two safety
+    // rules (prefix-only + created-pair bound) make the batched trainer
+    // produce the IDENTICAL list as the sequential loop. Checked on both
+    // corpus shapes — the digit-chained entity corpus (batches narrow)
+    // and the letter-dominated documents corpus (batches wide).
+    val entity = Text.bpeEntityCorpus(spark, sf)
+    val seqWords = entity.select(col("t").as("text"))
+      .withColumn("doc_id", lit(0L))
+    val seq64 = Text.bpeTrain(seqWords, 64)
+    // in-memory regime (the gate path at this vocab size)
+    assert(Text.bpeTrainBatched(entity, 64) == seq64,
+      "entity corpus: in-memory batched must equal sequential at 64 merges")
+    // distributed regime FORCED (driverVocabLimit = 0) — the 100 TB path
+    assert(Text.bpeTrainBatched(entity, 24, driverVocabLimit = 0) == seq64.take(24),
+      "entity corpus: distributed batched must equal sequential at 24 merges")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val docCorpus = docs.select(
+      graft.functions.Hashes.normText(col("text")).as("t"))
+    val seqDoc = Text.bpeTrain(docs, 32)
+    assert(Text.bpeTrainBatched(docCorpus, 32) == seqDoc,
+      "documents: in-memory batched must equal sequential at 32 merges")
+    assert(Text.bpeTrainBatched(docCorpus, 32, driverVocabLimit = 0) == seqDoc,
+      "documents: distributed batched must equal sequential at 32 merges")
+  }
+
+  test("bpe512: native rank-map kernel == the sequential replace chain, word by word") {
+    // The apply-equivalence claim behind text_tokens_bpe512: for a
+    // well-formed trained list, min-rank-first tokenization (BpeCount)
+    // equals the rank-order replace chain — at the FULL 512-merge gate
+    // list. The chain side runs driver-side (the oracle's exact
+    // arithmetic: wrap, replace per rank, count D1 minus spaces) because
+    // a 512-deep replace-Expression plan is precisely the Catalyst
+    // cliff this kernel removes (measured: Catalyst grinds minutes on a
+    // 256-deep chain at analysis time).
+    val merges = Text.bpeTrainBatched(Text.bpeEntityCorpus(spark, sf), 512)
+    // sf0.001 carries a PREFIX of the fixed-bound corpus (the gate sf
+    // trains the full 512); ~295 learnable merges is still 12x past the
+    // r15 replace-chain cliff
+    assert(merges.size >= 250, s"corpus must train at scale, got ${merges.size}")
+    // well-formedness (the equivalence precondition), like the fixture pin
+    val produced = scala.collection.mutable.Set[String]()
+    merges.foreach { case (x, y) =>
+      for (s <- Seq(x, y))
+        assert(s.length == 1 || produced(s),
+          s"operand '$s' is neither a base char nor an earlier output")
+      produced += (x + y)
+    }
+    val (d1, d2) = ("\u0001", "\u0002")
+    def chainCount(t: String): Long = {
+      var sq = t.flatMap(c => s"$d1$c$d2")
+      merges.foreach { case (x, y) =>
+        sq = sq.replace(d1 + x + d2 + d1 + y + d2, d1 + x + y + d2)
+      }
+      (sq.count(_ == '\u0001') - t.count(_ == ' ')).toLong
+    }
+    val rows = Text.bpeEntityCorpus(spark, sf)
+      .select(col("kind"), col("k"), col("t"),
+        call_function(graft.plans.GraftExtensions.BpeCountName,
+          col("t"), typedLit(merges)).as("fast"))
+      .collect()
+    assert(rows.length >= 300, s"corpus size ${rows.length}")
+    rows.foreach { r =>
+      val want = chainCount(r.getString(2))
+      assert(r.getLong(3) == want,
+        s"${r.getString(0)}/${r.getLong(1)}: fast=${r.getLong(3)} chain=$want")
+    }
+    // and against the PLAN-side chain in its supported regime (<= the
+    // r15 codegen-clean 24-merge window): same prefix list, both paths
+    // in one projection
+    val m24 = merges.take(24)
+    Text.bpeEntityCorpus(spark, sf)
+      .select(
+        call_function(graft.plans.GraftExtensions.BpeCountName,
+          col("t"), typedLit(m24)).as("fast"),
+        Text.bpeTokens(col("t"), m24).as("chain"))
+      .collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"24-merge prefix: fast=${r.getLong(0)} chain=${r.getLong(1)}"))
+  }
+
+  test("bpe512: kernel edge cases — empty text, unknown chars, full merge, null") {
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val out = Seq("", "abc", "xyz", "abc abc zz", null)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("i", "t")
+      .select(col("i"), call_function(graft.plans.GraftExtensions.BpeCountName,
+        col("t"), typedLit(merges)).as("n"))
+      .orderBy("i").collect()
+    assert(out(0).getLong(1) == 0L, "empty text -> 0 tokens")
+    assert(out(1).getLong(1) == 1L, "abc fully merges via (a,b)+(ab,c)")
+    assert(out(2).getLong(1) == 3L, "no rule fires -> char count")
+    assert(out(3).getLong(1) == 4L, "per-word composition: 1 + 1 + 2")
+    assert(out(4).isNullAt(1), "NULL text -> NULL")
   }
 }

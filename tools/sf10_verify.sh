@@ -19,7 +19,7 @@ CHUNKS=(
   "media_decode media_decode_persisted media_frames media_meta"
   "pipeline_curate pipeline_decontam pipeline_decontam_embed pipeline_epochs pipeline_match pipeline_mixture pipeline_pack pipeline_pack_bpe pipeline_split sample_stratified"
   "similar_ann_ivf similar_ann_kmeans similar_ann_kmeans_persisted similar_ann_partitioned similar_topk"
-  "text_bigrams text_bm25 text_boilerplate text_bpe_train text_deciles text_fingerprint text_heavy text_index text_langid text_langid_eval"
+  "text_bigrams text_bm25 text_boilerplate text_bpe_train text_bpe_train512 text_tokens_bpe512 text_deciles text_fingerprint text_heavy text_index text_langid text_langid_eval"
   "text_linedup text_perplexity text_perplexity_persisted text_repetition text_scrub text_stats text_tfidf text_tokens_bpe text_tokens_bpe_trained text_top_by_source text_vocab text_vocab_setops text_winnow"
 )
 i=0
