@@ -154,6 +154,37 @@ object ZOrderLab {
       f""""arm_3d":{"build_wall_sec":$build3%.2f,"box3_rows":$n3,"box3_scan_rows":{"flat":$fScan,"zorder2d":$z2Scan,"zorder3d":$z3Scan},"box3_wall_sec":$w3%.3f,"declared2d_box_scan_rows":{"zorder2d":$z2On2d,"zorder3d":$z3On2d},"zorder3d_vs_2d_on_box3":${f"${z3Scan.toDouble / math.max(z2Scan, 1)}%.3f"},"resolution_share_cost_on_2d_box":${f"${z3On2d.toDouble / math.max(z2On2d, 1)}%.3f"}}"""
     }
 
+    // ---- r16 arm: N-D HILBERT vs N-D Z on the same 3-D layouts ----------
+    // The Skilling N-D kernel's measured ladder (VERDICT r15 #7): same
+    // 3-D quantized grid, same file count, curve swapped. Probed with the
+    // declared 3-D box AND a midpoint-straddle 3-D box (the Z teleport
+    // case the 2-D hilbert arm measures at 0.62-0.75x) — Hilbert's
+    // edge-connected tiles should read fewer rows exactly there.
+    val armHilbert3d: String = {
+      import graft.sources.ZOrder.{TypeHi, TypeLo}
+      val (_, buildH3) = timed {
+        graft.sources.ZOrder.zOrderedN(ev,
+          Seq("user_id", "event_type", "ts"), files, curve = "hilbert")
+          .write.mode("overwrite").parquet(s"$base/hilbert3")
+      }
+      val box3: DataFrame => DataFrame = df => df.filter(
+        col("user_id").between(UserLo, UserHi) &&
+          col("event_type").between(TypeLo, TypeHi) &&
+          col("ts") >= lit(TsLo).cast("timestamp") &&
+          col("ts") < lit(TsHi).cast("timestamp"))
+      val straddle3: DataFrame => DataFrame = df => df.filter(
+        col("user_id").between(uA, uB) &&
+          col("event_type").between(TypeLo, TypeHi) &&
+          col("ts") >= lit(inst(tA)) && col("ts") <= lit(inst(tB)))
+      val (z3Scan, n3, w3)    = probe(s"$base/zorder3", box3)
+      val (h3Scan, nH3, wH3)  = probe(s"$base/hilbert3", box3)
+      val (z3sScan, nS, w3s)  = probe(s"$base/zorder3", straddle3)
+      val (h3sScan, nHS, wH3s) = probe(s"$base/hilbert3", straddle3)
+      require(n3 == nH3 && nS == nHS && n3 > 0,
+        s"curves must agree on the answer: $n3/$nH3 and $nS/$nHS")
+      f""""arm_hilbert3d":{"build_wall_sec":$buildH3%.2f,"box3_rows":$n3,"box3_scan_rows":{"zorder3d":$z3Scan,"hilbert3d":$h3Scan},"box3_wall_sec":{"zorder3d":$w3%.3f,"hilbert3d":$wH3%.3f},"straddle3_rows":$nS,"straddle3_scan_rows":{"zorder3d":$z3sScan,"hilbert3d":$h3sScan},"straddle3_wall_sec":{"zorder3d":$w3s%.3f,"hilbert3d":$wH3s%.3f},"hilbert_vs_z_rows_box3":${f"${h3Scan.toDouble / math.max(z3Scan, 1)}%.3f"},"hilbert_vs_z_rows_straddle3":${f"${h3sScan.toDouble / math.max(z3sScan, 1)}%.3f"}}"""
+    }
+
     // ---- r11 arm: equi-depth vs linear quantizer under 90% skew ---------
     // The ZOrderSpec skew fixture at sf scale, on real event rows: a
     // deterministic remap packs 90% of rows into 11 hot keys of a 1e9
@@ -373,7 +404,7 @@ object ZOrderLab {
     }
 
     val json =
-      f"""{"experiment":"zorder_skipping","sf":"$sfDir","total_rows":$total,"files":$files,"build_wall_sec":{"linear":$buildLinear%.2f,"zorder":$buildZ%.2f,"hilbert":$buildH%.2f},${arm("declared_box", declaredBox)},${arm("midpoint_straddle_box", straddleBox)},$arm3d,$armSkew,$armSkew3d,$armLifecycle,$armCompose}"""
+      f"""{"experiment":"zorder_skipping","sf":"$sfDir","total_rows":$total,"files":$files,"build_wall_sec":{"linear":$buildLinear%.2f,"zorder":$buildZ%.2f,"hilbert":$buildH%.2f},${arm("declared_box", declaredBox)},${arm("midpoint_straddle_box", straddleBox)},$arm3d,$armHilbert3d,$armSkew,$armSkew3d,$armLifecycle,$armCompose}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_ZORDERLAB_OUT", "zorderlab.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -280,14 +280,14 @@ object Similarity {
     * is |codebook|-bounded per probe — in-row top-k is the right tool
     * for a bounded group anyway. */
   def probeCells(s: SparkSession, probesPrep: DataFrame,
-                 codebook: DataFrame): DataFrame = {
+                 codebook: DataFrame, nprobe: Int = NProbe): DataFrame = {
     val d = dot(s) _
     probesPrep.crossJoin(broadcast(codebook))
       .withColumn("ccos",
         d(col("ie"), col("se")).cast("double") / (col("nrm") * col("sn")))
       .groupBy("vec_id")
       .agg(slice(array_sort(collect_list(
-        struct((-col("ccos")).as("nc"), col("cluster")))), 1, NProbe).as("top"))
+        struct((-col("ccos")).as("nc"), col("cluster")))), 1, nprobe).as("top"))
       .select(col("vec_id").as("probe_id"), explode(col("top")).as("t"))
       .select(col("probe_id"), cellOf(col("t.cluster")).as("cell"))
   }
@@ -309,7 +309,15 @@ object Similarity {
     * dynamicpruning partition filter and that files read == the probed
     * cells (the layout_dpp_star discipline). Same unrolled-SQL oracle
     * as [[qIvfKmeans]] — a layout may change cost, never an answer. */
-  def qIvfKmeansPartitioned(s: SparkSession, dir: String): DataFrame = {
+  def qIvfKmeansPartitioned(s: SparkSession, dir: String): DataFrame =
+    ivfPartitionedTopK(s, dir, ProbeIds, TopK, NProbe)
+
+  /** The partitioned-ANN body of [[qIvfKmeansPartitioned]], parameterized
+    * on probe ids / k / nprobe so AnnLab can measure recall over a wide
+    * probe sample and an nprobe ladder against the SAME persisted layout
+    * the declared query reads. */
+  def ivfPartitionedTopK(s: SparkSession, dir: String, probeIds: Seq[Long],
+                         k: Int, nprobe: Int): DataFrame = {
     val src = s"$dir/embeddings.parquet"
     val codebook = graft.sources.Artifacts.cached(s, CodebookKind, src) {
       kmeansCodebook(s, prepared(s, dir))
@@ -329,8 +337,8 @@ object Similarity {
     }
     val d = dot(s) _
     val probesPrep = prepared(s, dir, balanced = false)
-      .filter(col("vec_id").isin(ProbeIds: _*))
-    val cells = probeCells(s, probesPrep, codebook)
+      .filter(col("vec_id").isin(probeIds: _*))
+    val cells = probeCells(s, probesPrep, codebook, nprobe)
     val probes = probesPrep
       .select(col("vec_id").as("probe_id"), col("ie").as("pe"), col("nrm").as("pn"))
     // EXPLICIT broadcast of the probe side: the probe batch is small by
@@ -346,7 +354,7 @@ object Similarity {
       .withColumn("cosine",
         d(col("pe"), col("ie")).cast("double") / (col("pn") * col("nrm")))
       .withColumn("rank", row_number().over(rankWindow))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select("probe_id", "vec_id", "cosine", "rank")
       .orderBy("probe_id", "rank")
   }
