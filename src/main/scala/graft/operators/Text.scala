@@ -1093,9 +1093,12 @@ object Text {
   //         pick the minted pair first.
   //   Rules (a)+(b) make batched == sequential by construction (pinned
   //   in TextSpec and hash-gated against the independent greedy oracle
-  //   below). Batch efficiency is corpus-shaped: digit-chain merges
-  //   (customer#0000…) serialize by (a) — the entity corpus measures
-  //   ~1.15 merges/pass — while letter-dominated corpora batch wide.
+  //   below). Measured batch rate (BPELAB_r16_sf10): ~1.6 merges/pass
+  //   on BOTH corpus shapes — digit chains serialize by (a), and on
+  //   letter corpora the created-pair bound (b) binds almost as often
+  //   (frequent letter pairs mint high-bound successors) — so batching
+  //   buys a 1.6x cut in driver round-trips, not the wide batches the
+  //   standard trick yields under a lenient (inexact) bound.
   //   The driver-side piece stays BOUNDED: top-[[Bpe512TopM]] stat rows
   //   per pass, the same discipline as the 1-row argmax collect.
   //
@@ -1178,13 +1181,31 @@ object Text {
     * paths (in-memory, distributed, sequential) pairwise equal. */
   def bpeTrainBatched(corpus: DataFrame, nMerges: Int,
                       batchK: Int = BpeBatchK,
-                      driverVocabLimit: Long = BpeDriverVocabLimit): Seq[(String, String)] = {
+                      driverVocabLimit: Long = BpeDriverVocabLimit): Seq[(String, String)] =
+    bpeTrainBatchedStats(corpus, nMerges, batchK, driverVocabLimit).merges
+
+  /** [[bpeTrainBatched]]'s result plus its measurement surface: which
+    * regime ran and how many distributed passes the batch selection
+    * needed (passes == merges for the in-memory regime: the driver loop
+    * is sequential by construction and pays no per-pass scheduling). */
+  case class BpeTrainStats(merges: Seq[(String, String)], regime: String,
+                           passes: Int) {
+    def mergesPerPass: Double =
+      if (passes == 0) 0.0 else merges.size.toDouble / passes
+  }
+
+  def bpeTrainBatchedStats(corpus: DataFrame, nMerges: Int,
+                           batchK: Int = BpeBatchK,
+                           driverVocabLimit: Long = BpeDriverVocabLimit): BpeTrainStats = {
     val wfWords = corpus.select(explode(split(col("t"), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
-    if (wfWords.limit(driverVocabLimit.toInt + 1).count() <= driverVocabLimit)
-      return bpeTrainInMemory(
+    if (wfWords.limit(driverVocabLimit.toInt + 1).count() <= driverVocabLimit) {
+      val m = bpeTrainInMemory(
         wfWords.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
+      return BpeTrainStats(m, "driver", m.size)
+    }
+    var passes = 0
     var wf = wfWords
       .select(regexp_replace(col("w"), "(.)", BpeD1 + "$1" + BpeD2).as("sq"),
         col("n"))
@@ -1223,6 +1244,7 @@ object Text {
         .orderBy(col("cnt").desc, col("x"), col("y"))
         .limit(Bpe512TopM)
         .collect()
+      passes += 1
       if (ranked.isEmpty) done = true
       else {
         val batch = scala.collection.mutable.ArrayBuffer[(String, String)]()
@@ -1254,7 +1276,7 @@ object Text {
         if (uncut >= 48) { wf = wf.localCheckpoint(); uncut = 0 }
       }
     }
-    out.toSeq
+    BpeTrainStats(out.toSeq, "distributed", passes)
   }
 
   /** The greedy loop on a COLLECTED word-frequency table — the bounded
