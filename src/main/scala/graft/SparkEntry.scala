@@ -57,6 +57,9 @@ object SparkEntry {
     // Manifest-pointer multi-table atomic commit over the same 3-table
     // lifecycle (summary computed FROM the published generations)
     "etl_publish" -> ((s, _) => Etl.qPublish(s)),
+    // the rename-free commit-log protocol (object-store posture), same
+    // lifecycle and oracle - a commit protocol changes cost, not answers
+    "etl_publish_log" -> ((s, _) => Etl.qPublishLog(s)),
     "etl_snapshot_diff" -> ((s, _) => Etl.qSnapshotDiff(s)),
     // SCD Type-2 versioned-dimension maintenance (close + reopen in one
     // full-outer pass)
@@ -336,6 +339,7 @@ object SparkEntry {
     "etl_fact_upsert" -> Etl.qFactUpsertSql,
     "etl_count" -> Etl.qCountSql,
     "etl_publish" -> Etl.qPublishSql,
+    "etl_publish_log" -> Etl.qPublishSql,
     "etl_snapshot_diff" -> Etl.qSnapshotDiffSql,
     "etl_scd2" -> Etl.qScd2Sql,
     "catalog_columns" -> Catalog.columnsSql,

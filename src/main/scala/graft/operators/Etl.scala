@@ -173,7 +173,20 @@ object Etl {
     * result as [[qEmployeeUpsert]]'s merge-then-resolve because
     * insert-if-absent dims keep existing ids (the oracle mirrors this
     * resolve-then-merge shape verbatim). */
-  def qPublish(s: SparkSession): DataFrame = {
+  def qPublish(s: SparkSession): DataFrame = publishLifecycle(s, "etl")
+
+  /** The same 3-table publish lifecycle through the RENAME-FREE log
+    * protocol (r16, [[graft.sources.Publish]] `log`): the conf forces
+    * the protocol for the duration and a separate process-scoped root
+    * keeps the two gates' state apart. Gated under the SAME oracle as
+    * `etl_publish` — a commit protocol may change cost, never answers. */
+  def qPublishLog(s: SparkSession): DataFrame = {
+    s.conf.set("spark.graft.publish.protocol", "log")
+    try publishLifecycle(s, "etllog")
+    finally s.conf.unset("spark.graft.publish.protocol")
+  }
+
+  private def publishLifecycle(s: SparkSession, prefix: String): DataFrame = {
     import graft.sources.{Artifacts, Publish}
     // PROCESS-SCOPED publish root (ADVICE r15): two concurrent driver
     // processes sharing `.artifacts/publish/etl` race on CURRENT
@@ -184,13 +197,13 @@ object Etl {
     // on THIS host are swept below (other hosts' liveness is unknowable
     // here, so their roots are left alone).
     val base = s"${Artifacts.root}/publish"
-    val root = s"$base/etl_${Artifacts.procTag}"
+    val root = s"$base/${prefix}_${Artifacts.procTag}"
     locally {
       val bp = new org.apache.hadoop.fs.Path(base)
       val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(bp))
         fs.listStatus(bp).map(_.getPath)
-          .filter(p => p.getName.startsWith("etl_") &&
+          .filter(p => p.getName.startsWith(prefix + "_") &&
             Artifacts.isDeadProcessLeftover(p.getName))
           .foreach(p => fs.delete(p, true))
     }
