@@ -449,12 +449,44 @@ class PlanAuditSpec extends SparkSpec {
       // langid_eval = scan-speed scoring + |langs|² agg + its tiny
       // share window + sort; mixture = |sources| agg + 1-row share
       // window + sort
-      "text_langid_eval" -> 3, "pipeline_mixture" -> 2)
+      "text_langid_eval" -> 3, "pipeline_mixture" -> 2,
+      // round-16: the 512-merge gates stay IN-ROW like the rest of the
+      // BPE family (train512's declared frame is the localized merges
+      // sort; tokens512 is scan + kernel + presentation sort); the
+      // star-CC variant's declared frame joins the checkpointed
+      // components (iteration shuffles run at build time); hilbert =
+      // zorder3's box agg shape; publish_log = two 3-table lifecycle
+      // summaries over the published parquet (the log protocol adds no
+      // exchange over the pointer twin)
+      "text_bpe_train512" -> 1, "text_tokens_bpe512" -> 1,
+      "dedup_clusters_stars" -> 5, "layout_hilbert" -> 3,
+      "etl_publish_log" -> 8)
     bounds.foreach { case (name, maxEx) =>
       val n = executed(name).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }.length
       assert(n <= maxEx, s"$name has $n shuffle exchanges (bound $maxEx)")
     }
+  }
+
+  test("the 512-merge BPE apply kernel runs inside whole-stage codegen") {
+    // The r16 vocab-axis claim, machine-checked: graft_bpe_count is a
+    // real codegen'd Expression (its doGenCode emits a static-kernel
+    // call), so the scan -> tokenize projection must collapse into one
+    // WholeStageCodegen span — the r15 replace-chain fell to
+    // CodegenFallback past ~24 merges, which is exactly the cliff this
+    // pin guards against regressing into. AQE is disabled for the
+    // inspection only (stage wrappers hide codegen nodes from a plan
+    // walk before materialization).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("text_tokens_bpe512")(spark, sf)
+        .queryExecution.executedPlan
+      val wsc = p.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      assert(wsc.exists(_.toString.contains("graft_bpe_count")),
+        s"bpe kernel not inside any WholeStageCodegen span:\n${p.toString.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
