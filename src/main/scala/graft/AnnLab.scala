@@ -99,11 +99,40 @@ object AnnLab {
       require(math.abs(km.recall - part.recall) < 1e-12,
         s"nprobe=$np: partitioned recall ${part.recall} != kmeans ${km.recall}")
     }
+
+    // WIDENED codebook arm — the nlist-scales-with-corpus rule, measured:
+    // 40 data-seeded cells (rank-strided ids offset half a stride so they
+    // never collide with the probe sample), Lloyd-refined like the
+    // 10-cell codebook. Compared at EQUAL SCANNED FRACTION: nprobe 1/2/4
+    // of 40 cells reads 2.5/5/10% of the corpus, vs nprobe 1 of 10
+    // reading 10% — if the rule holds, recall at 10% scanned is far
+    // higher under the wider codebook.
+    val wideN = sys.env.getOrElse("SPARK_GRAFT_ANNLAB_WIDE_CELLS", "40").toInt
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val seedIds = vecs.select(col("vec_id"))
+      .withColumn("rn", row_number().over(Window.orderBy("vec_id")))
+      .where((col("rn") - 1 - stride / 2) % math.max(1L, n / wideN) === 0)
+      .orderBy("vec_id").limit(wideN)
+      .collect().map(_.getLong(0)).toSeq
+    val seeds0 = vecs.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id").as("cluster"), col("ie").as("se"), col("nrm").as("sn"))
+    val (cbWide, wideTrainSec) = timed {
+      Similarity.kmeansCodebook(spark, vecs, seeds0 = Some(seeds0)).cache()
+    }
+    val wideCells = cbWide.count()
+    val wide = Seq(1, 2, 4, 8).map { np =>
+      (np, arm(Similarity.ivfTopK(spark, sfDir, probeIds, k, np,
+        codebook = Some(cbWide))))
+    }
     def curve(pick: ((Int, Arm, Arm, Arm)) => Arm): String =
       results.map { r => f""""${r._1}":{"recall":${pick(r).recall}%.4f,"sec":${pick(r).sec}%.2f}""" }
         .mkString("{", ",", "}")
+    val wideCurve = wide.map { case (np, a) =>
+      f""""$np":{"recall":${a.recall}%.4f,"scanned_fraction":${np.toDouble / wideCells}%.3f,"sec":${a.sec}%.2f}"""
+    }.mkString("{", ",", "}")
     val json =
-      f"""{"experiment":"ann_recall","sf":"$sfDir","corpus_rows":$n,"probes":$nProbes,"k":$k,"cells":${codebook.count()},"bf_truth_sec":$bfSec%.2f,"kmeans_train_sec":$trainSec%.2f,"recall_at_10":{"ivf_seed":${curve(_._2)},"kmeans":${curve(_._3)},"kmeans_partitioned":${curve(_._4)}},"partitioned_equals_kmeans":true}"""
+      f"""{"experiment":"ann_recall","sf":"$sfDir","corpus_rows":$n,"probes":$nProbes,"k":$k,"cells":${codebook.count()},"bf_truth_sec":$bfSec%.2f,"kmeans_train_sec":$trainSec%.2f,"recall_at_10":{"ivf_seed":${curve(_._2)},"kmeans":${curve(_._3)},"kmeans_partitioned":${curve(_._4)}},"partitioned_equals_kmeans":true,"wide_codebook":{"cells":$wideCells,"train_sec":$wideTrainSec%.2f,"recall_at_10":$wideCurve}}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_ANNLAB_OUT", "annlab.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

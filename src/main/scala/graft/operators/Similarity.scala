@@ -162,7 +162,8 @@ object Similarity {
     * sample, so the explode stays bounded by the sample, not the corpus.
     * An empty cell keeps its previous centroid (standard k-means guard).
     */
-  def kmeansCodebook(s: SparkSession, vecs: DataFrame, iters: Int = 2): DataFrame = {
+  def kmeansCodebook(s: SparkSession, vecs: DataFrame, iters: Int = 2,
+                     seeds0: Option[DataFrame] = None): DataFrame = {
     val d = dot(s) _
     // Iterative training replays its input once per iteration — cache it
     // (the standard MLlib-training shape: persist the training set, not
@@ -170,7 +171,11 @@ object Similarity {
     // instead of recomputing the scan. Unpersisted before return.
     val cached = vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    var centroids = seedCodebook(cached)
+    // seeds0 widens the codebook for deployments sizing nlist to the
+    // corpus (the measured ANNLAB_r16 decay law: recall at FIXED cell
+    // count falls 0.93 -> 0.31 for 10x rows) — the declared queries keep
+    // the default fixed seed set, so gate hashes are untouched
+    var centroids = seeds0.getOrElse(seedCodebook(cached))
     for (_ <- 1 to iters) {
       // argmax as a hash agg, not a window: max_by over (ccos, -cluster)
       // is the same (cosine desc, cluster asc) winner without the
